@@ -1,0 +1,226 @@
+"""Color-space / pixel-format conversion ops (pure JAX, jittable).
+
+TPU-native equivalents of the reference WGSL converters
+(`smelter-render/src/wgpu/format/*.wgsl`): BT.709 YUV<->RGB with limited
+(MPEG, 16-235/16-240) or full (JPEG) range, chroma up/down-sampling for
+4:2:0 / 4:2:2, NV12 pack/unpack, interleaved YUYV/UYVY, and byte swizzles.
+
+Everything operates on float32 in [0, 1]; helpers convert u8 <-> f32 at the
+boundary so XLA fuses the normalization into the conversion kernel. Internal
+RGBA textures are NOT premultiplied here - premultiplication happens in the
+compose stage where alpha first appears.
+
+Matrix constants follow ITU-R BT.709 (same values as the reference's
+`planar_yuv_to_rgba.wgsl:44-57` / `rgba_to_yuv.wgsl:27-57`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Limited-range footroom/scale: Y in [16, 235], UV in [16, 240] (8-bit).
+_Y_SCALE = 219.0 / 255.0
+_UV_SCALE = 224.0 / 255.0
+_FOOTROOM = 16.0 / 255.0
+
+
+def u8_to_f32(x: jnp.ndarray) -> jnp.ndarray:
+    return x.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def f32_to_u8(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+def _expand_range(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Limited -> full range (inverse footroom), clamped like the reference."""
+    y = jnp.clip((y - _FOOTROOM) / _Y_SCALE, 0.0, 1.0)
+    u = jnp.clip((u - _FOOTROOM) / _UV_SCALE, 0.0, 1.0)
+    v = jnp.clip((v - _FOOTROOM) / _UV_SCALE, 0.0, 1.0)
+    return y, u, v
+
+
+def yuv_to_rgb(
+    y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, full_range: bool = False
+) -> jnp.ndarray:
+    """BT.709 YUV (all planes same shape, [0,1]) -> RGB (H, W, 3) in [0,1]."""
+    if not full_range:
+        y, u, v = _expand_range(y, u, v)
+    u = u - 0.5
+    v = v - 0.5
+    r = y + 1.5748 * v
+    g = y - 0.1873 * u - 0.4681 * v
+    b = y + 1.8556 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+def rgb_to_yuv(rgb: jnp.ndarray, full_range: bool = False):
+    """BT.709 RGB (..., 3) in [0,1] -> (y, u, v) planes in [0,1]."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    u = -0.1146 * r - 0.3854 * g + 0.5 * b + 0.5
+    v = 0.5 * r - 0.4542 * g - 0.0458 * b + 0.5
+    if not full_range:
+        y = y * _Y_SCALE + _FOOTROOM
+        u = (u - 0.5) * _UV_SCALE + 0.5 * _UV_SCALE + _FOOTROOM
+        v = (v - 0.5) * _UV_SCALE + 0.5 * _UV_SCALE + _FOOTROOM
+    return (
+        jnp.clip(y, 0.0, 1.0),
+        jnp.clip(u, 0.0, 1.0),
+        jnp.clip(v, 0.0, 1.0),
+    )
+
+
+def upsample_chroma_bilinear(plane: jnp.ndarray, sx: int, sy: int) -> jnp.ndarray:
+    """Upsample a chroma plane by (sy vertical, sx horizontal) with the same
+    semantics as a GPU linear sampler reading the small texture at full-res
+    normalized coordinates (texel-center aligned bilinear)."""
+    if sx == 1 and sy == 1:
+        return plane
+    h, w = plane.shape
+    out = plane
+    if sy == 2:
+        # vertical: output row i samples source at (i + 0.5)/2 - 0.5
+        pos = (jnp.arange(2 * h) + 0.5) / 2.0 - 0.5
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, h - 1)
+        i1 = jnp.clip(i0 + 1, 0, h - 1)
+        frac = jnp.clip(pos - jnp.floor(pos), 0.0, 1.0)
+        out = out[i0, :] * (1.0 - frac)[:, None] + out[i1, :] * frac[:, None]
+    if sx == 2:
+        hw = out.shape[1]
+        pos = (jnp.arange(2 * hw) + 0.5) / 2.0 - 0.5
+        j0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, hw - 1)
+        j1 = jnp.clip(j0 + 1, 0, hw - 1)
+        frac = jnp.clip(pos - jnp.floor(pos), 0.0, 1.0)
+        out = out[:, j0] * (1.0 - frac)[None, :] + out[:, j1] * frac[None, :]
+    return out
+
+
+def downsample_chroma_2x2(plane: jnp.ndarray) -> jnp.ndarray:
+    """Average 2x2 blocks (equivalent to GPU bilinear sample at half-res
+    texel centers, as in the reference rgba_to_yuv U/V passes)."""
+    h, w = plane.shape
+    return plane.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def downsample_chroma_1x2(plane: jnp.ndarray) -> jnp.ndarray:
+    """Average horizontal pairs (4:2:2)."""
+    h, w = plane.shape
+    return plane.reshape(h, w // 2, 2).mean(axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Frame-level converters: u8 planes -> RGBA f32 (alpha=1), and back.
+# ---------------------------------------------------------------------------
+
+
+def planar_yuv_to_rgba(
+    y: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    full_range: bool = False,
+) -> jnp.ndarray:
+    """Planar YUV u8 (any subsampling; u/v shape infers it) -> (H, W, 4) f32."""
+    yf = u8_to_f32(y)
+    uf = u8_to_f32(u)
+    vf = u8_to_f32(v)
+    sy = y.shape[0] // u.shape[0]
+    sx = y.shape[1] // u.shape[1]
+    uf = upsample_chroma_bilinear(uf, sx, sy)
+    vf = upsample_chroma_bilinear(vf, sx, sy)
+    rgb = yuv_to_rgb(yf, uf, vf, full_range)
+    alpha = jnp.ones(rgb.shape[:2] + (1,), rgb.dtype)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def rgba_to_planar_yuv420(rgba: jnp.ndarray, full_range: bool = False):
+    """(H, W, 4) f32 RGBA -> (y, u, v) u8 planes, 4:2:0."""
+    y, u, v = rgb_to_yuv(rgba[..., :3], full_range)
+    return (
+        f32_to_u8(y),
+        f32_to_u8(downsample_chroma_2x2(u)),
+        f32_to_u8(downsample_chroma_2x2(v)),
+    )
+
+
+def rgba_to_planar_yuv422(rgba: jnp.ndarray, full_range: bool = False):
+    y, u, v = rgb_to_yuv(rgba[..., :3], full_range)
+    return (
+        f32_to_u8(y),
+        f32_to_u8(downsample_chroma_1x2(u)),
+        f32_to_u8(downsample_chroma_1x2(v)),
+    )
+
+
+def rgba_to_planar_yuv444(rgba: jnp.ndarray, full_range: bool = False):
+    y, u, v = rgb_to_yuv(rgba[..., :3], full_range)
+    return (f32_to_u8(y), f32_to_u8(u), f32_to_u8(v))
+
+
+def nv12_to_rgba(y: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """NV12: y (H, W) u8, uv (H/2, W/2, 2) u8 -> (H, W, 4) f32 (limited range)."""
+    return planar_yuv_to_rgba(y, uv[..., 0], uv[..., 1], full_range=False)
+
+
+def rgba_to_nv12(rgba: jnp.ndarray):
+    y, u, v = rgba_to_planar_yuv420(rgba)
+    return y, jnp.stack([u, v], axis=-1)
+
+
+def interleaved_yuyv_to_rgba(data: jnp.ndarray) -> jnp.ndarray:
+    """YUYV 4:2:2: data (H, W/2, 4) u8 = [Y0, U, Y1, V] -> (H, W, 4) f32."""
+    y = jnp.stack([data[..., 0], data[..., 2]], axis=-1).reshape(
+        data.shape[0], data.shape[1] * 2
+    )
+    u = data[..., 1]
+    v = data[..., 3]
+    return planar_yuv_to_rgba(y, u, v, full_range=False)
+
+
+def interleaved_uyvy_to_rgba(data: jnp.ndarray) -> jnp.ndarray:
+    """UYVY 4:2:2: data (H, W/2, 4) u8 = [U, Y0, V, Y1] -> (H, W, 4) f32."""
+    y = jnp.stack([data[..., 1], data[..., 3]], axis=-1).reshape(
+        data.shape[0], data.shape[1] * 2
+    )
+    u = data[..., 0]
+    v = data[..., 2]
+    return planar_yuv_to_rgba(y, u, v, full_range=False)
+
+
+def bgra_to_rgba(data: jnp.ndarray) -> jnp.ndarray:
+    return u8_to_f32(data[..., [2, 1, 0, 3]])
+
+
+def argb_to_rgba(data: jnp.ndarray) -> jnp.ndarray:
+    return u8_to_f32(data[..., [1, 2, 3, 0]])
+
+
+def rgba_u8_to_f32(data: jnp.ndarray) -> jnp.ndarray:
+    return u8_to_f32(data)
+
+
+def convert_to_rgba_f32(format_name: str, planes) -> jnp.ndarray:
+    """Static dispatch by pixel format name -> (H, W, 4) f32 RGBA in [0,1]."""
+    from smelter_tpu.core.types import PixelFormat
+
+    fmt = PixelFormat(format_name)
+    if fmt.is_planar_yuv:
+        y, u, v = planes
+        return planar_yuv_to_rgba(y, u, v, full_range=fmt.is_full_range)
+    if fmt == PixelFormat.NV12:
+        y, uv = planes
+        return nv12_to_rgba(y, uv)
+    if fmt == PixelFormat.INTERLEAVED_YUYV422:
+        return interleaved_yuyv_to_rgba(planes)
+    if fmt == PixelFormat.INTERLEAVED_UYVY422:
+        return interleaved_uyvy_to_rgba(planes)
+    if fmt == PixelFormat.RGBA:
+        return rgba_u8_to_f32(planes)
+    if fmt == PixelFormat.BGRA:
+        return bgra_to_rgba(planes)
+    if fmt == PixelFormat.ARGB:
+        return argb_to_rgba(planes)
+    raise ValueError(f"unsupported pixel format {format_name}")

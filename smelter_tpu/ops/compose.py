@@ -1,0 +1,202 @@
+"""Layout compositing op: the TPU equivalent of the reference's
+`apply_layouts.wgsl` (smelter-render/src/transformations/layout/shader.rs).
+
+Instead of one draw call per RenderLayout into a wgpu render target, the whole
+flattened layout list is traced into a single fused XLA program per
+(structure, resolutions): a Python loop over layouts (static structure) where
+every numeric parameter (rect, crop, radii, colors, rotation) is a *traced*
+scalar, so scene transitions animate parameters frame-to-frame without
+recompilation.
+
+Per-layout semantics (mirroring apply_layouts.wgsl):
+  - rounded-rect SDF for content edge antialiasing, borders and parent masks
+  - content types: child texture (with crop + bilinear/mip sampling), solid
+    color, box shadow (SDF-smoothstep blur approximation)
+  - premultiplied alpha OVER blending in layout order
+    (wgpu PREMULTIPLIED_ALPHA_BLENDING, common_pipeline.rs:125)
+
+Corner-radius order is [top_left, top_right, bottom_right, bottom_left].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smelter_tpu.ops.resample import sample_bilinear, sample_bilinear_mip
+
+MAX_MASKS_COUNT = 20
+
+
+@dataclass(frozen=True)
+class LayoutStatic:
+    """Static (structure) part of one render layout; changing any of these
+    retriggers program tracing (scene update - control path, not hot path)."""
+
+    content: str  # "texture" | "color" | "box_shadow"
+    source_index: int = -1  # node texture index for content == "texture"
+    n_masks: int = 0
+    has_rotation: bool = False
+    has_border: bool = False  # border_width can be > 0
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LayoutParams:
+    """Traced numeric parameters of one render layout (all jnp f32 scalars /
+    small vectors; animating these does NOT recompile)."""
+
+    top: jnp.ndarray
+    left: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+    rotation_degrees: jnp.ndarray
+    border_radius: jnp.ndarray  # (4,) [tl, tr, br, bl]
+    border_width: jnp.ndarray
+    border_color: jnp.ndarray  # (4,) straight alpha [0,1]
+    color: jnp.ndarray  # (4,) straight alpha (color / shadow content)
+    crop: jnp.ndarray  # (4,) [top, left, width, height] in source pixels
+    blur_radius: jnp.ndarray
+    # masks: (n_masks, 8): [radius_tl, tr, br, bl, top, left, width, height]
+    masks: jnp.ndarray
+
+
+def smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / jnp.maximum(e1 - e0, 1e-6), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def rounded_rect_sdf(dx, dy, half_w, half_h, radius):
+    """Signed distance to a rounded rect centered at origin.
+
+    dx, dy: (H, W) offsets from rect center, x right / y down, pixels.
+    radius: (4,) corner radii [tl, tr, br, bl].
+    Negative inside, positive outside (same convention as the reference).
+    """
+    r_top = jnp.where(dx < 0.0, radius[0], radius[1])
+    r_bottom = jnp.where(dx < 0.0, radius[3], radius[2])
+    r = jnp.where(dy < 0.0, r_top, r_bottom)
+    qx = jnp.abs(dx) - half_w + r
+    qy = jnp.abs(dy) - half_h + r
+    qx_pos = jnp.maximum(qx, 0.0)
+    qy_pos = jnp.maximum(qy, 0.0)
+    return (
+        jnp.minimum(jnp.maximum(qx, qy), 0.0)
+        + jnp.sqrt(qx_pos * qx_pos + qy_pos * qy_pos)
+        - r
+    )
+
+
+def _premultiply(color: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([color[:3] * color[3], color[3:4]])
+
+
+def _mask_alpha(px, py, params: LayoutParams, n_masks: int) -> jnp.ndarray:
+    alpha = jnp.ones(px.shape, jnp.float32)
+    for i in range(n_masks):
+        m = params.masks[i]
+        radius, top, left, w, h = m[0:4], m[4], m[5], m[6], m[7]
+        cx = left + w * 0.5
+        cy = top + h * 0.5
+        d = rounded_rect_sdf(px - cx, py - cy, w * 0.5, h * 0.5, radius)
+        alpha = alpha * smoothstep(-0.5, 0.5, -d)
+    return alpha
+
+
+def render_single_layout(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,  # list of source mip pyramids (lists of (H,W,4) f32)
+    px: jnp.ndarray,  # (H, W) output pixel-center x coords
+    py: jnp.ndarray,  # (H, W) output pixel-center y coords
+) -> jnp.ndarray:
+    """Returns the layout's premultiplied RGBA contribution (H, W, 4)."""
+    w = params.width
+    h = params.height
+    cx = params.left + w * 0.5
+    cy = params.top + h * 0.5
+    dx = px - cx
+    dy = py - cy
+    if static.has_rotation:
+        ang = params.rotation_degrees * (jnp.pi / 180.0)
+        cos_a = jnp.cos(ang)
+        sin_a = jnp.sin(ang)
+        # rotate the offset into the rect's local (unrotated) frame
+        rdx = cos_a * dx + sin_a * dy
+        rdy = -sin_a * dx + cos_a * dy
+        dx, dy = rdx, rdy
+
+    mask_alpha = _mask_alpha(px, py, params, static.n_masks)
+
+    if static.content == "box_shadow":
+        edge = -rounded_rect_sdf(dx, dy, w * 0.5, h * 0.5, params.border_radius)
+        blur = jnp.maximum(params.blur_radius, 1.0)
+        a = smoothstep(-blur * 0.5, blur * 0.5, edge) * mask_alpha
+        return _premultiply(params.color)[None, None, :] * a[..., None]
+
+    edge = -rounded_rect_sdf(dx, dy, w * 0.5, h * 0.5, params.border_radius)
+
+    if static.content == "color":
+        content = _premultiply(params.color)[None, None, :]
+        content = jnp.broadcast_to(content, px.shape + (4,))
+    else:  # texture
+        mips = sources[static.source_index]
+        crop_top, crop_left = params.crop[0], params.crop[1]
+        crop_w, crop_h = params.crop[2], params.crop[3]
+        # local rect coords in [0, w) x [0, h) -> source pixels inside crop
+        u = (dx + w * 0.5) / jnp.maximum(w, 1e-6)
+        v = (dy + h * 0.5) / jnp.maximum(h, 1e-6)
+        sx = crop_left + u * crop_w - 0.5
+        sy = crop_top + v * crop_h - 0.5
+        if isinstance(mips, (list, tuple)) and len(mips) > 1:
+            scale = jnp.maximum(
+                crop_w / jnp.maximum(w, 1e-6), crop_h / jnp.maximum(h, 1e-6)
+            )
+            content = sample_bilinear_mip(list(mips), sy, sx, scale)
+        else:
+            img = mips[0] if isinstance(mips, (list, tuple)) else mips
+            content = sample_bilinear(img, sy, sx)
+
+    if not static.has_border:
+        a = smoothstep(-0.5, 0.5, edge) * mask_alpha
+        return content * a[..., None]
+
+    bw = params.border_width
+    border_color = _premultiply(params.border_color)[None, None, :]
+    if static.content == "color":
+        border_alpha = smoothstep(bw, bw + 1.0, edge)
+    else:
+        border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
+    inner = border_color + (content - border_color) * border_alpha[..., None]
+    content_alpha = smoothstep(-0.5, 0.5, edge)
+    outer = border_color * content_alpha[..., None]
+    out = jnp.where((edge > bw * 0.5)[..., None], inner, outer)
+    return out * mask_alpha[..., None]
+
+
+def compose_layouts(
+    resolution: Tuple[int, int],  # (width, height)
+    statics: Sequence[LayoutStatic],
+    params: Sequence[LayoutParams],
+    sources: Sequence,
+    background: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Blend all layouts over a transparent canvas; returns premultiplied
+    (H, W, 4) f32. Layout order = paint order (later on top)."""
+    w, h = resolution
+    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+    px = jnp.broadcast_to(px, (h, w))
+    py = jnp.broadcast_to(py, (h, w))
+    canvas = (
+        background
+        if background is not None
+        else jnp.zeros((h, w, 4), jnp.float32)
+    )
+    for st, p in zip(statics, params):
+        layer = render_single_layout(st, p, sources, px, py)
+        canvas = layer + canvas * (1.0 - layer[..., 3:4])
+    return canvas
