@@ -11,7 +11,7 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass, field
 from fractions import Fraction
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, ClassVar, Dict, Optional, Tuple
 
 
 @dataclass(frozen=True, order=True)
@@ -165,8 +165,8 @@ class RGBAColor:
     b: int
     a: int = 255
 
-    TRANSPARENT: "RGBAColor" = None  # type: ignore  # set below
-    BLACK: "RGBAColor" = None  # type: ignore
+    TRANSPARENT: ClassVar["RGBAColor"]
+    BLACK: ClassVar["RGBAColor"]
 
     def to_float(self) -> Tuple[float, float, float, float]:
         return (self.r / 255.0, self.g / 255.0, self.b / 255.0, self.a / 255.0)
@@ -218,8 +218,8 @@ _NAMED_COLORS = {
 }
 
 # populate class-level constants
-object.__setattr__(RGBAColor, "TRANSPARENT", RGBAColor(0, 0, 0, 0))
-object.__setattr__(RGBAColor, "BLACK", RGBAColor(0, 0, 0, 255))
+setattr(RGBAColor, "TRANSPARENT", RGBAColor(0, 0, 0, 0))
+setattr(RGBAColor, "BLACK", RGBAColor(0, 0, 0, 255))
 
 
 class EventKind(enum.Enum):

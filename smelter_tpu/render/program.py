@@ -1,0 +1,459 @@
+"""Compiled frame program.
+
+The TPU replacement for the reference's per-frame wgpu pass list
+(`smelter-render/src/state/render_loop.rs`): the whole per-output render -
+input pixel-format conversion, mip prefilter, node tree evaluation (layout
+compose / user shader / text / image), and output format conversion - is
+traced into ONE jitted XLA program.
+
+Static vs traced split:
+  - static (recompile on change): node tree structure, input shapes/formats,
+    per-layout `LayoutStatic` (content kind, source index, mask count,
+    rotation/border presence), output resolution + format
+  - traced (animate freely): every numeric layout parameter, shader params,
+    time, and all pixel data
+
+Scene transitions only change traced values, so the 60 Hz loop never
+recompiles; scene updates (control path) may introduce a new structure which
+compiles once and is cached.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smelter_tpu.core.types import Frame, PixelFormat, Resolution
+from smelter_tpu.ops import color_convert as cc
+from smelter_tpu.ops.compose import (
+    MAX_MASKS_COUNT,
+    LayoutParams,
+    LayoutStatic,
+    compose_layouts,
+)
+from smelter_tpu.ops.resample import build_mips
+from smelter_tpu.scene.layout_types import (
+    RenderBoxShadow,
+    RenderChildNode,
+    RenderColor,
+    RenderLayout,
+)
+from smelter_tpu.scene.scene_state import (
+    ImageNode,
+    InputStreamNode,
+    LayoutNode,
+    Node,
+    ShaderNode,
+    TextNode,
+    WebNode,
+)
+
+
+def _mip_levels(res: Resolution) -> int:
+    """Enough mips that the smallest level is ~32px on the short side."""
+    short = max(min(res.width, res.height), 1)
+    return max(1, min(5, int(math.floor(math.log2(short / 32.0))) + 1 if short >= 64 else 1))
+
+
+# ---------------------------------------------------------------------------
+# RenderLayout -> (static, traced params)
+# ---------------------------------------------------------------------------
+
+
+def split_layout(layout: RenderLayout) -> Tuple[LayoutStatic, LayoutParams]:
+    c = layout.content
+    n_masks = len(layout.masks)
+    masks = np.zeros((max(n_masks, 1), 8), np.float32)
+    for i, m in enumerate(layout.masks[:MAX_MASKS_COUNT]):
+        masks[i] = [*m.radius.as_tuple(), m.top, m.left, m.width, m.height]
+
+    def color_vec(col) -> np.ndarray:
+        return np.asarray(col.to_float(), np.float32)
+
+    common = dict(
+        top=jnp.float32(layout.top),
+        left=jnp.float32(layout.left),
+        width=jnp.float32(layout.width),
+        height=jnp.float32(layout.height),
+        rotation_degrees=jnp.float32(layout.rotation_degrees),
+        border_radius=jnp.asarray(layout.border_radius.as_tuple(), jnp.float32),
+        masks=jnp.asarray(masks),
+    )
+    if isinstance(c, RenderChildNode):
+        static = LayoutStatic(
+            content="texture",
+            source_index=c.index,
+            n_masks=min(n_masks, MAX_MASKS_COUNT),
+            has_rotation=abs(layout.rotation_degrees) > 1e-9,
+            has_border=c.border_width > 0.0,
+        )
+        params = LayoutParams(
+            **common,
+            border_width=jnp.float32(c.border_width),
+            border_color=jnp.asarray(color_vec(c.border_color)),
+            color=jnp.zeros(4, jnp.float32),
+            crop=jnp.asarray(
+                [c.crop.top, c.crop.left, c.crop.width, c.crop.height], jnp.float32
+            ),
+            blur_radius=jnp.float32(0.0),
+        )
+    elif isinstance(c, RenderColor):
+        static = LayoutStatic(
+            content="color",
+            n_masks=min(n_masks, MAX_MASKS_COUNT),
+            has_rotation=abs(layout.rotation_degrees) > 1e-9,
+            has_border=c.border_width > 0.0,
+        )
+        params = LayoutParams(
+            **common,
+            border_width=jnp.float32(c.border_width),
+            border_color=jnp.asarray(color_vec(c.border_color)),
+            color=jnp.asarray(color_vec(c.color)),
+            crop=jnp.zeros(4, jnp.float32),
+            blur_radius=jnp.float32(0.0),
+        )
+    elif isinstance(c, RenderBoxShadow):
+        static = LayoutStatic(
+            content="box_shadow",
+            n_masks=min(n_masks, MAX_MASKS_COUNT),
+            has_rotation=abs(layout.rotation_degrees) > 1e-9,
+        )
+        params = LayoutParams(
+            **common,
+            border_width=jnp.float32(0.0),
+            border_color=jnp.zeros(4, jnp.float32),
+            color=jnp.asarray(color_vec(c.color)),
+            crop=jnp.zeros(4, jnp.float32),
+            blur_radius=jnp.float32(c.blur_radius),
+        )
+    else:
+        raise ValueError(f"unknown content {type(c)}")
+    return static, params
+
+
+# ---------------------------------------------------------------------------
+# node tree -> traced evaluation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FramePlan:
+    """Per-frame host-computed traced values for one output render."""
+
+    # per layout-node id: list of LayoutParams (matching the statics)
+    layout_params: Dict[int, List[LayoutParams]]
+    # texture payloads keyed by (node id) for text/image aux textures
+    aux_textures: Dict[int, jnp.ndarray]
+    # input planes keyed by input id
+    input_planes: Dict[str, object]
+    # shader params / time
+    shader_params: Dict[int, object]
+    time: float
+
+
+@dataclass
+class NodeMeta:
+    """Static per-node info captured at plan time."""
+
+    node_id: int
+    kind: str
+    resolution: Optional[Resolution]
+
+
+class ShaderRegistry:
+    """User shader components: a restricted Python/JAX source registered by
+    id, exposing `main(inputs, params, resolution, time) -> (H, W, 4) f32`.
+
+    TPU-native analogue of the reference WGSL ShaderSpec
+    (`smelter-render/src/transformations/shader.rs`).
+    """
+
+    MAX_TEXTURES = 16
+
+    def __init__(self) -> None:
+        self._shaders: Dict[str, Callable] = {}
+
+    def register(self, shader_id: str, source: str) -> None:
+        if shader_id in self._shaders:
+            raise ValueError(f"shader {shader_id!r} already registered")
+        namespace: Dict[str, object] = {
+            "jnp": jnp,
+            "jax": jax,
+            "math": math,
+            "np": np,
+        }
+        exec(compile(source, f"<shader:{shader_id}>", "exec"), namespace)
+        fn = namespace.get("main")
+        if not callable(fn):
+            raise ValueError(
+                f"shader {shader_id!r} must define main(inputs, params, resolution, time)"
+            )
+        self._shaders[shader_id] = fn
+
+    def register_fn(self, shader_id: str, fn: Callable) -> None:
+        if shader_id in self._shaders:
+            raise ValueError(f"shader {shader_id!r} already registered")
+        self._shaders[shader_id] = fn
+
+    def unregister(self, shader_id: str) -> None:
+        del self._shaders[shader_id]
+
+    def get(self, shader_id: str) -> Callable:
+        if shader_id not in self._shaders:
+            raise ValueError(f"shader {shader_id!r} not registered")
+        return self._shaders[shader_id]
+
+    def has(self, shader_id: str) -> bool:
+        return shader_id in self._shaders
+
+
+_DUMMY = np.zeros((2, 2, 4), np.float32)
+
+
+class OutputProgram:
+    """Holds the compiled render fn cache for one output's node tree."""
+
+    def __init__(
+        self,
+        root: Node,
+        resolution: Resolution,
+        out_format: PixelFormat,
+        shaders: ShaderRegistry,
+    ) -> None:
+        self.root = root
+        self.resolution = resolution
+        self.out_format = out_format
+        self.shaders = shaders
+        self._node_ids: Dict[int, int] = {}
+        self._next_id = 0
+        self._assign_ids(root)
+        self._jit_cache: Dict[tuple, Callable] = {}
+
+    def _assign_ids(self, node: Node) -> None:
+        self._node_ids[id(node)] = self._next_id
+        self._next_id += 1
+        for child in node.children:
+            self._assign_ids(child)
+
+    def node_id(self, node: Node) -> int:
+        return self._node_ids[id(node)]
+
+    # -- per-frame host planning ------------------------------------------------
+
+    def plan(
+        self,
+        pts: float,
+        input_frames: Dict[str, Frame],
+        image_store,
+        text_renderer,
+    ) -> Tuple[tuple, FramePlan]:
+        """Walk the node tree at ``pts``: compute flattened layout params,
+        gather aux textures, and build the static structure key."""
+        layout_params: Dict[int, List[LayoutParams]] = {}
+        aux: Dict[int, jnp.ndarray] = {}
+        input_planes: Dict[str, object] = {}
+        shader_params: Dict[int, object] = {}
+        key_parts: List[object] = [
+            self.resolution,
+            self.out_format,
+        ]
+
+        def visit(node: Node) -> Optional[Resolution]:
+            nid = self.node_id(node)
+            p = node.params
+            if isinstance(p, InputStreamNode):
+                frame = input_frames.get(p.input_id)
+                if frame is None:
+                    key_parts.append((nid, "input", None))
+                    return None
+                key_parts.append(
+                    (nid, "input", p.input_id, frame.format, frame.resolution)
+                )
+                input_planes[p.input_id] = frame.data
+                return frame.resolution
+            if isinstance(p, TextNode):
+                rendered = text_renderer.render(p.component)
+                aux[nid] = rendered.rgba
+                res = Resolution(rendered.rgba.shape[1], rendered.rgba.shape[0])
+                key_parts.append((nid, "text", res))
+                return res
+            if isinstance(p, ImageNode):
+                asset = image_store.get(p.image_id)
+                frame = asset.frame_at(pts)
+                aux[nid] = frame
+                res = Resolution(frame.shape[1], frame.shape[0])
+                key_parts.append((nid, "image", res))
+                return res
+            if isinstance(p, ShaderNode):
+                child_res = [visit(ch) for ch in node.children]
+                shader_params[nid] = p.shader_param
+                res = Resolution(int(p.size[0]), int(p.size[1]))
+                key_parts.append((nid, "shader", p.shader_id, res, tuple(child_res)))
+                return res
+            if isinstance(p, WebNode):
+                # web renderer runs as a host sidecar; without one the node
+                # renders transparent (reference web_renderer_fallback.rs)
+                for ch in node.children:
+                    visit(ch)
+                key_parts.append((nid, "web", None))
+                return None
+            if isinstance(p, LayoutNode):
+                child_res = [visit(ch) for ch in node.children]
+                nested = p.layouts(pts, child_res)
+                res = p.resolution(pts)
+                if self.node_id(self.root) == nid:
+                    res = self.resolution
+                flat = nested.flatten(child_res, res)
+                statics = []
+                params = []
+                for layout in flat:
+                    st, pp = split_layout(layout)
+                    statics.append(st)
+                    params.append(pp)
+                layout_params[nid] = params
+                key_parts.append((nid, "layout", tuple(statics), res, tuple(child_res)))
+                return res
+            raise ValueError(f"unknown node params {type(p)}")
+
+        visit(self.root)
+        plan = FramePlan(
+            layout_params=layout_params,
+            aux_textures=aux,
+            input_planes=input_planes,
+            shader_params=shader_params,
+            time=pts,
+        )
+        return tuple(key_parts), plan
+
+    # -- compile + run ------------------------------------------------------------
+
+    def render(self, pts, input_frames, image_store, text_renderer):
+        key, plan = self.plan(pts, input_frames, image_store, text_renderer)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._build(key, plan, input_frames)
+            self._jit_cache[key] = fn
+        return fn(
+            plan.input_planes,
+            plan.aux_textures,
+            plan.layout_params,
+            plan.shader_params,
+            jnp.float32(plan.time),
+        )
+
+    def _build(self, key: tuple, plan: FramePlan, input_frames) -> Callable:
+        """Build + jit the full render program for the current structure."""
+        root = self.root
+        out_format = self.out_format
+        resolution = self.resolution
+        shaders = self.shaders
+        node_id = self.node_id
+        # capture static info
+        input_formats = {
+            iid: (f.format, f.resolution) for iid, f in input_frames.items()
+        }
+        static_statics: Dict[int, Tuple[LayoutStatic, ...]] = {}
+        # statics are re-derived from the structure key captured at plan time
+        for part in key:
+            if isinstance(part, tuple) and len(part) >= 3 and part[1] == "layout":
+                static_statics[part[0]] = part[2]
+
+        root_nid = node_id(root)
+
+        def traced(input_planes, aux_textures, layout_params, shader_params, time):
+            node_memo: Dict[int, object] = {}
+            input_memo: Dict[str, object] = {}
+
+            def eval_node(node: Node):
+                nid = node_id(node)
+                if nid not in node_memo:
+                    node_memo[nid] = _eval(node, nid)
+                return node_memo[nid]
+
+            def _eval(node: Node, nid: int):
+                """Returns (mips list | None) - premultiplied f32 RGBA."""
+                p = node.params
+                is_root = nid == root_nid
+                if isinstance(p, InputStreamNode):
+                    if p.input_id not in input_planes:
+                        return None
+                    if p.input_id not in input_memo:
+                        fmt, res = input_formats[p.input_id]
+                        rgba = cc.convert_to_rgba_f32(
+                            fmt.value, input_planes[p.input_id]
+                        )
+                        input_memo[p.input_id] = build_mips(rgba, _mip_levels(res))
+                    return input_memo[p.input_id]
+                if isinstance(p, (TextNode, ImageNode)):
+                    tex = aux_textures[nid]
+                    rgba = cc.u8_to_f32(tex)
+                    # premultiply straight-alpha aux textures
+                    rgba = jnp.concatenate(
+                        [rgba[..., :3] * rgba[..., 3:4], rgba[..., 3:4]], axis=-1
+                    )
+                    res = Resolution(tex.shape[1], tex.shape[0])
+                    return build_mips(rgba, _mip_levels(res))
+                if isinstance(p, ShaderNode):
+                    children = [eval_node(ch) for ch in node.children]
+                    inputs = [
+                        (c[0] if isinstance(c, list) else c)
+                        for c in children
+                        if c is not None
+                    ]
+                    fn = shaders.get(p.shader_id)
+                    res = (int(p.size[0]), int(p.size[1]))
+                    out = fn(inputs, shader_params.get(nid), res, time)
+                    out = out.astype(jnp.float32)
+                    if is_root:
+                        return [out]
+                    return build_mips(out, _mip_levels(Resolution(*res)))
+                if isinstance(p, WebNode):
+                    for ch in node.children:
+                        eval_node(ch)
+                    return None
+                if isinstance(p, LayoutNode):
+                    children = [eval_node(ch) for ch in node.children]
+                    sources = [
+                        c if c is not None else [jnp.asarray(_DUMMY)] for c in children
+                    ]
+                    statics = static_statics[nid]
+                    params = layout_params[nid]
+                    res = resolution if is_root else _layout_res_from_key(key, nid)
+                    canvas = compose_layouts(
+                        (res.width, res.height), statics, params, sources
+                    )
+                    if is_root:
+                        return [canvas]
+                    return build_mips(canvas, _mip_levels(res))
+                raise ValueError(f"unknown node {type(p)}")
+
+            out = eval_node(root)
+            if out is None:
+                rgba = jnp.zeros((resolution.height, resolution.width, 4), jnp.float32)
+            else:
+                rgba = out[0] if isinstance(out, list) else out
+            # un-premultiply is NOT done: outputs are opaque video frames
+            if out_format == PixelFormat.RGBA:
+                return cc.f32_to_u8(rgba)
+            if out_format == PixelFormat.PLANAR_YUV420:
+                return cc.rgba_to_planar_yuv420(rgba)
+            if out_format == PixelFormat.PLANAR_YUV444:
+                return cc.rgba_to_planar_yuv444(rgba)
+            if out_format == PixelFormat.NV12:
+                return cc.rgba_to_nv12(rgba)
+            raise ValueError(f"unsupported output format {out_format}")
+
+        return jax.jit(traced)
+
+
+def _layout_res_from_key(key: tuple, nid: int) -> Resolution:
+    for part in key:
+        if isinstance(part, tuple) and part and part[0] == nid and part[1] == "layout":
+            return part[3]
+    raise KeyError(nid)

@@ -1,0 +1,166 @@
+"""Renderer facade.
+
+TPU-native analogue of the reference `Renderer`
+(`smelter-render/src/state.rs:95-193`): owns the scene state, the per-output
+compiled frame programs, and the shader/image registries. The hot call is
+``render(FrameSet) -> FrameSet``; `update_scene` swaps scenes with transition
+support; registering inputs/renderers mirrors the reference API.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from smelter_tpu.core.types import (
+    Frame,
+    FrameSet,
+    Framerate,
+    PixelFormat,
+    Resolution,
+)
+from smelter_tpu.render.image import ImageStore
+from smelter_tpu.render.program import OutputProgram, ShaderRegistry
+from smelter_tpu.render.text import TextRenderer
+from smelter_tpu.scene import components as comp
+from smelter_tpu.scene.scene_state import OutputScene, SceneState
+
+
+@dataclass
+class RendererOptions:
+    framerate: Framerate = Framerate(30)
+    stream_fallback_timeout: float = 0.5  # seconds
+
+
+class Renderer:
+    """Thread-safe renderer entry point."""
+
+    def __init__(self, options: RendererOptions = RendererOptions()) -> None:
+        self._lock = threading.Lock()
+        self.options = options
+        self.scene = SceneState()
+        self.shaders = ShaderRegistry()
+        self.images = ImageStore()
+        self.text = TextRenderer()
+        self._inputs: Dict[str, float] = {}  # input_id -> last frame pts
+        self._last_frames: Dict[str, Frame] = {}
+        self._programs: Dict[str, OutputProgram] = {}
+        self._output_formats: Dict[str, PixelFormat] = {}
+
+    # -- registration ----------------------------------------------------------
+
+    def register_input(self, input_id: str) -> None:
+        with self._lock:
+            self._inputs[input_id] = -1.0
+
+    def unregister_input(self, input_id: str) -> None:
+        with self._lock:
+            self._inputs.pop(input_id, None)
+            self._last_frames.pop(input_id, None)
+
+    def register_shader(self, shader_id: str, source: str) -> None:
+        with self._lock:
+            self.shaders.register(shader_id, source)
+
+    def register_shader_fn(self, shader_id: str, fn: Callable) -> None:
+        with self._lock:
+            self.shaders.register_fn(shader_id, fn)
+
+    def unregister_shader(self, shader_id: str) -> None:
+        with self._lock:
+            self.shaders.unregister(shader_id)
+
+    def register_image(self, image_id: str, **kwargs) -> None:
+        with self._lock:
+            self.images.register(image_id, **kwargs)
+
+    def unregister_image(self, image_id: str) -> None:
+        with self._lock:
+            self.images.unregister(image_id)
+
+    # -- scene -------------------------------------------------------------------
+
+    def update_scene(
+        self,
+        output_id: str,
+        root: comp.Component,
+        resolution: Resolution,
+        output_format: PixelFormat = PixelFormat.PLANAR_YUV420,
+    ) -> None:
+        with self._lock:
+            self._validate_components(root)
+            node = self.scene.update_scene(
+                OutputScene(output_id, root, resolution),
+                text_measurer=lambda t: self.text.measure(t),
+                image_store=lambda i: self.images.natural_size(i),
+            )
+            self._programs[output_id] = OutputProgram(
+                node.node, resolution, output_format, self.shaders
+            )
+            self._output_formats[output_id] = output_format
+
+    def unregister_output(self, output_id: str) -> None:
+        with self._lock:
+            self.scene.unregister_output(output_id)
+            self._programs.pop(output_id, None)
+            self._output_formats.pop(output_id, None)
+
+    def _validate_components(self, root: comp.Component) -> None:
+        def visit(c: comp.Component):
+            if isinstance(c, comp.Shader) and not self.shaders.has(c.shader_id):
+                raise ValueError(f"shader {c.shader_id!r} not registered")
+            if isinstance(c, comp.Image) and not self.images.has(c.image_id):
+                raise ValueError(f"image {c.image_id!r} not registered")
+            if isinstance(c, comp.InputStream) and c.input_id not in self._inputs:
+                raise ValueError(f"input {c.input_id!r} not registered")
+            for ch in _children(c):
+                visit(ch)
+
+        visit(root)
+
+    # -- hot path ------------------------------------------------------------------
+
+    def render(self, frame_set: FrameSet) -> FrameSet:
+        """Compose all outputs for this tick. Missing inputs fall back to
+        their last frame until `stream_fallback_timeout`, then render absent
+        (reference render_loop.rs:29-32)."""
+        with self._lock:
+            pts = frame_set.pts
+            # refresh last-frame cache
+            for iid, frame in frame_set.frames.items():
+                self._last_frames[iid] = frame
+                self._inputs[iid] = pts
+            frames: Dict[str, Frame] = {}
+            for iid, last in list(self._last_frames.items()):
+                last_seen = self._inputs.get(iid, -1.0)
+                if pts - last_seen <= self.options.stream_fallback_timeout:
+                    frames[iid] = last
+                else:
+                    del self._last_frames[iid]
+
+            input_resolutions = {
+                iid: f.resolution for iid, f in frames.items()
+            }
+            self.scene.register_render_event(pts, input_resolutions)
+
+            out = FrameSet(pts=pts)
+            for output_id, program in self._programs.items():
+                planes = program.render(pts, frames, self.images, self.text)
+                out.frames[output_id] = Frame(
+                    data=planes,
+                    format=self._output_formats[output_id],
+                    resolution=program.resolution,
+                    pts=pts,
+                )
+            return out
+
+
+def _children(c: comp.Component) -> List[comp.Component]:
+    if isinstance(c, (comp.View, comp.Tiles, comp.Shader, comp.WebView)):
+        return c.children
+    if isinstance(c, comp.Rescaler):
+        return [c.child]
+    return []

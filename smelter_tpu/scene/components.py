@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple, Union
+from typing import ClassVar, List, Optional, Tuple, Union
 
 from smelter_tpu.core.types import RGBAColor
 from smelter_tpu.scene.layout_types import BorderRadius, BoxShadow
@@ -120,8 +120,8 @@ class Easing:
     kind: str = "linear"
     points: Tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0)
 
-    LINEAR: "Easing" = None  # type: ignore
-    BOUNCE: "Easing" = None  # type: ignore
+    LINEAR: ClassVar["Easing"]
+    BOUNCE: ClassVar["Easing"]
 
     @staticmethod
     def cubic_bezier(x1: float, y1: float, x2: float, y2: float) -> "Easing":
@@ -148,8 +148,8 @@ class Easing:
         return presets[name]
 
 
-object.__setattr__(Easing, "LINEAR", Easing("linear"))
-object.__setattr__(Easing, "BOUNCE", Easing("bounce"))
+setattr(Easing, "LINEAR", Easing("linear"))
+setattr(Easing, "BOUNCE", Easing("bounce"))
 
 
 @dataclass(frozen=True)

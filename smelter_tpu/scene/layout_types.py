@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field, replace
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import ClassVar, List, Optional, Sequence, Tuple, Union
 
 from smelter_tpu.core.types import RGBAColor, Resolution
 
@@ -22,7 +22,7 @@ class BorderRadius:
     bottom_right: float = 0.0
     bottom_left: float = 0.0
 
-    ZERO: "BorderRadius" = None  # type: ignore  # set below
+    ZERO: ClassVar["BorderRadius"]
 
     def scaled(self, factor: float) -> "BorderRadius":
         return BorderRadius(
@@ -60,7 +60,7 @@ class BorderRadius:
         return (self.top_left, self.top_right, self.bottom_right, self.bottom_left)
 
 
-object.__setattr__(BorderRadius, "ZERO", BorderRadius())
+setattr(BorderRadius, "ZERO", BorderRadius())
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,308 @@
+"""End-to-end renderer snapshot tests (reference model:
+integration-tests/src/render_tests/)."""
+
+import numpy as np
+import pytest
+
+from smelter_tpu.core.types import (
+    Frame,
+    FrameSet,
+    PixelFormat,
+    Resolution,
+    RGBAColor,
+)
+from smelter_tpu.render.renderer import Renderer
+from smelter_tpu.scene import components as comp
+from smelter_tpu.scene.layout_types import BorderRadius, BoxShadow
+
+from harness import assert_snapshot, frame_to_rgb_u8, make_test_input
+
+OUT = Resolution(320, 180)
+
+
+def _renderer(n_inputs=0):
+    r = Renderer()
+    for i in range(n_inputs):
+        r.register_input(f"input_{i}")
+    return r
+
+
+def _frames(n, res=Resolution(160, 90), pts=0.0):
+    return FrameSet(
+        pts=pts,
+        frames={f"input_{i}": make_test_input(i, res, pts) for i in range(n)},
+    )
+
+
+def test_solid_background():
+    r = _renderer()
+    r.update_scene(
+        "out",
+        comp.View(background_color=RGBAColor(255, 0, 0)),
+        OUT,
+        PixelFormat.RGBA,
+    )
+    out = r.render(FrameSet(pts=0.0)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    assert rgb.shape == (180, 320, 3)
+    assert np.allclose(rgb[90, 160], [255, 0, 0], atol=2)
+
+
+def test_two_input_split_yuv_out():
+    r = _renderer(2)
+    r.update_scene(
+        "out",
+        comp.View(
+            children=[
+                comp.Rescaler(child=comp.InputStream(input_id="input_0")),
+                comp.Rescaler(child=comp.InputStream(input_id="input_1")),
+            ],
+            background_color=RGBAColor(0, 0, 0, 255),
+        ),
+        OUT,
+        PixelFormat.PLANAR_YUV420,
+    )
+    out = r.render(_frames(2)).frames["out"]
+    assert out.format == PixelFormat.PLANAR_YUV420
+    rgb = frame_to_rgb_u8(out)
+    # left half ~red input, right half ~green input
+    assert rgb[90, 80, 0] > 150 and rgb[90, 80, 2] < 110
+    assert rgb[90, 240, 1] > 150 and rgb[90, 240, 0] < 110
+    assert_snapshot("two_input_split", out)
+
+
+def test_tiles_grid_snapshot():
+    r = _renderer(4)
+    r.update_scene(
+        "out",
+        comp.Tiles(
+            children=[comp.InputStream(input_id=f"input_{i}") for i in range(4)],
+            background_color=RGBAColor(16, 16, 16),
+            margin=4.0,
+        ),
+        OUT,
+        PixelFormat.RGBA,
+    )
+    out = r.render(_frames(4)).frames["out"]
+    assert_snapshot("tiles_grid_4", out)
+
+
+def test_rescaler_fit_black_bars():
+    r = _renderer(1)
+    r.update_scene(
+        "out",
+        comp.Rescaler(
+            child=comp.InputStream(input_id="input_0"),
+            mode=comp.RescaleMode.FIT,
+        ),
+        Resolution(180, 180),
+        PixelFormat.RGBA,
+    )
+    out = r.render(_frames(1)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    # 16:9 in square output: top/bottom bars transparent-black
+    assert rgb[5, 90].sum() < 30
+    assert rgb[90, 90, 0] > 150
+
+
+def test_view_border_radius_shadow():
+    r = _renderer(1)
+    r.update_scene(
+        "out",
+        comp.View(
+            background_color=RGBAColor(30, 30, 30),
+            children=[
+                comp.View(
+                    position=comp.AbsolutePosition(
+                        width=160.0, height=90.0, top=40.0, left=80.0
+                    ),
+                    background_color=RGBAColor(200, 60, 60),
+                    border_radius=BorderRadius(20, 20, 20, 20),
+                    border_width=4.0,
+                    border_color=RGBAColor(255, 255, 255),
+                    box_shadow=[
+                        BoxShadow(offset_x=8, offset_y=8, blur_radius=12,
+                                  color=RGBAColor(0, 0, 0, 180))
+                    ],
+                )
+            ],
+        ),
+        OUT,
+        PixelFormat.RGBA,
+    )
+    out = r.render(_frames(1)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    assert np.allclose(rgb[85, 160], [200, 60, 60], atol=4)  # center content
+    assert rgb[44, 84].mean() < 120  # corner is cut (radius)
+    assert_snapshot("view_border_radius_shadow", out)
+
+
+def test_text_overlay():
+    r = _renderer(0)
+    r.update_scene(
+        "out",
+        comp.View(
+            background_color=RGBAColor(0, 0, 80),
+            children=[
+                comp.Text(
+                    text="Hello TPU",
+                    font_size=40.0,
+                    color=RGBAColor(255, 255, 0),
+                )
+            ],
+        ),
+        OUT,
+        PixelFormat.RGBA,
+    )
+    out = r.render(FrameSet(pts=0.0)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    # some yellow pixels from text
+    yellow = (rgb[..., 0] > 180) & (rgb[..., 1] > 180) & (rgb[..., 2] < 100)
+    assert yellow.sum() > 50
+    assert_snapshot("text_overlay", out)
+
+
+def test_image_component(tmp_path):
+    from PIL import Image as PILImage
+
+    img = np.zeros((32, 32, 4), np.uint8)
+    img[..., 1] = 255
+    img[..., 3] = 255
+    p = tmp_path / "img.png"
+    PILImage.fromarray(img).save(p)
+    r = _renderer()
+    r.register_image("logo", path=str(p))
+    r.update_scene(
+        "out",
+        comp.View(
+            background_color=RGBAColor(0, 0, 0),
+            children=[
+                comp.Image(
+                    image_id="logo",
+                    width=64.0,
+                    height=64.0,
+                )
+            ],
+        ),
+        OUT,
+        PixelFormat.RGBA,
+    )
+    out = r.render(FrameSet(pts=0.0)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    assert rgb[32, 32, 1] > 200  # green image upscaled 2x
+
+
+def test_shader_component():
+    r = _renderer(1)
+    source = """
+def main(inputs, params, resolution, time):
+    # invert colors of the first input
+    tex = inputs[0]
+    rgb = 1.0 - tex[..., :3]
+    return jnp.concatenate([rgb, tex[..., 3:4]], axis=-1)
+"""
+    r.register_shader("invert", source)
+    r.update_scene(
+        "out",
+        comp.Shader(
+            shader_id="invert",
+            children=[comp.InputStream(input_id="input_0")],
+            width=160.0,
+            height=90.0,
+        ),
+        Resolution(160, 90),
+        PixelFormat.RGBA,
+    )
+    out = r.render(_frames(1)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    # input 0 is red-ish -> inverted is cyan-ish
+    assert rgb[45, 80, 0] < 100 and rgb[45, 80, 1] > 150
+
+
+def test_transition_animates_between_frames():
+    r = _renderer(0)
+
+    def scene(width):
+        return comp.View(
+            background_color=RGBAColor(0, 0, 0),
+            children=[
+                comp.View(
+                    id="box",
+                    position=comp.StaticPosition(width=width, height=180.0),
+                    background_color=RGBAColor(255, 255, 255),
+                    transition=comp.Transition(duration=1.0),
+                )
+            ],
+        )
+
+    r.update_scene("out", scene(40.0), OUT, PixelFormat.RGBA)
+    out0 = r.render(FrameSet(pts=0.0)).frames["out"]
+    r.update_scene("out", scene(240.0), OUT, PixelFormat.RGBA)
+    mid = r.render(FrameSet(pts=0.5)).frames["out"]
+    end = r.render(FrameSet(pts=1.0)).frames["out"]
+
+    def white_width(frame):
+        rgb = frame_to_rgb_u8(frame)
+        return (rgb[90, :, 0] > 200).sum()
+
+    assert abs(white_width(out0) - 40) <= 2
+    assert abs(white_width(mid) - 140) <= 3  # halfway 40 -> 240
+    assert abs(white_width(end) - 240) <= 2
+
+
+def test_no_recompile_during_transition():
+    r = _renderer(0)
+
+    def scene(width):
+        return comp.View(
+            background_color=RGBAColor(0, 0, 0),
+            children=[
+                comp.View(
+                    id="box",
+                    position=comp.StaticPosition(width=width, height=180.0),
+                    background_color=RGBAColor(255, 255, 255),
+                    transition=comp.Transition(duration=1.0),
+                )
+            ],
+        )
+
+    r.update_scene("out", scene(40.0), OUT, PixelFormat.RGBA)
+    r.render(FrameSet(pts=0.0))
+    r.update_scene("out", scene(240.0), OUT, PixelFormat.RGBA)
+    program = r._programs["out"]
+    for i in range(1, 20):
+        r.render(FrameSet(pts=i / 25.0))
+    assert len(program._jit_cache) == 1
+
+
+def test_missing_input_renders_absent():
+    r = _renderer(1)
+    r.update_scene(
+        "out",
+        comp.View(
+            background_color=RGBAColor(0, 0, 255),
+            children=[comp.Rescaler(child=comp.InputStream(input_id="input_0"))],
+        ),
+        OUT,
+        PixelFormat.RGBA,
+    )
+    out = r.render(FrameSet(pts=0.0)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    assert np.allclose(rgb[90, 160], [0, 0, 255], atol=2)  # just background
+
+
+def test_stream_fallback_then_timeout():
+    r = _renderer(1)
+    r.update_scene(
+        "out",
+        comp.Rescaler(child=comp.InputStream(input_id="input_0")),
+        OUT,
+        PixelFormat.RGBA,
+    )
+    r.render(_frames(1, pts=0.0))
+    # frame missing at pts=0.2: fallback to last frame
+    out = r.render(FrameSet(pts=0.2)).frames["out"]
+    assert frame_to_rgb_u8(out)[90, 160, 0] > 150
+    # frame missing at pts=2.0 (> fallback timeout): renders absent
+    out = r.render(FrameSet(pts=2.0)).frames["out"]
+    assert frame_to_rgb_u8(out)[90, 160].sum() < 30
