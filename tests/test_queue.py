@@ -1,0 +1,270 @@
+"""Fake-clock queue tests (reference model: smelter-core/src/queue/tests/)."""
+
+import numpy as np
+import pytest
+
+from smelter_tpu.core.types import AudioSamples, Frame, Framerate, PixelFormat, Resolution
+from smelter_tpu.queue.sync_queue import (
+    Queue,
+    QueueInputOptions,
+    QueueOptions,
+)
+from smelter_tpu.utils.channels import Channel
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def now(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+    def advance(self, s):
+        self.t += s
+
+
+def _frame(pts, w=4, h=4):
+    return Frame(np.zeros((h, w, 4), np.uint8), PixelFormat.RGBA, Resolution(w, h), pts)
+
+
+def _samples(pts, n=960):
+    return AudioSamples(np.zeros((n, 2), np.float32), pts)
+
+
+def make_queue(fps=25, **opts):
+    clock = FakeClock()
+    events = []
+    q = Queue(
+        QueueOptions(output_framerate=Framerate(fps), **opts),
+        clock=clock,
+        event_callback=lambda iid, kind: events.append((iid, kind)),
+    )
+    video_out = Channel(100)
+    audio_out = Channel(100)
+    return q, clock, video_out, audio_out, events
+
+
+def test_single_input_realtime_frames():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    vch, _ = qi.current.video.channel, None
+    vch = qi.current.video.channel
+    q.start(vout, aout)
+    # producer pushes frames at 25 fps starting at queue time 0
+    for i in range(5):
+        vch.try_send(_frame(pts=i * 0.04))
+    # advance wall clock so ticks are due and run tick
+    clock.advance(0.1)
+    q.on_tick()
+    got = []
+    while len(vout):
+        got.append(vout.recv())
+    assert len(got) >= 2
+    assert got[0].pts == pytest.approx(0.0)
+    assert got[1].pts == pytest.approx(0.04)
+    # frame with matching pts attached (offset auto-resolved to ~0)
+    assert got[1].frames["a"].frame is not None
+
+
+def test_required_input_blocks_until_ready():
+    # A required input that STARTED delivering blocks the queue while its
+    # buffer can't serve the next pts (a brand-new stream does not block -
+    # reference video_input.rs is_ready_for_pts ReceiverState::New => true).
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(required=True), has_audio=False)
+    q.start(vout, aout)
+    vch = qi.current.video.channel
+    vch.try_send(_frame(pts=0.0))  # stream becomes Running
+    clock.advance(0.5)
+    q.on_tick()
+    n_before = len(vout)
+    q.on_tick()
+    assert len(vout) == n_before  # stalled: no more frames buffered
+    for i in range(1, 13):
+        vch.try_send(_frame(pts=i * 0.04))
+        q.on_tick()
+    assert len(vout) > n_before  # unblocked once frames arrive
+
+
+def test_optional_input_does_not_block_after_deadline():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    q.add_input("a", QueueInputOptions(required=False), has_audio=False)
+    q.start(vout, aout)
+    clock.advance(0.2)  # past several frame deadlines
+    q.on_tick()
+    got = []
+    while len(vout):
+        got.append(vout.recv())
+    assert len(got) >= 1  # pushed framesets with empty frames
+    assert got[0].frames["a"].frame is None
+
+
+def test_offset_from_start_delays_input():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input(
+        "a", QueueInputOptions(offset=("from_start", 0.2)), has_audio=False
+    )
+    q.start(vout, aout)
+    vch = qi.current.video.channel
+    vch.try_send(_frame(pts=0.0))
+    vch.try_send(_frame(pts=0.04))
+    clock.advance(0.3)
+    q.on_tick()
+    got = []
+    while len(vout):
+        got.append(vout.recv())
+    # frames before 0.2 have no content for input a
+    for b in got:
+        if b.pts < 0.2 - 1e-9:
+            assert b.frames["a"].frame is None
+        if abs(b.pts - 0.2) < 0.02:
+            assert b.frames["a"].frame is not None
+
+
+def test_audio_chunks_20ms():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_video=False)
+    ach = qi.current.audio.channel
+    q.start(vout, aout)
+    for i in range(10):
+        ach.try_send(_samples(pts=i * 0.02))
+    clock.advance(0.1)
+    q.on_tick()
+    got = []
+    while len(aout):
+        got.append(aout.recv())
+    assert len(got) >= 4
+    assert got[0].start_pts == pytest.approx(0.0)
+    assert got[0].end_pts == pytest.approx(0.02)
+    assert len(got[1].samples["a"]) >= 1
+
+
+def test_video_audio_interleaved_order():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions())
+    vch = qi.current.video.channel
+    ach = qi.current.audio.channel
+    q.start(vout, aout)
+    for i in range(5):
+        vch.try_send(_frame(pts=i * 0.04))
+    for i in range(12):
+        ach.try_send(_samples(pts=i * 0.02))
+    clock.advance(0.09)
+    q.on_tick()
+    # audio ticks at 0.0,0.02,0.04,0.06,0.08; video at 0.0,0.04,0.08
+    assert len(aout) >= 4
+    assert len(vout) >= 2
+
+
+def test_eos_reported_once():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    vch = qi.current.video.channel
+    q.start(vout, aout)
+    vch.try_send(_frame(pts=0.0))
+    vch.close()
+    clock.advance(0.2)
+    q.on_tick()
+    eos_flags = []
+    while len(vout):
+        eos_flags.append(vout.recv().frames["a"].is_eos)
+    assert eos_flags.count(True) == 1
+
+
+def test_scheduled_event_fires_between_buffers():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    q.add_input("a", QueueInputOptions(), has_audio=False)
+    fired = []
+    q.start(vout, aout)
+    q.schedule_event(0.05, lambda: fired.append(q.last_pts))
+    clock.advance(0.1)
+    q.on_tick()
+    assert len(fired) == 1
+    assert fired[0] == pytest.approx(0.05 + q.start_pts)
+
+
+def test_late_scheduled_event_discarded_by_default():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    q.add_input("a", QueueInputOptions(), has_audio=False)
+    q.start(vout, aout)
+    clock.advance(0.5)
+    q.on_tick()  # advance counters past 0.1
+    fired = []
+    q.schedule_event(0.01, lambda: fired.append(1))
+    q.on_tick()
+    assert fired == []
+
+
+def test_run_late_scheduled_events_option():
+    q, clock, vout, aout, _ = make_queue(fps=25, run_late_scheduled_events=True)
+    q.add_input("a", QueueInputOptions(), has_audio=False)
+    q.start(vout, aout)
+    clock.advance(0.5)
+    q.on_tick()
+    fired = []
+    q.schedule_event(0.01, lambda: fired.append(1))
+    clock.advance(0.01)
+    q.on_tick()
+    assert fired == [1]
+
+
+def test_events_delivered_playing_eos():
+    q, clock, vout, aout, events = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    vch = qi.current.video.channel
+    q.start(vout, aout)
+    vch.try_send(_frame(pts=0.0))
+    vch.close()
+    clock.advance(0.2)
+    q.on_tick()
+    kinds = [k for _, k in events]
+    assert "delivered" in kinds
+    assert "playing" in kinds
+    assert "eos" in kinds
+
+
+def test_track_swap_after_eos():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    first = qi.current.video.channel
+    vch2, _ = qi.add_track(("from_start", 0.0), has_audio=False)
+    q.start(vout, aout)
+    first.try_send(_frame(pts=0.0))
+    first.close()
+    clock.advance(0.1)
+    q.on_tick()  # drains track 1 + EOS
+    while len(vout):
+        vout.recv()
+    # push to second track; after swap frames flow again
+    vch2.try_send(_frame(pts=0.0))
+    vch2.try_send(_frame(pts=0.04))
+    clock.advance(0.1)
+    q.on_tick()
+    got = []
+    while len(vout):
+        got.append(vout.recv())
+    assert any(b.frames["a"].frame is not None for b in got)
+
+
+def test_pause_repeats_frame():
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    vch = qi.current.video.channel
+    q.start(vout, aout)
+    for i in range(3):
+        vch.try_send(_frame(pts=i * 0.04))
+    clock.advance(0.05)
+    q.on_tick()
+    while len(vout):
+        vout.recv()
+    qi.pause()
+    clock.advance(0.08)
+    q.on_tick()
+    got = []
+    while len(vout):
+        got.append(vout.recv())
+    assert got, "paused input still produces framesets"
+    assert all(b.frames["a"].frame is not None for b in got)
