@@ -15,32 +15,32 @@ from smelter_tpu.core.types import RGBAColor
 from smelter_tpu.scene.layout_types import BorderRadius, BoxShadow
 
 
-class HorizontalAlign(enum.Enum):
+class HorizontalAlign(str, enum.Enum):
     LEFT = "left"
     RIGHT = "right"
     JUSTIFIED = "justified"
     CENTER = "center"
 
 
-class VerticalAlign(enum.Enum):
+class VerticalAlign(str, enum.Enum):
     TOP = "top"
     CENTER = "center"
     BOTTOM = "bottom"
     JUSTIFIED = "justified"
 
 
-class Overflow(enum.Enum):
+class Overflow(str, enum.Enum):
     VISIBLE = "visible"
     HIDDEN = "hidden"
     FIT = "fit"
 
 
-class ViewDirection(enum.Enum):
+class ViewDirection(str, enum.Enum):
     ROW = "row"
     COLUMN = "column"
 
 
-class RescaleMode(enum.Enum):
+class RescaleMode(str, enum.Enum):
     FIT = "fit"
     FILL = "fill"
 
@@ -214,19 +214,19 @@ class Rescaler:
     box_shadow: List[BoxShadow] = field(default_factory=list)
 
 
-class TextStyle(enum.Enum):
+class TextStyle(str, enum.Enum):
     NORMAL = "normal"
     ITALIC = "italic"
     OBLIQUE = "oblique"
 
 
-class TextWrap(enum.Enum):
+class TextWrap(str, enum.Enum):
     NONE = "none"
     GLYPH = "glyph"
     WORD = "word"
 
 
-class TextWeight(enum.Enum):
+class TextWeight(str, enum.Enum):
     THIN = "thin"
     EXTRA_LIGHT = "extra_light"
     LIGHT = "light"
