@@ -1,0 +1,299 @@
+"""Pipeline inputs: sources that feed decoded frames/samples into the queue.
+
+Mirrors the reference input model (`smelter-core/src/pipeline/input.rs`):
+`register_input` spawns source threads (demux + decode) that push `Frame`s /
+`AudioSamples` into the queue's per-track bounded channels; closing the
+channels signals EOS. Decode runs on the TPU-VM host via the native
+smelter_io service (see `smelter_tpu/io/codec.py`).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
+from smelter_tpu.queue.sync_queue import QueueInputOptions
+from smelter_tpu.utils.channels import Channel, Closed
+
+
+@dataclass
+class InputCtx:
+    """Handed to a source's `start`: where to push media."""
+
+    input_id: str
+    video_channel: Optional[Channel]   # push Frame; close = EOS
+    audio_channel: Optional[Channel]   # push AudioSamples; close = EOS
+    mixing_sample_rate: int = 48000
+
+
+class InputSource:
+    """Base class for input sources."""
+
+    has_video: bool = True
+    has_audio: bool = True
+
+    def start(self, ctx: InputCtx) -> None:
+        raise NotImplementedError
+
+    def stop(self) -> None:
+        pass
+
+
+class RawDataInput(InputSource):
+    """In-process push input (reference `channel/raw_data_input.rs`):
+    the caller gets the channels and pushes frames/samples directly."""
+
+    def __init__(self, has_video: bool = True, has_audio: bool = True) -> None:
+        self.has_video = has_video
+        self.has_audio = has_audio
+        self.ctx: Optional[InputCtx] = None
+
+    def start(self, ctx: InputCtx) -> None:
+        self.ctx = ctx
+
+    @property
+    def video(self) -> Optional[Channel]:
+        return self.ctx.video_channel if self.ctx else None
+
+    @property
+    def audio(self) -> Optional[Channel]:
+        return self.ctx.audio_channel if self.ctx else None
+
+
+@dataclass
+class Mp4InputOptions:
+    path: str = ""
+    loop: bool = False
+    # decode ahead is bounded by the queue track channels (cap 1/2) plus the
+    # queue-side buffer, so no extra pacing is needed here.
+
+
+class Mp4Input(InputSource):
+    """MP4/MOV file or URL input (reference `mp4/mp4_input.rs`):
+    demux + decode on a dedicated thread, with loop support (PTS re-based
+    on each pass so the timeline is continuous)."""
+
+    def __init__(self, options: Mp4InputOptions) -> None:
+        self.options = options
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        # probe streams up front so has_video/has_audio are correct before
+        # the queue track is created
+        from smelter_tpu.io.codec import Demuxer
+
+        demux = Demuxer(self.options.path)
+        infos = demux.streams()
+        demux.close()
+        self._video_info = next(
+            (s for s in infos if s.media_type == "video" and s.codec != 0), None
+        )
+        self._audio_info = next(
+            (s for s in infos if s.media_type == "audio" and s.codec != 0), None
+        )
+        self.has_video = self._video_info is not None
+        self.has_audio = self._audio_info is not None
+        if not self.has_video and not self.has_audio:
+            raise ValueError(f"no decodable streams in {self.options.path}")
+
+    def start(self, ctx: InputCtx) -> None:
+        self._thread = threading.Thread(
+            target=self._run, args=(ctx,), name=f"mp4:{ctx.input_id}", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        if self._thread:
+            self._thread.join(timeout=timeout)
+
+    def _run(self, ctx: InputCtx) -> None:
+        """Demux thread: fans packets out to per-media decoder threads over
+        bounded channels (reference spawns VideoDecoderThread /
+        AudioDecoderThread per input, decoder_thread_video.rs:89). Separate
+        threads are required so one stalled media type can't block the other
+        (poorly interleaved files, or a consumer pausing one track)."""
+        from smelter_tpu.io.codec import AudioDecoder, Codec, Demuxer, VideoDecoder
+
+        vch = ctx.video_channel if self.has_video else None
+        ach = ctx.audio_channel if self.has_audio else None
+        # packet channels demux → decoders; None = EOF for this pass,
+        # ("rebase", pts_base) precedes each loop pass
+        vpkts: Optional[Channel] = Channel(256) if vch is not None else None
+        apkts: Optional[Channel] = Channel(256) if ach is not None else None
+
+        vinfo, ainfo = self._video_info, self._audio_info
+        loop_pts: dict = {"video_end": 0.0, "audio_end": 0.0}
+
+        def video_worker() -> None:
+            assert vpkts is not None and vch is not None and vinfo is not None
+            frame_dur = 1.0 / (vinfo.fps or 30.0)
+            try:
+                while True:
+                    try:
+                        item = vpkts.recv()
+                    except Closed:
+                        break
+                    pts_base, packets_done = item
+                    vdec = VideoDecoder(vinfo.codec, vinfo.extradata)
+                    end = pts_base
+
+                    def drain() -> bool:
+                        nonlocal end
+                        while True:
+                            f = vdec.receive()
+                            if f is None or f == "eof":
+                                return True
+                            y, u, v, pts, _ = f
+                            pts = (pts or 0.0) + pts_base
+                            end = max(end, pts + frame_dur)
+                            h, w = y.shape
+                            try:
+                                vch.send(
+                                    Frame(
+                                        data=(y, u, v),
+                                        format=PixelFormat.PLANAR_YUV420,
+                                        resolution=Resolution(w, h),
+                                        pts=pts,
+                                    )
+                                )
+                            except Closed:
+                                return False
+
+                    alive = True
+                    while alive:
+                        try:
+                            pkt = vpkts.recv()
+                        except Closed:
+                            pkt = None
+                        if pkt is None or isinstance(pkt, tuple):
+                            break
+                        vdec.send(pkt.data, pkt.pts_s or 0.0)
+                        alive = drain()
+                    vdec.send_eof()
+                    drain()
+                    vdec.close()
+                    loop_pts["video_end"] = end
+                    packets_done.set()
+                    if not alive:
+                        break
+            finally:
+                vch.close()
+
+        def audio_worker() -> None:
+            assert apkts is not None and ach is not None and ainfo is not None
+            try:
+                while True:
+                    try:
+                        item = apkts.recv()
+                    except Closed:
+                        break
+                    pts_base, packets_done = item
+                    adec = AudioDecoder(
+                        ainfo.codec,
+                        ctx.mixing_sample_rate,
+                        2,
+                        extradata=ainfo.extradata,
+                        in_sample_rate=ainfo.sample_rate,
+                        in_channels=ainfo.channels,
+                    )
+                    end = pts_base
+
+                    def drain() -> bool:
+                        nonlocal end
+                        while True:
+                            out = adec.receive()
+                            if out is None or out == "eof":
+                                return True
+                            samples, pts = out
+                            pts = (pts or 0.0) + pts_base
+                            end = max(
+                                end, pts + samples.shape[0] / ctx.mixing_sample_rate
+                            )
+                            try:
+                                ach.send(AudioSamples(samples=samples, start_pts=pts))
+                            except Closed:
+                                return False
+
+                    alive = True
+                    while alive:
+                        try:
+                            pkt = apkts.recv()
+                        except Closed:
+                            pkt = None
+                        if pkt is None or isinstance(pkt, tuple):
+                            break
+                        adec.send(pkt.data, pkt.pts_s or 0.0)
+                        alive = drain()
+                    adec.send_eof()
+                    drain()
+                    adec.close()
+                    loop_pts["audio_end"] = end
+                    packets_done.set()
+                    if not alive:
+                        break
+            finally:
+                ach.close()
+
+        workers = []
+        if vpkts is not None:
+            t = threading.Thread(
+                target=video_worker, name=f"mp4video:{ctx.input_id}", daemon=True
+            )
+            t.start()
+            workers.append((t, vpkts))
+        if apkts is not None:
+            t = threading.Thread(
+                target=audio_worker, name=f"mp4audio:{ctx.input_id}", daemon=True
+            )
+            t.start()
+            workers.append((t, apkts))
+
+        try:
+            pts_base = 0.0
+            while not self._stop.is_set():
+                demux = Demuxer(self.options.path)
+                dones = []
+                for _t, ch in workers:
+                    done = threading.Event()
+                    dones.append(done)
+                    try:
+                        ch.send((pts_base, done))
+                    except Closed:
+                        pass
+                while not self._stop.is_set():
+                    pkt = demux.read()
+                    if pkt is None:
+                        break
+                    target = None
+                    if vinfo and vpkts is not None and pkt.stream_index == vinfo.index:
+                        target = vpkts
+                    elif (
+                        ainfo and apkts is not None and pkt.stream_index == ainfo.index
+                    ):
+                        target = apkts
+                    if target is not None:
+                        try:
+                            target.send(pkt)
+                        except Closed:
+                            pass
+                demux.close()
+                # signal per-pass EOF (None) and wait for decoders to flush
+                for _t, ch in workers:
+                    try:
+                        ch.send(None)
+                    except Closed:
+                        pass
+                for done in dones:
+                    done.wait(timeout=30.0)
+                if not self.options.loop or self._stop.is_set():
+                    break
+                pts_base = max(loop_pts["video_end"], loop_pts["audio_end"])
+        finally:
+            for _t, ch in workers:
+                ch.close()

@@ -1,0 +1,367 @@
+"""Pipeline: the orchestrator that owns inputs, outputs, queue, renderer and
+audio mixer, and runs the real-time loops.
+
+TPU-native redesign of the reference pipeline
+(`smelter-core/src/pipeline/instance.rs`):
+
+- `register_input` creates a queue track and starts the source's demux/decode
+  threads (instance.rs:85 → pipeline/input.rs:121+)
+- `register_output` registers a scene with the renderer + a mixer config, and
+  starts per-output encoder threads (instance.rs:150+)
+- `start()` spawns the queue tick thread, the renderer thread (bounded(2)
+  video channel) and the audio mixer thread (bounded(100) audio channel)
+  (instance.rs:338-354)
+- EOS end-conditions per output finish outputs and emit OUTPUT_DONE
+  (instance.rs:418-431, 490-503)
+- `update_output` swaps scenes/mixer configs live; `schedule_event` defers an
+  update to a PTS (instance.rs:363-384)
+
+The renderer thread is where host ↔ TPU overlap happens: frame N's encoded
+output is written by the encoder threads while frame N+1 composes on the TPU.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Set
+
+import numpy as np
+
+from smelter_tpu.audio.mixer import AudioMixer, AudioMixerConfig
+from smelter_tpu.core.types import FrameSet, Framerate, PixelFormat, Resolution
+from smelter_tpu.pipeline.events import Emitter, Event
+from smelter_tpu.pipeline.input import InputCtx, InputSource
+from smelter_tpu.pipeline.output import (
+    OutputAudioOptions,
+    OutputSink,
+    OutputVideoOptions,
+    PipelineOutput,
+)
+from smelter_tpu.queue.sync_queue import (
+    MonotonicClock,
+    Queue,
+    QueueAudioOutput,
+    QueueInputOptions,
+    QueueOptions,
+    QueueVideoOutput,
+)
+from smelter_tpu.render.renderer import Renderer, RendererOptions
+from smelter_tpu.utils.channels import Channel, Closed
+
+
+@dataclass
+class PipelineOptions:
+    output_framerate: Framerate = Framerate(30)
+    mixing_sample_rate: int = 48000
+    ahead_of_time_processing: bool = False
+    never_drop_output_frames: bool = False
+    run_late_scheduled_events: bool = False
+    stream_fallback_timeout: float = 0.5
+    tick_duration: float = 0.005
+    audio_chunk_duration: float = 0.020
+
+
+@dataclass
+class RegisterInputOptions:
+    required: bool = False
+    offset: Optional[float] = None        # None = "from start of first frame"
+    buffer_duration: float = 0.3
+
+
+class Pipeline:
+    """Thread-safe pipeline facade (reference `Pipeline`, instance.rs:45-66)."""
+
+    def __init__(self, options: PipelineOptions = PipelineOptions()) -> None:
+        self.options = options
+        self.events = Emitter()
+        self.renderer = Renderer(
+            RendererOptions(stream_fallback_timeout=options.stream_fallback_timeout)
+        )
+        self.audio_mixer = AudioMixer(mixing_sample_rate=options.mixing_sample_rate)
+        self.queue = Queue(
+            QueueOptions(
+                output_framerate=options.output_framerate,
+                ahead_of_time_processing=options.ahead_of_time_processing,
+                run_late_scheduled_events=options.run_late_scheduled_events,
+                never_drop_output_frames=options.never_drop_output_frames,
+                tick_duration=options.tick_duration,
+                audio_chunk_duration=options.audio_chunk_duration,
+            ),
+            event_callback=self.events.emit_queue_event,
+        )
+        self._lock = threading.RLock()
+        self._inputs: Dict[str, InputSource] = {}
+        self._outputs: Dict[str, PipelineOutput] = {}
+        self._started = False
+        self._closed = threading.Event()
+        self._video_channel: Optional[Channel] = None
+        self._audio_channel: Optional[Channel] = None
+        self._threads: list = []
+        # inputs whose EOS has been dispatched to end conditions
+        self._video_eos_seen: Set[str] = set()
+        self._audio_eos_seen: Set[str] = set()
+
+    # ------------------------------------------------------------------ inputs
+
+    def register_input(
+        self,
+        input_id: str,
+        source: InputSource,
+        options: RegisterInputOptions = RegisterInputOptions(),
+    ) -> InputSource:
+        with self._lock:
+            if input_id in self._inputs:
+                raise ValueError(f"input {input_id!r} already registered")
+            # offset semantics match the reference's `offset_ms`: the stream
+            # starts exactly `offset` seconds after queue start (queue.rs:76-95)
+            qopts = QueueInputOptions(
+                required=options.required,
+                offset=("from_start", options.offset)
+                if options.offset is not None
+                else None,
+                buffer_duration=options.buffer_duration,
+            )
+            qi = self.queue.add_input(
+                input_id, qopts,
+                has_video=source.has_video, has_audio=source.has_audio,
+            )
+            vch, ach = qi.current.video, qi.current.audio
+            ctx = InputCtx(
+                input_id=input_id,
+                video_channel=vch.channel if vch else None,
+                audio_channel=ach.channel if ach else None,
+                mixing_sample_rate=self.options.mixing_sample_rate,
+            )
+            if source.has_video:
+                self.renderer.register_input(input_id)
+            if source.has_audio:
+                self.audio_mixer.register_input(
+                    input_id, sample_rate=self.options.mixing_sample_rate
+                )
+            for out in self._outputs.values():
+                out.video_end.on_input_registered(input_id)
+                out.audio_end.on_input_registered(input_id)
+            self._inputs[input_id] = source
+            source.start(ctx)
+            return source
+
+    def unregister_input(self, input_id: str) -> None:
+        with self._lock:
+            source = self._inputs.pop(input_id, None)
+            if source is None:
+                raise KeyError(input_id)
+            source.stop()
+            self.queue.remove_input(input_id)
+            self.renderer.unregister_input(input_id)
+            self.audio_mixer.unregister_input(input_id)
+            for out in list(self._outputs.values()):
+                if out.video_end.on_input_unregistered(input_id):
+                    out.send_video_eos()
+                if out.audio_end.on_input_unregistered(input_id):
+                    out.send_audio_eos()
+
+    # ------------------------------------------------------------------ outputs
+
+    def register_output(
+        self,
+        output_id: str,
+        sink: OutputSink,
+        video: Optional[OutputVideoOptions] = None,
+        audio: Optional[OutputAudioOptions] = None,
+    ) -> PipelineOutput:
+        if video is None and audio is None:
+            raise ValueError("output needs video and/or audio")
+        with self._lock:
+            if output_id in self._outputs:
+                raise ValueError(f"output {output_id!r} already registered")
+            if video is not None:
+                if video.initial_root is None:
+                    raise ValueError("video output requires an initial scene root")
+                self.renderer.update_scene(
+                    output_id, video.initial_root, video.resolution,
+                    PixelFormat.PLANAR_YUV420,
+                )
+            if audio is not None:
+                cfg = audio.initial_mixer_config or AudioMixerConfig()
+                self.audio_mixer.register_output(output_id, cfg)
+            if hasattr(sink, "expect"):
+                sink.expect(video is not None, audio is not None)
+            fr = self.options.output_framerate
+            out = PipelineOutput(
+                output_id, sink, video, audio, fr.num, fr.den,
+                current_inputs=set(self._inputs.keys()),
+                on_done=self._on_output_done,
+            )
+            self._outputs[output_id] = out
+            out.start()
+            return out
+
+    def unregister_output(self, output_id: str) -> None:
+        with self._lock:
+            out = self._outputs.pop(output_id, None)
+            if out is None:
+                raise KeyError(output_id)
+            self.renderer.unregister_output(output_id)
+            self.audio_mixer.unregister_output(output_id)
+            out.send_video_eos()
+            out.send_audio_eos()
+
+    def update_output(
+        self,
+        output_id: str,
+        root=None,
+        audio_config: Optional[AudioMixerConfig] = None,
+        schedule_time: Optional[float] = None,
+    ) -> None:
+        """Update video scene and/or audio mix live, or at `schedule_time`
+        (seconds since start) via the queue's scheduled events."""
+        if schedule_time is not None:
+            self.queue.schedule_event(
+                schedule_time,
+                lambda: self.update_output(output_id, root, audio_config),
+            )
+            return
+        with self._lock:
+            out = self._outputs.get(output_id)
+            if out is None:
+                raise KeyError(output_id)
+            if root is not None:
+                if out.video_opts is None:
+                    raise ValueError(f"output {output_id!r} has no video")
+                self.renderer.update_scene(
+                    output_id, root, out.video_opts.resolution,
+                    PixelFormat.PLANAR_YUV420,
+                )
+            if audio_config is not None:
+                if out.audio_opts is None:
+                    raise ValueError(f"output {output_id!r} has no audio")
+                self.audio_mixer.update_output(output_id, audio_config)
+
+    def request_keyframe(self, output_id: str) -> None:
+        with self._lock:
+            out = self._outputs.get(output_id)
+            if out is None:
+                raise KeyError(output_id)
+            out.request_keyframe()
+
+    def _on_output_done(self, output_id: str) -> None:
+        self.events.emit(Event("OUTPUT_DONE", output_id))
+
+    # ------------------------------------------------------------------ control
+
+    def start(self) -> None:
+        """Start the real-time loops (reference instance.rs:338-354)."""
+        with self._lock:
+            if self._started:
+                raise RuntimeError("pipeline already started")
+            self._started = True
+            self._video_channel = Channel(2)
+            self._audio_channel = Channel(100)
+            self.queue.start(self._video_channel, self._audio_channel)
+            self.queue.spawn_thread()
+            rt = threading.Thread(
+                target=self._run_renderer, name="renderer", daemon=True
+            )
+            at = threading.Thread(target=self._run_mixer, name="mixer", daemon=True)
+            rt.start()
+            at.start()
+            self._threads += [rt, at]
+
+    def close(self) -> None:
+        self._closed.set()
+        self.queue.close()
+        if self._video_channel is not None:
+            self._video_channel.close()
+        if self._audio_channel is not None:
+            self._audio_channel.close()
+        with self._lock:
+            for src in self._inputs.values():
+                src.stop()
+            outs = list(self._outputs.values())
+        for out in outs:
+            out.close()
+
+    def wait_for_outputs_done(self, timeout: Optional[float] = None) -> None:
+        with self._lock:
+            outs = list(self._outputs.values())
+        for out in outs:
+            out.join(timeout=timeout)
+
+    # ------------------------------------------------------------------ loops
+
+    def _run_renderer(self) -> None:
+        """Renderer thread (reference run_renderer_thread, instance.rs:402-468)."""
+        assert self._video_channel is not None
+        while not self._closed.is_set():
+            try:
+                batch: QueueVideoOutput = self._video_channel.recv(timeout=0.5)
+            except Closed:
+                break
+            except TimeoutError:
+                continue
+            if batch is None:
+                continue
+            # EOS bookkeeping → end conditions
+            with self._lock:
+                for iid, qf in batch.frames.items():
+                    if qf.is_eos and iid not in self._video_eos_seen:
+                        self._video_eos_seen.add(iid)
+                        self.events.emit(Event("VIDEO_INPUT_EOS", iid))
+                        for out in self._outputs.values():
+                            if out.video_end.on_input_eos(iid):
+                                out.send_video_eos()
+                outputs = dict(self._outputs)
+            frames = {
+                iid: qf.frame
+                for iid, qf in batch.frames.items()
+                if qf.frame is not None
+            }
+            frame_set = FrameSet(pts=batch.pts, frames=frames)
+            rendered = self.renderer.render(frame_set)
+            for oid, frame in rendered.frames.items():
+                out = outputs.get(oid)
+                if out is None or out.video_channel is None:
+                    continue
+                if out.video_end.ended:
+                    continue
+                try:
+                    out.video_channel.send(frame)
+                except Closed:
+                    pass
+
+    def _run_mixer(self) -> None:
+        """Audio mixer thread (reference run_audio_mixer_thread,
+        instance.rs:470-534)."""
+        assert self._audio_channel is not None
+        while not self._closed.is_set():
+            try:
+                batch: QueueAudioOutput = self._audio_channel.recv(timeout=0.5)
+            except Closed:
+                break
+            except TimeoutError:
+                continue
+            if batch is None:
+                continue
+            with self._lock:
+                for iid, is_eos in batch.eos.items():
+                    if is_eos and iid not in self._audio_eos_seen:
+                        self._audio_eos_seen.add(iid)
+                        self.events.emit(Event("AUDIO_INPUT_EOS", iid))
+                        for out in self._outputs.values():
+                            if out.audio_end.on_input_eos(iid):
+                                out.send_audio_eos()
+                outputs = dict(self._outputs)
+            mixed = self.audio_mixer.process_batch_set(
+                batch.start_pts, batch.end_pts, batch.samples
+            )
+            for oid, (samples, pts) in mixed.items():
+                out = outputs.get(oid)
+                if out is None or out.audio_channel is None:
+                    continue
+                if out.audio_end.ended:
+                    continue
+                try:
+                    out.audio_channel.send((samples, pts))
+                except Closed:
+                    pass

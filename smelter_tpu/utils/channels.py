@@ -107,3 +107,8 @@ class Channel(Generic[T]):
 
     def __len__(self) -> int:
         return self._q.qsize()
+
+    def __bool__(self) -> bool:
+        # a Channel is always truthy; without this, __len__ makes an *empty*
+        # channel falsy, which silently breaks `if maybe_channel:` guards
+        return True
