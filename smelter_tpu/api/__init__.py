@@ -1,1 +1,1 @@
-
+"""Wire-format API schema + conversions (reference `smelter-api/`)."""

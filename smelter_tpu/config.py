@@ -1,0 +1,130 @@
+"""Env-var configuration (reference `src/config.rs:17-59,96-390`).
+
+Same `SMELTER_*` variable names and defaults; TPU-irrelevant GPU/wgpu knobs
+are accepted but ignored so existing deployments' env files keep working.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import uuid
+from dataclasses import dataclass, field
+from fractions import Fraction
+from typing import Optional
+
+from smelter_tpu.core.types import Framerate
+
+
+def _env_bool(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    return float(v) if v else default
+
+
+def _env_framerate(name: str, default: Framerate) -> Framerate:
+    """Accepts "30" or "30000/1001" (reference config.rs framerate parsing)."""
+    v = os.environ.get(name)
+    if not v:
+        return default
+    if "/" in v:
+        num, den = v.split("/", 1)
+        return Framerate(int(num), int(den))
+    return Framerate(int(v))
+
+
+@dataclass
+class LoggerConfig:
+    level: str = "info"
+    format: str = "compact"   # json | compact | pretty
+    log_file: Optional[str] = None
+
+
+@dataclass
+class Config:
+    instance_id: str = ""
+    api_port: int = 8081
+    output_framerate: Framerate = Framerate(30)
+    mixing_sample_rate: int = 48000
+    ahead_of_time_processing: bool = False
+    never_drop_output_frames: bool = False
+    run_late_scheduled_events: bool = False
+    offline_processing: bool = False
+    stream_fallback_timeout: float = 0.5        # seconds
+    input_buffer_duration: Optional[float] = None
+    download_dir: str = ""
+    side_channel_socket_dir: str = ""
+    max_layouts_count: int = 100
+    load_system_fonts: bool = True
+    web_renderer_enable: bool = False
+    start_whip_whep_server: bool = False
+    whip_whep_server_port: int = 9000
+    start_rtmp_server: bool = False
+    rtmp_server_port: int = 1935
+    logger: LoggerConfig = field(default_factory=LoggerConfig)
+
+
+def read_config() -> Config:
+    offline = _env_bool("SMELTER_OFFLINE_PROCESSING_ENABLE", False)
+    # offline processing implies AOT + never-drop (reference config.rs:210-226)
+    aot = _env_bool("SMELTER_AHEAD_OF_TIME_PROCESSING_ENABLE", offline)
+    never_drop = _env_bool("SMELTER_NEVER_DROP_OUTPUT_FRAMES", offline)
+    buffer_ms = os.environ.get("SMELTER_INPUT_BUFFER_DURATION_MS")
+    return Config(
+        instance_id=os.environ.get(
+            "SMELTER_INSTANCE_ID", f"smelter_tpu-{uuid.uuid4().hex[:12]}"
+        ),
+        api_port=_env_int("SMELTER_API_PORT", 8081),
+        output_framerate=_env_framerate("SMELTER_OUTPUT_FRAMERATE", Framerate(30)),
+        mixing_sample_rate=_env_int("SMELTER_MIXING_SAMPLE_RATE", 48000),
+        ahead_of_time_processing=aot,
+        never_drop_output_frames=never_drop,
+        run_late_scheduled_events=_env_bool("SMELTER_RUN_LATE_SCHEDULED_EVENTS", offline),
+        offline_processing=offline,
+        stream_fallback_timeout=_env_float("SMELTER_STREAM_FALLBACK_TIMEOUT_MS", 500.0)
+        / 1000.0,
+        input_buffer_duration=float(buffer_ms) / 1000.0 if buffer_ms else None,
+        download_dir=os.environ.get("SMELTER_DOWNLOAD_DIR", ""),
+        side_channel_socket_dir=os.environ.get("SMELTER_SIDE_CHANNEL_SOCKET_DIR", ""),
+        max_layouts_count=_env_int("SMELTER_RENDER_MAX_LAYOUTS_COUNT", 100),
+        load_system_fonts=_env_bool("SMELTER_LOAD_SYSTEM_FONTS", True),
+        web_renderer_enable=_env_bool("SMELTER_WEB_RENDERER_ENABLE", False),
+        start_whip_whep_server=_env_bool("SMELTER_START_WHIP_WHEP_SERVER", False),
+        whip_whep_server_port=_env_int("SMELTER_WHIP_WHEP_SERVER_PORT", 9000),
+        start_rtmp_server=_env_bool("SMELTER_START_RTMP_SERVER", False),
+        rtmp_server_port=_env_int("SMELTER_RTMP_SERVER_PORT", 1935),
+        logger=LoggerConfig(
+            level=os.environ.get("SMELTER_LOGGER_LEVEL", "info"),
+            format=os.environ.get("SMELTER_LOGGER_FORMAT", "compact"),
+            log_file=os.environ.get("SMELTER_LOG_FILE"),
+        ),
+    )
+
+
+def init_logger(cfg: LoggerConfig) -> None:
+    """Structured logging setup (reference `src/logger.rs`)."""
+    level = getattr(logging, cfg.level.upper(), logging.INFO)
+    handlers: list = [logging.StreamHandler()]
+    if cfg.log_file:
+        handlers.append(logging.FileHandler(cfg.log_file))
+    if cfg.format == "json":
+        fmt = (
+            '{"ts":"%(asctime)s","level":"%(levelname)s",'
+            '"target":"%(name)s","msg":"%(message)s"}'
+        )
+    elif cfg.format == "pretty":
+        fmt = "%(asctime)s %(levelname)-8s %(name)s\n    %(message)s"
+    else:
+        fmt = "%(asctime)s %(levelname).1s %(name)s: %(message)s"
+    logging.basicConfig(level=level, format=fmt, handlers=handlers, force=True)

@@ -38,6 +38,7 @@ from smelter_tpu.pipeline.output import (
     OutputVideoOptions,
     PipelineOutput,
 )
+from smelter_tpu.pipeline.stats import PipelineStats
 from smelter_tpu.queue.sync_queue import (
     MonotonicClock,
     Queue,
@@ -91,6 +92,7 @@ class Pipeline:
             event_callback=self.events.emit_queue_event,
         )
         self._lock = threading.RLock()
+        self.stats = PipelineStats()
         self._inputs: Dict[str, InputSource] = {}
         self._outputs: Dict[str, PipelineOutput] = {}
         self._started = False
@@ -256,6 +258,9 @@ class Pipeline:
             if self._started:
                 raise RuntimeError("pipeline already started")
             self._started = True
+            import time as _time
+
+            self.stats.started_at = _time.time()
             self._video_channel = Channel(2)
             self._audio_channel = Channel(100)
             self.queue.start(self._video_channel, self._audio_channel)
@@ -318,7 +323,13 @@ class Pipeline:
                 if qf.frame is not None
             }
             frame_set = FrameSet(pts=batch.pts, frames=frames)
+            import time as _time
+
+            t0 = _time.perf_counter()
             rendered = self.renderer.render(frame_set)
+            self.stats.on_render(_time.perf_counter() - t0, len(frames))
+            for iid in frames:
+                self.stats.on_input_frame(iid)
             for oid, frame in rendered.frames.items():
                 out = outputs.get(oid)
                 if out is None or out.video_channel is None:
@@ -327,6 +338,7 @@ class Pipeline:
                     continue
                 try:
                     out.video_channel.send(frame)
+                    self.stats.on_output_frame(oid)
                 except Closed:
                     pass
 
@@ -355,6 +367,7 @@ class Pipeline:
             mixed = self.audio_mixer.process_batch_set(
                 batch.start_pts, batch.end_pts, batch.samples
             )
+            self.stats.on_audio_chunk()
             for oid, (samples, pts) in mixed.items():
                 out = outputs.get(oid)
                 if out is None or out.audio_channel is None:

@@ -30,9 +30,37 @@ _BOLD_WEIGHTS = {
 }
 
 
+# fonts registered at runtime via POST /api/font/register
+# (reference `register_request::handle_font`): family name → ttf/otf path
+_REGISTERED_FONTS: dict = {}
+
+
+def register_font(path_or_url: str) -> None:
+    """Registers a font file; the family name is read from the font itself."""
+    if not path_or_url:
+        raise ValueError("font register requires a path or url")
+    path = path_or_url
+    if path.startswith(("http://", "https://")):
+        import tempfile
+        import urllib.request
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".ttf", delete=False)
+        with urllib.request.urlopen(path) as resp:
+            tmp.write(resp.read())
+        tmp.close()
+        path = tmp.name
+    font = ImageFont.truetype(path, size=16)
+    family = (font.getname()[0] or "").lower()
+    if not family:
+        raise ValueError(f"cannot determine family name of {path_or_url!r}")
+    _REGISTERED_FONTS[family] = path
+
+
 def _font_file(family: str, weight: comp.TextWeight, style: comp.TextStyle) -> str:
     fam = family.lower()
     bold = weight in _BOLD_WEIGHTS
+    if fam in _REGISTERED_FONTS:
+        return _REGISTERED_FONTS[fam]
     if "mono" in fam or "courier" in fam:
         return os.path.join(
             _FONT_DIR, "DejaVuSansMono-Bold.ttf" if bold else "DejaVuSansMono.ttf"

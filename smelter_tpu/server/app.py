@@ -1,0 +1,460 @@
+"""HTTP/WS server, wire-compatible with the reference REST API.
+
+Routes mirror `src/routes.rs:33-79`:
+  POST /api/input/:id/{register,unregister}
+  POST /api/output/:id/{register,unregister,update,request_keyframe}
+  POST /api/{image,shader,web-renderer}/:id/{register,unregister}
+  POST /api/font/register
+  POST /api/start, /api/reset
+  GET  /ws (event push), /status, /stats
+
+aiohttp front end; the pipeline itself is threaded, so blocking pipeline
+calls run in the default executor. Responses follow the reference `Response`
+enum shapes (`src/state.rs:20-33`): `{}` for ok, `{"video_duration_ms": ...}`
+for registered MP4s, error bodies `{"error_code", "message", ...}`.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import queue as _queue
+import threading
+import time
+from typing import Optional
+
+from aiohttp import WSMsgType, web
+
+from smelter_tpu.api import convert
+from smelter_tpu.api import schema as api
+from smelter_tpu.config import Config, read_config
+from smelter_tpu.core.types import Framerate
+from smelter_tpu.pipeline import (
+    Mp4OutputSink,
+    Pipeline,
+    PipelineOptions,
+)
+
+import pydantic
+
+logger = logging.getLogger("smelter.server")
+
+_REGISTER_INPUT = pydantic.TypeAdapter(api.RegisterInput)
+_REGISTER_OUTPUT = pydantic.TypeAdapter(api.RegisterOutput)
+
+
+class ApiError(Exception):
+    def __init__(self, error_code: str, message: str, http_status: int = 400) -> None:
+        super().__init__(message)
+        self.error_code = error_code
+        self.message = message
+        self.http_status = http_status
+
+
+def _error_response(exc: Exception) -> web.Response:
+    if isinstance(exc, ApiError):
+        code, message, status = exc.error_code, exc.message, exc.http_status
+    elif isinstance(exc, pydantic.ValidationError):
+        code, message, status = "MALFORMED_REQUEST", str(exc), 400
+    elif isinstance(exc, (convert.ConversionError, ValueError, KeyError, SyntaxError)):
+        code, message, status = "INVALID_REQUEST", str(exc), 400
+    elif isinstance(exc, NotImplementedError):
+        code, message, status = "NOT_IMPLEMENTED", str(exc), 501
+    else:
+        logger.exception("internal error")
+        code, message, status = "INTERNAL_SERVER_ERROR", str(exc), 500
+    return web.json_response(
+        {"error_code": code, "message": message, "stack": [message]},
+        status=status,
+    )
+
+
+class ApiState:
+    """Owns the pipeline; /api/reset swaps it for a fresh one."""
+
+    def __init__(self, config: Config) -> None:
+        self.config = config
+        self.lock = threading.Lock()
+        self.pipeline = self._new_pipeline()
+        self.start_time: Optional[float] = None
+        self.input_kinds: dict = {}
+        self.output_kinds: dict = {}
+
+    def _new_pipeline(self) -> Pipeline:
+        c = self.config
+        return Pipeline(
+            PipelineOptions(
+                output_framerate=c.output_framerate,
+                mixing_sample_rate=c.mixing_sample_rate,
+                ahead_of_time_processing=c.ahead_of_time_processing,
+                never_drop_output_frames=c.never_drop_output_frames,
+                run_late_scheduled_events=c.run_late_scheduled_events,
+                stream_fallback_timeout=c.stream_fallback_timeout,
+            )
+        )
+
+    def reset(self) -> None:
+        with self.lock:
+            old = self.pipeline
+            self.pipeline = self._new_pipeline()
+            self.start_time = None
+            self.input_kinds.clear()
+            self.output_kinds.clear()
+        old.close()
+
+
+def _json_ok(payload: Optional[dict] = None) -> web.Response:
+    return web.json_response(payload or {})
+
+
+async def _run_blocking(fn, *args):
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(None, fn, *args)
+
+
+def build_app(state: ApiState) -> web.Application:
+    app = web.Application(client_max_size=50 * 1024 * 1024)
+    app["state"] = state
+
+    # ------------------------------------------------------------- inputs
+
+    async def register_input(request: web.Request) -> web.Response:
+        input_id = request.match_info["id"]
+        try:
+            body = await request.json()
+            spec = _REGISTER_INPUT.validate_python(body)
+
+            def do() -> dict:
+                if isinstance(spec, api.Mp4Input):
+                    source, opts = convert.mp4_input(spec)
+                    state.pipeline.register_input(input_id, source, opts)
+                    state.input_kinds[input_id] = "mp4"
+                    vd = source._video_info.duration_s if source._video_info else None
+                    ad = source._audio_info.duration_s if source._audio_info else None
+                    return {
+                        "video_duration_ms": int(vd * 1000) if vd else None,
+                        "audio_duration_ms": int(ad * 1000) if ad else None,
+                    }
+                if isinstance(spec, api.HlsInput):
+                    from smelter_tpu.pipeline.input import Mp4Input as _FfInput
+                    from smelter_tpu.pipeline.input import Mp4InputOptions
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    source = _FfInput(Mp4InputOptions(path=spec.url))
+                    state.pipeline.register_input(
+                        input_id,
+                        source,
+                        RegisterInputOptions(
+                            required=bool(spec.required),
+                            offset=(spec.offset_ms / 1000.0)
+                            if spec.offset_ms is not None
+                            else None,
+                        ),
+                    )
+                    state.input_kinds[input_id] = "hls"
+                    return {}
+                if isinstance(spec, api.RtpInput):
+                    from smelter_tpu.io.rtp import register_rtp_input
+
+                    port = register_rtp_input(state.pipeline, input_id, spec)
+                    state.input_kinds[input_id] = "rtp"
+                    return {"port": port}
+                raise NotImplementedError(
+                    f"input protocol {spec.type!r} is not implemented yet"
+                )
+
+            result = await _run_blocking(do)
+            return _json_ok(result)
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def unregister_input(request: web.Request) -> web.Response:
+        input_id = request.match_info["id"]
+        try:
+            await _run_blocking(state.pipeline.unregister_input, input_id)
+            state.input_kinds.pop(input_id, None)
+            return _json_ok()
+        except KeyError:
+            return _error_response(
+                ApiError(
+                    "INPUT_STREAM_NOT_FOUND",
+                    f"Input stream \"{input_id}\" does not exist.",
+                    404,
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    # ------------------------------------------------------------- outputs
+
+    async def register_output(request: web.Request) -> web.Response:
+        output_id = request.match_info["id"]
+        try:
+            body = await request.json()
+            spec = _REGISTER_OUTPUT.validate_python(body)
+
+            def do() -> dict:
+                if isinstance(spec, api.Mp4Output):
+                    video = (
+                        convert.output_video_options(spec.video, "mp4")
+                        if spec.video
+                        else None
+                    )
+                    audio = (
+                        convert.output_audio_options(spec.audio)
+                        if spec.audio
+                        else None
+                    )
+                    sink = Mp4OutputSink(spec.path)
+                    state.pipeline.register_output(output_id, sink, video, audio)
+                    state.output_kinds[output_id] = "mp4"
+                    return {}
+                if isinstance(spec, api.RtpOutput):
+                    from smelter_tpu.io.rtp import register_rtp_output
+
+                    register_rtp_output(state.pipeline, output_id, spec)
+                    state.output_kinds[output_id] = "rtp"
+                    return {}
+                raise NotImplementedError(
+                    f"output protocol {spec.type!r} is not implemented yet"
+                )
+
+            result = await _run_blocking(do)
+            return _json_ok(result)
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def unregister_output(request: web.Request) -> web.Response:
+        output_id = request.match_info["id"]
+        try:
+            await _run_blocking(state.pipeline.unregister_output, output_id)
+            state.output_kinds.pop(output_id, None)
+            return _json_ok()
+        except KeyError:
+            return _error_response(
+                ApiError(
+                    "OUTPUT_STREAM_NOT_FOUND",
+                    f"Output stream \"{output_id}\" does not exist.",
+                    404,
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def update_output(request: web.Request) -> web.Response:
+        output_id = request.match_info["id"]
+        try:
+            body = await request.json()
+            req = api.UpdateOutputRequest.model_validate(body)
+            root = convert.video_scene(req.video) if req.video else None
+            audio_cfg = convert.audio_config(req.audio) if req.audio else None
+            schedule = (
+                req.schedule_time_ms / 1000.0
+                if req.schedule_time_ms is not None
+                else None
+            )
+            await _run_blocking(
+                lambda: state.pipeline.update_output(
+                    output_id, root, audio_cfg, schedule_time=schedule
+                )
+            )
+            return _json_ok()
+        except KeyError as exc:
+            return _error_response(
+                ApiError(
+                    "OUTPUT_STREAM_NOT_FOUND",
+                    f"Output stream {exc} does not exist.",
+                    404,
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def request_keyframe(request: web.Request) -> web.Response:
+        output_id = request.match_info["id"]
+        try:
+            await _run_blocking(state.pipeline.request_keyframe, output_id)
+            return _json_ok()
+        except KeyError:
+            return _error_response(
+                ApiError(
+                    "OUTPUT_STREAM_NOT_FOUND",
+                    f"Output stream \"{output_id}\" does not exist.",
+                    404,
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    # ------------------------------------------------------------- resources
+
+    async def register_shader(request: web.Request) -> web.Response:
+        shader_id = request.match_info["id"]
+        try:
+            body = await request.json()
+            spec = api.ShaderSpec.model_validate(body)
+            await _run_blocking(
+                state.pipeline.renderer.register_shader, shader_id, spec.source
+            )
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def unregister_shader(request: web.Request) -> web.Response:
+        try:
+            await _run_blocking(
+                state.pipeline.renderer.unregister_shader, request.match_info["id"]
+            )
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def register_image(request: web.Request) -> web.Response:
+        image_id = request.match_info["id"]
+        try:
+            body = await request.json()
+            spec = api.ImageSpec.model_validate(body)
+
+            def do() -> None:
+                state.pipeline.renderer.register_image(
+                    image_id,
+                    path=spec.path,
+                    url=spec.url,
+                    kind=None if spec.asset_type == "auto" else spec.asset_type,
+                )
+
+            await _run_blocking(do)
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def unregister_image(request: web.Request) -> web.Response:
+        try:
+            await _run_blocking(
+                state.pipeline.renderer.unregister_image, request.match_info["id"]
+            )
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def register_web_renderer(request: web.Request) -> web.Response:
+        return _error_response(
+            NotImplementedError("web renderer requires the browser sidecar")
+        )
+
+    async def unregister_web_renderer(request: web.Request) -> web.Response:
+        return _error_response(
+            NotImplementedError("web renderer requires the browser sidecar")
+        )
+
+    async def register_font(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            spec = api.FontSpec.model_validate(body)
+            from smelter_tpu.render.text import register_font
+
+            await _run_blocking(register_font, spec.path or spec.url)
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    # ------------------------------------------------------------- control
+
+    async def start(request: web.Request) -> web.Response:
+        try:
+            def do() -> None:
+                with state.lock:
+                    state.pipeline.start()
+                    state.start_time = time.time()
+
+            await _run_blocking(do)
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def reset(request: web.Request) -> web.Response:
+        try:
+            await _run_blocking(state.reset)
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    # ------------------------------------------------------------- observability
+
+    async def status(request: web.Request) -> web.Response:
+        p = state.pipeline
+        return web.json_response(
+            {
+                "instance_id": state.config.instance_id,
+                "inputs": [
+                    {"input_id": iid, "input_type": state.input_kinds.get(iid, "raw_data")}
+                    for iid in p._inputs
+                ],
+                "outputs": [
+                    {"output_id": oid, "output_type": state.output_kinds.get(oid, "raw_data")}
+                    for oid in p._outputs
+                ],
+            }
+        )
+
+    async def stats(request: web.Request) -> web.Response:
+        from smelter_tpu.pipeline.stats import collect_stats
+
+        return web.json_response(await _run_blocking(collect_stats, state.pipeline))
+
+    async def ws_handler(request: web.Request) -> web.WebSocketResponse:
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        sub = state.pipeline.events.subscribe()
+        try:
+            while not ws.closed:
+                try:
+                    event = await _run_blocking(lambda: sub.get(timeout=0.5))
+                except _queue.Empty:
+                    # also service incoming messages (ping/close)
+                    try:
+                        msg = await asyncio.wait_for(ws.receive(), timeout=0.001)
+                        if msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.ERROR):
+                            break
+                    except asyncio.TimeoutError:
+                        pass
+                    continue
+                await ws.send_json(
+                    {"type": event.kind, **({"input_id": event.entity_id}
+                     if "INPUT" in event.kind else {"output_id": event.entity_id})}
+                )
+        finally:
+            state.pipeline.events.unsubscribe(sub)
+        return ws
+
+    app.router.add_post("/api/input/{id}/register", register_input)
+    app.router.add_post("/api/input/{id}/unregister", unregister_input)
+    app.router.add_post("/api/output/{id}/register", register_output)
+    app.router.add_post("/api/output/{id}/unregister", unregister_output)
+    app.router.add_post("/api/output/{id}/update", update_output)
+    app.router.add_post("/api/output/{id}/request_keyframe", request_keyframe)
+    app.router.add_post("/api/shader/{id}/register", register_shader)
+    app.router.add_post("/api/shader/{id}/unregister", unregister_shader)
+    app.router.add_post("/api/image/{id}/register", register_image)
+    app.router.add_post("/api/image/{id}/unregister", unregister_image)
+    app.router.add_post("/api/web-renderer/{id}/register", register_web_renderer)
+    app.router.add_post("/api/web-renderer/{id}/unregister", unregister_web_renderer)
+    app.router.add_post("/api/font/register", register_font)
+    app.router.add_post("/api/start", start)
+    app.router.add_post("/api/reset", reset)
+    app.router.add_get("/status", status)
+    app.router.add_get("/stats", stats)
+    app.router.add_get("/ws", ws_handler)
+    return app
+
+
+def run(config: Optional[Config] = None) -> None:
+    cfg = config or read_config()
+    from smelter_tpu.config import init_logger
+
+    init_logger(cfg.logger)
+    state = ApiState(cfg)
+    app = build_app(state)
+    logger.info("smelter_tpu listening on :%d", cfg.api_port)
+    web.run_app(app, port=cfg.api_port, print=None)

@@ -1,0 +1,266 @@
+"""HTTP API server tests: drive the wire-compatible JSON API end-to-end.
+
+Mirrors how reference clients use the server (`src/routes.rs`): register MP4
+inputs + an MP4 output with an initial scene over HTTP, start, wait for the
+OUTPUT_DONE event on /ws, then check the produced file.
+"""
+
+import asyncio
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+import httpx
+
+from smelter_tpu.config import Config, LoggerConfig
+from smelter_tpu.core.types import Framerate
+from smelter_tpu.server.app import ApiState, build_app
+
+from tests.test_pipeline import _decode_output, _make_source_mp4
+
+
+class ServerThread:
+    """Runs the aiohttp app in a dedicated thread with its own event loop."""
+
+    def __init__(self, config: Config) -> None:
+        self.state = ApiState(config)
+        self.port = None
+        self._loop = None
+        self._started = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        assert self._started.wait(timeout=30)
+
+    def _run(self) -> None:
+        from aiohttp import web
+
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+
+        async def start():
+            app = build_app(self.state)
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            self.port = runner.addresses[0][1]
+            self._started.set()
+
+        self._loop.run_until_complete(start())
+        self._loop.run_forever()
+
+    def stop(self) -> None:
+        if self._loop:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=5)
+
+    @property
+    def base(self) -> str:
+        return f"http://127.0.0.1:{self.port}"
+
+
+@pytest.fixture()
+def server():
+    cfg = Config(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+        logger=LoggerConfig(level="warning"),
+    )
+    s = ServerThread(cfg)
+    yield s
+    try:
+        s.state.pipeline.close()
+    finally:
+        s.stop()
+
+
+def _scene_json():
+    return {
+        "root": {
+            "type": "view",
+            "background_color": "#000000FF",
+            "direction": "row",
+            "children": [
+                {"type": "rescaler", "child": {"type": "input_stream", "input_id": "in_a"}},
+                {"type": "rescaler", "child": {"type": "input_stream", "input_id": "in_b"}},
+            ],
+        }
+    }
+
+
+def test_server_mp4_end_to_end(server, tmp_path):
+    src_a = str(tmp_path / "a.mp4")
+    src_b = str(tmp_path / "b.mp4")
+    out_path = str(tmp_path / "out.mp4")
+    _make_source_mp4(src_a, "red", 440.0)
+    _make_source_mp4(src_b, "blue", 880.0)
+
+    with httpx.Client(base_url=server.base, timeout=120) as c:
+        r = c.post(
+            "/api/input/in_a/register",
+            json={"type": "mp4", "path": src_a, "required": True, "offset_ms": 0},
+        )
+        assert r.status_code == 200, r.text
+        body = r.json()
+        assert body.get("video_duration_ms") == 2000
+
+        r = c.post(
+            "/api/input/in_b/register",
+            json={"type": "mp4", "path": src_b, "required": True, "offset_ms": 0},
+        )
+        assert r.status_code == 200, r.text
+
+        r = c.post(
+            "/api/output/out/register",
+            json={
+                "type": "mp4",
+                "path": out_path,
+                "video": {
+                    "resolution": {"width": 640, "height": 240},
+                    "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                    "initial": _scene_json(),
+                    "send_eos_when": {"all_inputs": True},
+                },
+                "audio": {
+                    "encoder": {"type": "aac"},
+                    "initial": {
+                        "inputs": [{"input_id": "in_a"}, {"input_id": "in_b", "volume": 0.5}]
+                    },
+                    "send_eos_when": {"all_inputs": True},
+                },
+            },
+        )
+        assert r.status_code == 200, r.text
+
+        # status reflects registrations
+        st = c.get("/status").json()
+        assert {i["input_id"] for i in st["inputs"]} == {"in_a", "in_b"}
+        assert [o["output_id"] for o in st["outputs"]] == ["out"]
+        assert st["outputs"][0]["output_type"] == "mp4"
+
+        r = c.post("/api/start", json={})
+        assert r.status_code == 200, r.text
+
+        # wait for OUTPUT_DONE via event history (ws covered separately)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            kinds = {
+                (e.kind, e.entity_id)
+                for e in server.state.pipeline.events.history()
+            }
+            if ("OUTPUT_DONE", "out") in kinds:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("OUTPUT_DONE not observed")
+
+        stats = c.get("/stats").json()
+        assert stats["video_frames_rendered"] >= 60
+        assert stats["compose_latency"]["p95_ms"] is not None
+
+    frames, audio, infos = _decode_output(out_path)
+    assert abs(len(frames) - 60) <= 1
+    assert infos["video"].width == 640
+
+
+def test_server_validation_errors(server, tmp_path):
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        # unknown field rejected (deny_unknown_fields)
+        r = c.post(
+            "/api/input/x/register",
+            json={"type": "mp4", "path": "/nonexistent.mp4", "bogus": 1},
+        )
+        assert r.status_code == 400
+        assert r.json()["error_code"] == "MALFORMED_REQUEST"
+
+        # both url and path → invalid
+        r = c.post(
+            "/api/input/x/register",
+            json={"type": "mp4", "path": "/a.mp4", "url": "http://x/a.mp4"},
+        )
+        assert r.status_code == 400
+
+        # unimplemented protocol → 501
+        r = c.post(
+            "/api/input/x/register",
+            json={"type": "decklink"},
+        )
+        assert r.status_code == 501
+
+        # unregister unknown output → 404
+        r = c.post("/api/output/nope/unregister", json={})
+        assert r.status_code == 404
+        assert r.json()["error_code"] == "OUTPUT_STREAM_NOT_FOUND"
+
+        # bad color string
+        r = c.post(
+            "/api/output/o/register",
+            json={
+                "type": "mp4",
+                "path": str(tmp_path / "o.mp4"),
+                "video": {
+                    "resolution": {"width": 64, "height": 64},
+                    "encoder": {"type": "ffmpeg_h264"},
+                    "initial": {
+                        "root": {"type": "view", "background_color": "#zzz"}
+                    },
+                },
+            },
+        )
+        assert r.status_code == 400
+
+
+def test_server_ws_events(server, tmp_path):
+    """Subscribe to /ws and observe pipeline events."""
+    import websockets.sync.client as ws_client
+
+    src = str(tmp_path / "a.mp4")
+    _make_source_mp4(src, "red", 440.0)
+    out_path = str(tmp_path / "out.mp4")
+
+    with httpx.Client(base_url=server.base, timeout=60) as c:
+        ws = ws_client.connect(f"ws://127.0.0.1:{server.port}/ws")
+        try:
+            r = c.post(
+                "/api/input/a/register",
+                json={"type": "mp4", "path": src, "required": True, "offset_ms": 0},
+            )
+            assert r.status_code == 200
+            r = c.post(
+                "/api/output/out/register",
+                json={
+                    "type": "mp4",
+                    "path": out_path,
+                    "video": {
+                        "resolution": {"width": 320, "height": 240},
+                        "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                        "initial": {
+                            "root": {
+                                "type": "rescaler",
+                                "child": {"type": "input_stream", "input_id": "a"},
+                            }
+                        },
+                        "send_eos_when": {"all_inputs": True},
+                    },
+                },
+            )
+            assert r.status_code == 200, r.text
+            assert c.post("/api/start", json={}).status_code == 200
+
+            got = set()
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    msg = json.loads(ws.recv(timeout=5))
+                except TimeoutError:
+                    continue
+                got.add(msg["type"])
+                if "OUTPUT_DONE" in got:
+                    break
+            assert "VIDEO_INPUT_EOS" in got or "VIDEO_INPUT_PLAYING" in got, got
+            assert "OUTPUT_DONE" in got, got
+        finally:
+            ws.close()
