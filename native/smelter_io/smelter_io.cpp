@@ -527,6 +527,14 @@ int sm_venc_new(int32_t codec, int32_t width, int32_t height,
         if (bitrate <= 0) v->ctx->bit_rate = (int64_t)width * height * 4;
     }
     if (opts && *opts) av_dict_parse_string(&dict, opts, "=", ",", 0);
+    /* "global_header=0" keeps SPS/PPS inline in the bitstream (needed for
+       RTP/RTMP live streams); default (1) moves them to extradata for MP4 */
+    AVDictionaryEntry *gh = av_dict_get(dict, "global_header", nullptr, 0);
+    if (gh) {
+        if (gh->value && gh->value[0] == '0')
+            v->ctx->flags &= ~AV_CODEC_FLAG_GLOBAL_HEADER;
+        av_dict_set(&dict, "global_header", nullptr, 0);
+    }
     int err = avcodec_open2(v->ctx, c, &dict);
     av_dict_free(&dict);
     if (err < 0) return fail_av("avcodec_open2(venc)", err);

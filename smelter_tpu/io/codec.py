@@ -459,10 +459,18 @@ class VideoEncoder:
         self.width, self.height = width, height
         self._buf = ctypes.create_string_buffer(_PKT_CAP)
         self._stage = np.empty(width * height * 3 // 2, dtype=np.uint8)
+        self._pending: list = []  # packets drained while retrying EAGAIN sends
 
     def extradata(self) -> bytes:
         got = _check(self._lib.sm_venc_extradata(self._h, self._buf, _PKT_CAP), self._lib)
         return self._buf.raw[:got]
+
+    def _drain_pending(self) -> None:
+        while True:
+            pkt = self._receive_raw()
+            if pkt is None or pkt == "eof":
+                return
+            self._pending.append(pkt)
 
     def send(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, pts_s: float,
              force_keyframe: bool = False) -> None:
@@ -471,19 +479,24 @@ class VideoEncoder:
         self._stage[:ysz] = np.ascontiguousarray(y, dtype=np.uint8).ravel()
         self._stage[ysz : ysz + csz] = np.ascontiguousarray(u, dtype=np.uint8).ravel()
         self._stage[ysz + csz :] = np.ascontiguousarray(v, dtype=np.uint8).ravel()
-        _check(
-            self._lib.sm_venc_send(
-                self._h, self._stage.ctypes.data_as(ctypes.c_void_p),
-                pts_s, 1 if force_keyframe else 0,
-            ),
-            self._lib,
-        )
+        while True:
+            ret = _check(
+                self._lib.sm_venc_send(
+                    self._h, self._stage.ctypes.data_as(ctypes.c_void_p),
+                    pts_s, 1 if force_keyframe else 0,
+                ),
+                self._lib,
+            )
+            if ret != 1:
+                return
+            self._drain_pending()
 
     def send_eof(self) -> None:
+        # drain first: x264 may require receive before accepting the flush
+        self._drain_pending()
         _check(self._lib.sm_venc_send_eof(self._h), self._lib)
 
-    def receive(self):
-        """Packet | None | 'eof'."""
+    def _receive_raw(self):
         pts = ctypes.c_double()
         dts = ctypes.c_double()
         flags = ctypes.c_int32()
@@ -503,6 +516,12 @@ class VideoEncoder:
             dts_s=_opt_pts(dts.value),
             is_keyframe=bool(flags.value & PKT_KEYFRAME),
         )
+
+    def receive(self):
+        """Packet | None | 'eof'."""
+        if self._pending:
+            return self._pending.pop(0)
+        return self._receive_raw()
 
     def close(self) -> None:
         if self._h >= 0:

@@ -1,0 +1,897 @@
+"""RTP input/output: packetization, jitter buffer, UDP/TCP transports.
+
+TPU-stack redesign of the reference RTP layer (`smelter-core/src/rtp/`):
+
+- `RtpPacket` — RFC 3550 header parse/build
+- `JitterBuffer` — seq-ordered reorder window with rollover handling
+  (reference `rtp_input/jitter_buffer.rs`, FixedWindow mode) and extended
+  RTP-timestamp unrolling (reference `rollover_state.rs`)
+- depayloaders: H264 (RFC 6184: single NAL / STAP-A / FU-A), VP8 (RFC 7741),
+  Opus (RFC 7587) (reference `rtp_input/depayloader/`)
+- payloaders: H264 FU-A/single-NAL with inline SPS/PPS, Opus
+  (reference `rtp_output/payloader.rs`)
+- `RtpInputSource` — binds a UDP socket or TCP server, spawns recv + decode
+  threads feeding the queue (reference `rtp_input/{udp,tcp_server}.rs`)
+- `RtpOutputSink` — encodes via the pipeline encoder threads, payloads and
+  sends over UDP or to connected TCP clients (reference `rtp_output/`)
+
+TCP framing uses the same 2-byte big-endian length prefix as the reference
+(`rtp_output/tcp_server.rs`).
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
+from smelter_tpu.pipeline.input import InputCtx, InputSource
+from smelter_tpu.pipeline.output import OutputSink
+from smelter_tpu.utils.channels import Channel, Closed
+
+logger = logging.getLogger("smelter.rtp")
+
+VIDEO_CLOCK = 90_000
+OPUS_CLOCK = 48_000
+
+# default payload types (match the reference's register defaults)
+PT_H264 = 96
+PT_VP8 = 97
+PT_VP9 = 98
+PT_OPUS = 111
+
+
+# ---------------------------------------------------------------------------
+# RFC 3550 packet
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RtpPacket:
+    payload_type: int
+    sequence_number: int
+    timestamp: int              # 32-bit RTP timestamp
+    ssrc: int
+    payload: bytes
+    marker: bool = False
+
+    def serialize(self) -> bytes:
+        b0 = 0x80  # V=2, P=0, X=0, CC=0
+        b1 = (0x80 if self.marker else 0) | (self.payload_type & 0x7F)
+        return (
+            struct.pack(
+                "!BBHII",
+                b0,
+                b1,
+                self.sequence_number & 0xFFFF,
+                self.timestamp & 0xFFFFFFFF,
+                self.ssrc & 0xFFFFFFFF,
+            )
+            + self.payload
+        )
+
+    @staticmethod
+    def parse(data: bytes) -> Optional["RtpPacket"]:
+        if len(data) < 12:
+            return None
+        b0, b1, seq, ts, ssrc = struct.unpack("!BBHII", data[:12])
+        version = b0 >> 6
+        if version != 2:
+            return None
+        cc = b0 & 0x0F
+        has_ext = bool(b0 & 0x10)
+        padding = bool(b0 & 0x20)
+        offset = 12 + 4 * cc
+        if has_ext:
+            if len(data) < offset + 4:
+                return None
+            ext_len = struct.unpack("!H", data[offset + 2 : offset + 4])[0]
+            offset += 4 + 4 * ext_len
+        end = len(data)
+        if padding and end > offset:
+            pad = data[-1]
+            end = max(offset, end - pad)
+        return RtpPacket(
+            payload_type=b1 & 0x7F,
+            sequence_number=seq,
+            timestamp=ts,
+            ssrc=ssrc,
+            payload=data[offset:end],
+            marker=bool(b1 & 0x80),
+        )
+
+
+class TimestampUnroller:
+    """32-bit RTP timestamp → monotonically increasing 64-bit
+    (reference `rollover_state.rs`)."""
+
+    def __init__(self) -> None:
+        self._last: Optional[int] = None
+        self._rollovers = 0
+
+    def unroll(self, ts: int) -> int:
+        if self._last is not None:
+            diff = ts - self._last
+            if diff < -(1 << 31):
+                self._rollovers += 1
+            elif diff > (1 << 31) and self._rollovers > 0:
+                # late packet from before a rollover
+                return ts + (self._rollovers - 1) * (1 << 32)
+        self._last = ts
+        return ts + self._rollovers * (1 << 32)
+
+
+class JitterBuffer:
+    """Sequence-number reordering with a fixed time window.
+
+    Packets are released in seq order; a gap is skipped once the window
+    (default 50 ms like the reference FixedWindow mode,
+    `jitter_buffer.rs:26-36`) elapses.
+    """
+
+    def __init__(self, window_s: float = 0.050, clock=time.monotonic) -> None:
+        self.window = window_s
+        self.clock = clock
+        self._buffer: Dict[int, Tuple[float, RtpPacket]] = {}
+        self._next_seq: Optional[int] = None
+        self._max_ext_seq: Optional[int] = None
+        self._seq_rollovers = 0
+
+    def _extend_seq(self, seq: int) -> int:
+        if self._max_ext_seq is not None:
+            last16 = self._max_ext_seq & 0xFFFF
+            diff = seq - last16
+            if diff < -(1 << 15):
+                self._seq_rollovers += 1
+            elif diff > (1 << 15) and self._seq_rollovers > 0:
+                return seq + (self._seq_rollovers - 1) * (1 << 16)
+        ext = seq + self._seq_rollovers * (1 << 16)
+        if self._max_ext_seq is None or ext > self._max_ext_seq:
+            self._max_ext_seq = ext
+        return ext
+
+    def push(self, pkt: RtpPacket) -> List[RtpPacket]:
+        """Insert a packet; returns packets ready for release in order."""
+        ext = self._extend_seq(pkt.sequence_number)
+        if self._next_seq is None:
+            self._next_seq = ext
+        if ext < self._next_seq:
+            return []  # too late
+        self._buffer[ext] = (self.clock(), pkt)
+        return self._release()
+
+    def _release(self) -> List[RtpPacket]:
+        out: List[RtpPacket] = []
+        now = self.clock()
+        while self._buffer:
+            assert self._next_seq is not None
+            item = self._buffer.pop(self._next_seq, None)
+            if item is not None:
+                out.append(item[1])
+                self._next_seq += 1
+                continue
+            # gap: skip only if the oldest buffered packet outlived the window
+            oldest = min(t for t, _ in self._buffer.values())
+            if now - oldest > self.window:
+                self._next_seq = min(self._buffer.keys())
+                continue
+            break
+        return out
+
+    def flush(self) -> List[RtpPacket]:
+        out = [pkt for _, (_, pkt) in sorted(self._buffer.items())]
+        self._buffer.clear()
+        return out
+
+
+# ---------------------------------------------------------------------------
+# depayloaders (RTP payload → encoded access units)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AccessUnit:
+    data: bytes
+    pts_s: float
+    is_keyframe: bool = False
+
+
+_ANNEXB = b"\x00\x00\x00\x01"
+
+
+class H264Depayloader:
+    """RFC 6184 → AnnexB access units. Handles single NAL, STAP-A (24),
+    FU-A (28). An AU is emitted on the marker bit or timestamp change."""
+
+    def __init__(self) -> None:
+        self._nals: List[bytes] = []
+        self._fu: Optional[bytearray] = None
+        self._ts: Optional[int] = None
+        self._unroller = TimestampUnroller()
+        self._first_ts: Optional[int] = None
+
+    def _ts_to_pts(self, ts: int) -> float:
+        ext = self._unroller.unroll(ts)
+        if self._first_ts is None:
+            self._first_ts = ext
+        return (ext - self._first_ts) / VIDEO_CLOCK
+
+    def push(self, pkt: RtpPacket) -> List[AccessUnit]:
+        out: List[AccessUnit] = []
+        if self._ts is not None and pkt.timestamp != self._ts and self._nals:
+            out.extend(self._emit(self._ts))
+        self._ts = pkt.timestamp
+        p = pkt.payload
+        if not p:
+            return out
+        nal_type = p[0] & 0x1F
+        if nal_type == 24:  # STAP-A
+            i = 1
+            while i + 2 <= len(p):
+                size = struct.unpack("!H", p[i : i + 2])[0]
+                i += 2
+                self._nals.append(p[i : i + size])
+                i += size
+        elif nal_type == 28:  # FU-A
+            if len(p) < 2:
+                return out
+            fu_header = p[1]
+            start = bool(fu_header & 0x80)
+            end = bool(fu_header & 0x40)
+            orig_type = fu_header & 0x1F
+            if start:
+                indicator = (p[0] & 0xE0) | orig_type
+                self._fu = bytearray([indicator])
+            if self._fu is not None:
+                self._fu.extend(p[2:])
+                if end:
+                    self._nals.append(bytes(self._fu))
+                    self._fu = None
+        elif 1 <= nal_type <= 23:
+            self._nals.append(p)
+        if pkt.marker and self._nals:
+            out.extend(self._emit(pkt.timestamp))
+        return out
+
+    def _emit(self, ts: int) -> List[AccessUnit]:
+        nals, self._nals = self._nals, []
+        data = b"".join(_ANNEXB + n for n in nals)
+        keyframe = any((n[0] & 0x1F) == 5 for n in nals if n)
+        return [AccessUnit(data, self._ts_to_pts(ts), keyframe)]
+
+
+class Vp8Depayloader:
+    """RFC 7741: strips the VP8 payload descriptor, reassembles frames."""
+
+    def __init__(self) -> None:
+        self._parts: List[bytes] = []
+        self._unroller = TimestampUnroller()
+        self._first_ts: Optional[int] = None
+
+    def push(self, pkt: RtpPacket) -> List[AccessUnit]:
+        p = pkt.payload
+        if not p:
+            return []
+        i = 1
+        x = p[0] & 0x80
+        s = p[0] & 0x10
+        if x:
+            if i >= len(p):
+                return []
+            ext = p[i]
+            i += 1
+            if ext & 0x80:  # PictureID
+                if i < len(p) and p[i] & 0x80:
+                    i += 2
+                else:
+                    i += 1
+            if ext & 0x40:  # TL0PICIDX
+                i += 1
+            if ext & 0x30:  # TID/KEYIDX
+                i += 1
+        if s and not self._parts:
+            pass
+        self._parts.append(p[i:])
+        if pkt.marker:
+            data = b"".join(self._parts)
+            self._parts = []
+            if not data:
+                return []
+            ext_ts = self._unroller.unroll(pkt.timestamp)
+            if self._first_ts is None:
+                self._first_ts = ext_ts
+            keyframe = not (data[0] & 0x01)
+            return [AccessUnit(data, (ext_ts - self._first_ts) / VIDEO_CLOCK, keyframe)]
+        return []
+
+
+class OpusDepayloader:
+    """RFC 7587: each packet is one Opus frame."""
+
+    def __init__(self) -> None:
+        self._unroller = TimestampUnroller()
+        self._first_ts: Optional[int] = None
+
+    def push(self, pkt: RtpPacket) -> List[AccessUnit]:
+        if not pkt.payload:
+            return []
+        ext = self._unroller.unroll(pkt.timestamp)
+        if self._first_ts is None:
+            self._first_ts = ext
+        return [AccessUnit(pkt.payload, (ext - self._first_ts) / OPUS_CLOCK, True)]
+
+
+# ---------------------------------------------------------------------------
+# payloaders (encoded packets → RTP payloads)
+# ---------------------------------------------------------------------------
+
+
+def _split_annexb(data: bytes) -> List[bytes]:
+    """AnnexB byte stream → NAL units (no start codes)."""
+    nals = []
+    i = 0
+    n = len(data)
+    start = -1
+    while i + 2 < n:
+        if data[i] == 0 and data[i + 1] == 0 and (
+            data[i + 2] == 1 or (data[i + 2] == 0 and i + 3 < n and data[i + 3] == 1)
+        ):
+            code_len = 3 if data[i + 2] == 1 else 4
+            if start >= 0:
+                nals.append(data[start:i].rstrip(b"\x00") or data[start:i])
+            start = i + code_len
+            i += code_len
+        else:
+            i += 1
+    if start >= 0:
+        nals.append(data[start:])
+    return [n_ for n_ in nals if n_]
+
+
+class H264Payloader:
+    """AnnexB AU → RTP packets, FU-A fragmentation (reference payloader)."""
+
+    def __init__(self, ssrc: int, payload_type: int = PT_H264, mtu: int = 1200) -> None:
+        self.ssrc = ssrc
+        self.pt = payload_type
+        self.mtu = mtu
+        self.seq = 0
+
+    def payload(self, au: bytes, pts_s: float) -> List[RtpPacket]:
+        ts = int(round(pts_s * VIDEO_CLOCK)) & 0xFFFFFFFF
+        nals = _split_annexb(au)
+        out: List[RtpPacket] = []
+        for idx, nal in enumerate(nals):
+            last_nal = idx == len(nals) - 1
+            if len(nal) <= self.mtu:
+                out.append(self._pkt(nal, ts, marker=last_nal))
+            else:
+                indicator = (nal[0] & 0xE0) | 28
+                nal_type = nal[0] & 0x1F
+                body = nal[1:]
+                pos = 0
+                while pos < len(body):
+                    chunk = body[pos : pos + self.mtu - 2]
+                    start = pos == 0
+                    pos += len(chunk)
+                    end = pos >= len(body)
+                    fu_header = (0x80 if start else 0) | (0x40 if end else 0) | nal_type
+                    out.append(
+                        self._pkt(
+                            bytes([indicator, fu_header]) + chunk,
+                            ts,
+                            marker=last_nal and end,
+                        )
+                    )
+        return out
+
+    def _pkt(self, payload: bytes, ts: int, marker: bool) -> RtpPacket:
+        pkt = RtpPacket(
+            payload_type=self.pt,
+            sequence_number=self.seq,
+            timestamp=ts,
+            ssrc=self.ssrc,
+            payload=payload,
+            marker=marker,
+        )
+        self.seq = (self.seq + 1) & 0xFFFF
+        return pkt
+
+
+class OpusPayloader:
+    def __init__(self, ssrc: int, payload_type: int = PT_OPUS) -> None:
+        self.ssrc = ssrc
+        self.pt = payload_type
+        self.seq = 0
+
+    def payload(self, frame: bytes, pts_s: float) -> List[RtpPacket]:
+        pkt = RtpPacket(
+            payload_type=self.pt,
+            sequence_number=self.seq,
+            timestamp=int(round(pts_s * OPUS_CLOCK)) & 0xFFFFFFFF,
+            ssrc=self.ssrc,
+            payload=frame,
+            marker=True,
+        )
+        self.seq = (self.seq + 1) & 0xFFFF
+        return [pkt]
+
+
+# ---------------------------------------------------------------------------
+# RTP input source
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RtpInputOptions:
+    port: int = 0                       # 0 = pick free port
+    transport: str = "udp"              # udp | tcp_server
+    video_codec: Optional[str] = None   # h264 | vp8 | None
+    audio_codec: Optional[str] = None   # opus | None
+    jitter_window_s: float = 0.050
+
+
+class RtpInputSource(InputSource):
+    """RTP stream input. Binds the socket at construction so the bound port
+    is known before `register_input` returns (reference returns the port in
+    the register response)."""
+
+    def __init__(self, options: RtpInputOptions) -> None:
+        self.options = options
+        self.has_video = options.video_codec is not None
+        self.has_audio = options.audio_codec is not None
+        if not self.has_video and not self.has_audio:
+            raise ValueError("rtp input needs video and/or audio")
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+        if options.transport == "udp":
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4 * 1024 * 1024)
+            self._sock.bind(("0.0.0.0", options.port))
+            self.port = self._sock.getsockname()[1]
+        elif options.transport == "tcp_server":
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind(("0.0.0.0", options.port))
+            self._sock.listen(1)
+            self.port = self._sock.getsockname()[1]
+        else:
+            raise ValueError(f"unknown transport {options.transport!r}")
+
+    def start(self, ctx: InputCtx) -> None:
+        video_au: Optional[Channel] = Channel(64) if self.has_video else None
+        audio_au: Optional[Channel] = Channel(256) if self.has_audio else None
+
+        def _guard(fn):
+            def run(*args):
+                try:
+                    fn(*args)
+                except Exception:
+                    logger.exception("rtp %s thread crashed", fn.__name__)
+            return run
+
+        recv = threading.Thread(
+            target=_guard(self._run_recv),
+            args=(video_au, audio_au),
+            name=f"rtp-recv:{ctx.input_id}",
+            daemon=True,
+        )
+        recv.start()
+        self._threads.append(recv)
+
+        if video_au is not None and ctx.video_channel is not None:
+            t = threading.Thread(
+                target=_guard(self._run_video_decode),
+                args=(video_au, ctx),
+                name=f"rtp-vdec:{ctx.input_id}",
+                daemon=True,
+            )
+            t.start()
+            self._threads.append(t)
+        if audio_au is not None and ctx.audio_channel is not None:
+            t = threading.Thread(
+                target=_guard(self._run_audio_decode),
+                args=(audio_au, ctx),
+                name=f"rtp-adec:{ctx.input_id}",
+                daemon=True,
+            )
+            t.start()
+            self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    # -- receive thread -------------------------------------------------------
+
+    def _make_depayloaders(self):
+        vd = None
+        if self.options.video_codec == "h264":
+            vd = H264Depayloader()
+        elif self.options.video_codec == "vp8":
+            vd = Vp8Depayloader()
+        ad = OpusDepayloader() if self.options.audio_codec == "opus" else None
+        return vd, ad
+
+    def _run_recv(self, video_au: Optional[Channel], audio_au: Optional[Channel]) -> None:
+        vd, ad = self._make_depayloaders()
+        vjb = JitterBuffer(self.options.jitter_window_s)
+        ajb = JitterBuffer(self.options.jitter_window_s)
+        video_pts = {PT_H264, PT_VP8, PT_VP9}
+
+        def on_datagram(data: bytes) -> None:
+            pkt = RtpPacket.parse(data)
+            if pkt is None:
+                return
+            if vd is not None and pkt.payload_type in video_pts:
+                for ordered in vjb.push(pkt):
+                    for au in vd.push(ordered):
+                        if video_au is not None:
+                            try:
+                                video_au.send(au)
+                            except Closed:
+                                pass
+            elif ad is not None:
+                for ordered in ajb.push(pkt):
+                    for au in ad.push(ordered):
+                        if audio_au is not None:
+                            try:
+                                audio_au.send(au)
+                            except Closed:
+                                pass
+
+        try:
+            if self.options.transport == "udp":
+                self._sock.settimeout(0.25)
+                while not self._stop.is_set():
+                    try:
+                        data, _addr = self._sock.recvfrom(65536)
+                    except socket.timeout:
+                        continue
+                    except OSError:
+                        break
+                    if not data:
+                        continue
+                    on_datagram(data)
+            else:
+                self._sock.settimeout(0.25)
+                conn = None
+                while not self._stop.is_set() and conn is None:
+                    try:
+                        conn, _ = self._sock.accept()
+                    except socket.timeout:
+                        continue
+                    except OSError:
+                        return
+                if conn is None:
+                    return
+                conn.settimeout(0.25)
+                buf = b""
+                while not self._stop.is_set():
+                    try:
+                        chunk = conn.recv(65536)
+                    except socket.timeout:
+                        continue
+                    except OSError:
+                        break
+                    if not chunk:
+                        break  # peer closed → EOS
+                    buf += chunk
+                    while len(buf) >= 2:
+                        size = struct.unpack("!H", buf[:2])[0]
+                        if len(buf) < 2 + size:
+                            break
+                        on_datagram(buf[2 : 2 + size])
+                        buf = buf[2 + size :]
+        finally:
+            # flush jitter buffers, then signal AU EOS
+            if vd is not None and video_au is not None:
+                for ordered in vjb.flush():
+                    for au in vd.push(ordered):
+                        try:
+                            video_au.send(au)
+                        except Closed:
+                            pass
+                video_au.close()
+            if ad is not None and audio_au is not None:
+                for ordered in ajb.flush():
+                    for au in ad.push(ordered):
+                        try:
+                            audio_au.send(au)
+                        except Closed:
+                            pass
+                audio_au.close()
+
+    # -- decode threads ---------------------------------------------------------
+
+    def _run_video_decode(self, aus: Channel, ctx: InputCtx) -> None:
+        from smelter_tpu.io.codec import Codec, VideoDecoder
+
+        codec = Codec.from_name(self.options.video_codec or "h264")
+        dec = VideoDecoder(codec)
+        out = ctx.video_channel
+        assert out is not None
+        try:
+            while True:
+                try:
+                    au: AccessUnit = aus.recv()
+                except Closed:
+                    break
+                dec.send(au.data, au.pts_s)
+                while True:
+                    f = dec.receive()
+                    if f is None or f == "eof":
+                        break
+                    y, u, v, pts, _ = f
+                    h, w = y.shape
+                    try:
+                        out.send(
+                            Frame(
+                                data=(y, u, v),
+                                format=PixelFormat.PLANAR_YUV420,
+                                resolution=Resolution(w, h),
+                                pts=pts or 0.0,
+                            )
+                        )
+                    except Closed:
+                        return
+            dec.send_eof()
+            while True:
+                f = dec.receive()
+                if f is None or f == "eof":
+                    break
+                y, u, v, pts, _ = f
+                h, w = y.shape
+                try:
+                    out.send(
+                        Frame(
+                            data=(y, u, v),
+                            format=PixelFormat.PLANAR_YUV420,
+                            resolution=Resolution(w, h),
+                            pts=pts or 0.0,
+                        )
+                    )
+                except Closed:
+                    return
+        finally:
+            dec.close()
+            out.close()
+
+    def _run_audio_decode(self, aus: Channel, ctx: InputCtx) -> None:
+        from smelter_tpu.io.codec import AudioDecoder, Codec
+
+        dec = AudioDecoder(
+            Codec.OPUS, ctx.mixing_sample_rate, 2,
+            in_sample_rate=OPUS_CLOCK, in_channels=2,
+        )
+        out = ctx.audio_channel
+        assert out is not None
+        try:
+            while True:
+                try:
+                    au: AccessUnit = aus.recv()
+                except Closed:
+                    break
+                dec.send(au.data, au.pts_s)
+                while True:
+                    s = dec.receive()
+                    if s is None or s == "eof":
+                        break
+                    samples, pts = s
+                    try:
+                        out.send(AudioSamples(samples=samples, start_pts=pts or 0.0))
+                    except Closed:
+                        return
+        finally:
+            dec.close()
+            out.close()
+
+
+# ---------------------------------------------------------------------------
+# RTP output sink
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RtpOutputOptions:
+    ip: str = "127.0.0.1"
+    port: int = 0
+    transport: str = "udp"          # udp | tcp_server
+    video_payload_type: int = PT_H264
+    audio_payload_type: int = PT_OPUS
+    mtu: int = 1200
+
+
+class RtpOutputSink(OutputSink):
+    """Sends encoded packets as RTP over UDP, or to TCP clients with 2-byte
+    length framing. Use with the pipeline's encoder threads (codec h264 video,
+    opus audio, with global_header=0 so parameter sets stay inline)."""
+
+    def __init__(self, options: RtpOutputOptions) -> None:
+        self.options = options
+        self._lock = threading.Lock()
+        self._vp = H264Payloader(
+            ssrc=0x53544956, payload_type=options.video_payload_type, mtu=options.mtu
+        )
+        self._ap = OpusPayloader(ssrc=0x53544941, payload_type=options.audio_payload_type)
+        self._video_extradata = b""
+        self._stop = threading.Event()
+        self._clients: List[socket.socket] = []
+        if options.transport == "udp":
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._dest = (options.ip, options.port)
+            self.port = options.port
+        elif options.transport == "tcp_server":
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind(("0.0.0.0", options.port))
+            self._sock.listen(8)
+            self.port = self._sock.getsockname()[1]
+            self._accept_thread = threading.Thread(
+                target=self._accept_loop, name="rtp-out-accept", daemon=True
+            )
+            self._accept_thread.start()
+        else:
+            raise ValueError(f"unknown transport {options.transport!r}")
+
+    def _accept_loop(self) -> None:
+        self._sock.settimeout(0.25)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            with self._lock:
+                self._clients.append(conn)
+
+    def _send_pkt(self, pkt: RtpPacket) -> None:
+        data = pkt.serialize()
+        if self.options.transport == "udp":
+            try:
+                self._sock.sendto(data, self._dest)
+            except OSError:
+                pass
+        else:
+            framed = struct.pack("!H", len(data)) + data
+            with self._lock:
+                dead = []
+                for c in self._clients:
+                    try:
+                        c.sendall(framed)
+                    except OSError:
+                        dead.append(c)
+                for c in dead:
+                    self._clients.remove(c)
+                    try:
+                        c.close()
+                    except OSError:
+                        pass
+
+    # -- OutputSink interface ----------------------------------------------------
+
+    def setup_video(self, opts, extradata, fps_num, fps_den) -> None:
+        self._video_extradata = extradata
+
+    def setup_audio(self, opts, extradata) -> None:
+        pass
+
+    def write_video_packet(self, pkt) -> None:
+        data = pkt.data
+        # inline parameter sets before keyframes if the encoder used
+        # global headers (AnnexB extradata)
+        if pkt.is_keyframe and self._video_extradata and not _has_sps(data):
+            data = self._video_extradata + data
+        for rtp_pkt in self._vp.payload(data, pkt.pts_s or 0.0):
+            self._send_pkt(rtp_pkt)
+
+    def write_audio_packet(self, pkt) -> None:
+        for rtp_pkt in self._ap.payload(pkt.data, pkt.pts_s or 0.0):
+            self._send_pkt(rtp_pkt)
+
+    def on_done(self) -> None:
+        self._stop.set()
+        with self._lock:
+            for c in self._clients:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            self._clients.clear()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def _has_sps(annexb: bytes) -> bool:
+    return any((n[0] & 0x1F) == 7 for n in _split_annexb(annexb) if n)
+
+
+# ---------------------------------------------------------------------------
+# server integration
+# ---------------------------------------------------------------------------
+
+
+# wire decoder names (reference RtpVideoDecoderOptions) → internal codec names
+_DECODER_NAME_MAP = {
+    "ffmpeg_h264": "h264",
+    "vulkan_h264": "h264",
+    "ffmpeg_vp8": "vp8",
+    "ffmpeg_vp9": "vp9",
+    "h264": "h264",
+    "vp8": "vp8",
+    "vp9": "vp9",
+}
+
+
+def register_rtp_input(pipeline, input_id: str, spec) -> int:
+    """Wire-API glue: api.RtpInput → RtpInputSource. Returns the bound port."""
+    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+    port = spec.port if isinstance(spec.port, int) else 0
+    video_codec = None
+    if spec.video is not None:
+        wire_name = spec.video.decoder or "ffmpeg_h264"
+        video_codec = _DECODER_NAME_MAP.get(wire_name)
+        if video_codec is None:
+            raise ValueError(f"unknown video decoder {wire_name!r}")
+    source = RtpInputSource(
+        RtpInputOptions(
+            port=port,
+            transport=spec.transport_protocol or "udp",
+            video_codec=video_codec,
+            audio_codec=("opus" if spec.audio else None),
+        )
+    )
+    pipeline.register_input(
+        input_id,
+        source,
+        RegisterInputOptions(
+            required=bool(spec.required),
+            offset=(spec.offset_ms / 1000.0) if spec.offset_ms is not None else None,
+        ),
+    )
+    return source.port
+
+
+def register_rtp_output(pipeline, output_id: str, spec) -> None:
+    """Wire-API glue: api.RtpOutput → RtpOutputSink + encoder options."""
+    from smelter_tpu.api import convert
+
+    video = convert.output_video_options(spec.video, "rtp") if spec.video else None
+    audio = convert.output_audio_options(spec.audio) if spec.audio else None
+    if video is not None:
+        # inline SPS/PPS for live streams
+        extra = video.encoder.ffmpeg_options
+        video.encoder = type(video.encoder)(
+            codec=video.encoder.codec,
+            preset=video.encoder.preset,
+            bitrate=video.encoder.bitrate,
+            ffmpeg_options=(extra + "," if extra else "") + "global_header=0",
+        )
+    if audio is not None and audio.encoder.codec != "opus":
+        from smelter_tpu.pipeline.output import AudioEncoderOptions
+
+        audio.encoder = AudioEncoderOptions(
+            codec="opus", sample_rate=48000, channels=audio.encoder.channels
+        )
+    sink = RtpOutputSink(
+        RtpOutputOptions(
+            ip=spec.ip or "127.0.0.1",
+            port=int(spec.port),
+            transport=spec.transport_protocol or "udp",
+        )
+    )
+    pipeline.register_output(output_id, sink, video, audio)

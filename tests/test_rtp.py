@@ -1,0 +1,373 @@
+"""RTP tests: packet codec, jitter buffer, payload/depayload roundtrips, and
+full pipeline loopback over TCP (reference `rtp/` + pipeline_tests pattern:
+PacketSender pushes RTP, OutputReceiver collects output RTP)."""
+
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from smelter_tpu.audio.mixer import AudioMixerConfig, AudioMixerInputConfig
+from smelter_tpu.core.types import Framerate, Resolution, RGBAColor
+from smelter_tpu.io.codec import AudioEncoder, Codec, VideoDecoder, VideoEncoder
+from smelter_tpu.io.rtp import (
+    AccessUnit,
+    H264Depayloader,
+    H264Payloader,
+    JitterBuffer,
+    OpusDepayloader,
+    OpusPayloader,
+    RtpInputOptions,
+    RtpInputSource,
+    RtpOutputOptions,
+    RtpOutputSink,
+    RtpPacket,
+    TimestampUnroller,
+    _split_annexb,
+)
+from smelter_tpu.pipeline import (
+    EndCondition,
+    Mp4OutputSink,
+    OutputAudioOptions,
+    OutputVideoOptions,
+    Pipeline,
+    PipelineOptions,
+    RegisterInputOptions,
+    AudioEncoderOptions,
+    VideoEncoderOptions,
+)
+from smelter_tpu.scene import components as comp
+
+from tests.test_pipeline import _decode_output
+
+
+def test_rtp_packet_roundtrip():
+    pkt = RtpPacket(
+        payload_type=96, sequence_number=1234, timestamp=567890,
+        ssrc=0xDEADBEEF, payload=b"hello", marker=True,
+    )
+    parsed = RtpPacket.parse(pkt.serialize())
+    assert parsed is not None
+    assert parsed.payload_type == 96
+    assert parsed.sequence_number == 1234
+    assert parsed.timestamp == 567890
+    assert parsed.ssrc == 0xDEADBEEF
+    assert parsed.payload == b"hello"
+    assert parsed.marker
+
+
+def test_rtp_packet_with_csrc_and_padding():
+    # CC=2, two CSRCs, padding of 3
+    hdr = struct.pack("!BBHII", 0x80 | 0x20 | 2, 96, 1, 1000, 42)
+    csrcs = struct.pack("!II", 7, 8)
+    payload = b"abcdef" + b"\x00\x00\x03"
+    parsed = RtpPacket.parse(hdr + csrcs + payload)
+    assert parsed is not None
+    assert parsed.payload == b"abcdef"
+
+
+def test_jitter_buffer_reorders():
+    fake_now = [0.0]
+    jb = JitterBuffer(window_s=0.05, clock=lambda: fake_now[0])
+
+    def pkt(seq):
+        return RtpPacket(96, seq, seq * 100, 1, bytes([seq]), marker=False)
+
+    assert [p.sequence_number for p in jb.push(pkt(10))] == [10]
+    assert jb.push(pkt(12)) == []            # gap: wait for 11
+    out = jb.push(pkt(11))
+    assert [p.sequence_number for p in out] == [11, 12]
+
+
+def test_jitter_buffer_skips_after_window():
+    fake_now = [0.0]
+    jb = JitterBuffer(window_s=0.05, clock=lambda: fake_now[0])
+
+    def pkt(seq):
+        return RtpPacket(96, seq, 0, 1, b"x")
+
+    jb.push(pkt(1))
+    assert jb.push(pkt(3)) == []             # waiting for 2
+    fake_now[0] = 0.1                        # window expired
+    out = jb.push(pkt(4))
+    assert [p.sequence_number for p in out] == [3, 4]
+    # late 2 is dropped
+    assert jb.push(pkt(2)) == []
+
+
+def test_jitter_buffer_seq_rollover():
+    jb = JitterBuffer(window_s=0.05)
+
+    def pkt(seq):
+        return RtpPacket(96, seq & 0xFFFF, 0, 1, b"x")
+
+    out = []
+    for seq in [65533, 65534, 65535, 0, 1, 2]:
+        out += jb.push(pkt(seq))
+    assert [p.sequence_number for p in out] == [65533, 65534, 65535, 0, 1, 2]
+
+
+def test_timestamp_unroller():
+    u = TimestampUnroller()
+    near_max = (1 << 32) - 1000
+    assert u.unroll(near_max) == near_max
+    assert u.unroll(500) == (1 << 32) + 500
+
+
+def _encode_test_frames(n=30, w=128, h=96, gop=10):
+    enc = VideoEncoder(Codec.H264, w, h, 30, opts=f"global_header=0,g={gop}")
+    y = np.zeros((h, w), np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    pkts = []
+    for i in range(n):
+        y[:] = 30 + (i * 6) % 200
+        enc.send(y, u, v, i / 30)
+        while True:
+            p = enc.receive()
+            if p is None or p == "eof":
+                break
+            pkts.append(p)
+    enc.send_eof()
+    while True:
+        p = enc.receive()
+        if p is None or p == "eof":
+            break
+        pkts.append(p)
+    return pkts
+
+
+def test_h264_payload_depayload_roundtrip():
+    pkts = _encode_test_frames()
+    payloader = H264Payloader(ssrc=1, mtu=400)
+    depayloader = H264Depayloader()
+    aus = []
+    for p in pkts:
+        for rtp_pkt in payloader.payload(p.data, p.pts_s or 0.0):
+            assert len(rtp_pkt.payload) <= 400
+            aus += depayloader.push(rtp_pkt)
+    assert len(aus) == len(pkts)
+    # decode the depayloaded AnnexB AUs
+    dec = VideoDecoder(Codec.H264)
+    n = 0
+    for au in aus:
+        dec.send(au.data, au.pts_s)
+        while True:
+            f = dec.receive()
+            if f is None or f == "eof":
+                break
+            n += 1
+    dec.send_eof()
+    while True:
+        f = dec.receive()
+        if f is None or f == "eof":
+            break
+        n += 1
+    assert n == len(pkts)
+    # keyframe AUs flagged
+    assert aus[0].is_keyframe
+
+
+def test_opus_payload_depayload_roundtrip():
+    enc = AudioEncoder(Codec.OPUS, 48000, 2)
+    t = np.arange(48000) / 48000.0
+    pcm = np.stack([np.sin(2 * np.pi * 440 * t)] * 2, axis=1).astype(np.float32)
+    enc.send(pcm, 0.0)
+    enc.send_eof()
+    pkts = []
+    while True:
+        p = enc.receive()
+        if p is None or p == "eof":
+            break
+        pkts.append(p)
+    payloader = OpusPayloader(ssrc=2)
+    depayloader = OpusDepayloader()
+    aus = []
+    for p in pkts:
+        for rtp_pkt in payloader.payload(p.data, p.pts_s or 0.0):
+            aus += depayloader.push(rtp_pkt)
+    assert len(aus) == len(pkts)
+    assert abs(aus[-1].pts_s - (pkts[-1].pts_s or 0.0)) < 0.010  # opus preskip
+
+
+def _tcp_send_rtp(port: int, packets, pace_s: float = 0.0):
+    """PacketSender: stream framed RTP over TCP then close (EOS)."""
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    try:
+        for pkt in packets:
+            data = pkt.serialize()
+            s.sendall(struct.pack("!H", len(data)) + data)
+            if pace_s:
+                time.sleep(pace_s)
+    finally:
+        s.close()
+
+
+def test_rtp_input_pipeline_to_mp4(tmp_path):
+    """RTP (TCP) h264+opus in → compose → MP4 out."""
+    out_path = str(tmp_path / "out.mp4")
+
+    pipeline = Pipeline(
+        PipelineOptions(
+            output_framerate=Framerate(30),
+            ahead_of_time_processing=True,
+            never_drop_output_frames=True,
+        )
+    )
+    source = RtpInputSource(
+        RtpInputOptions(transport="tcp_server", video_codec="h264", audio_codec="opus")
+    )
+    pipeline.register_input(
+        "cam", source, RegisterInputOptions(required=True, offset=0.0)
+    )
+    pipeline.register_output(
+        "out",
+        Mp4OutputSink(out_path),
+        video=OutputVideoOptions(
+            resolution=Resolution(128, 96),
+            encoder=VideoEncoderOptions(codec="h264", preset="ultrafast"),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="cam")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+        audio=OutputAudioOptions(
+            encoder=AudioEncoderOptions(codec="aac"),
+            initial_mixer_config=AudioMixerConfig(
+                inputs=[AudioMixerInputConfig("cam")]
+            ),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+
+    # build the RTP stream: 1s video + 1s audio
+    vpkts = _encode_test_frames(n=30)
+    payloader = H264Payloader(ssrc=1, mtu=1200)
+    rtp_stream = []
+    for p in vpkts:
+        rtp_stream += payloader.payload(p.data, p.pts_s or 0.0)
+    aenc = AudioEncoder(Codec.OPUS, 48000, 2)
+    t = np.arange(48000) / 48000.0
+    pcm = np.stack([np.sin(2 * np.pi * 330 * t)] * 2, axis=1).astype(np.float32)
+    aenc.send(pcm, 0.0)
+    aenc.send_eof()
+    apayloader = OpusPayloader(ssrc=2)
+    while True:
+        p = aenc.receive()
+        if p is None or p == "eof":
+            break
+        rtp_stream += apayloader.payload(p.data, p.pts_s or 0.0)
+
+    pipeline.start()
+    sender = threading.Thread(
+        target=_tcp_send_rtp, args=(source.port, rtp_stream), daemon=True
+    )
+    sender.start()
+    pipeline.wait_for_outputs_done(timeout=240)
+    pipeline.close()
+
+    frames, audio, infos = _decode_output(out_path)
+    assert len(frames) >= 25, len(frames)
+    assert audio.shape[0] > 30000
+    # gradient brightness should appear in output luma
+    ys = [float(f[0].mean()) for f in frames]
+    assert max(ys) - min(ys) > 50
+
+
+def test_rtp_output_loopback(tmp_path):
+    """MP4 in → RTP out (TCP server); client depayloads and decodes."""
+    from tests.test_pipeline import _make_source_mp4
+    from smelter_tpu.pipeline import Mp4Input, Mp4InputOptions
+
+    src = str(tmp_path / "a.mp4")
+    _make_source_mp4(src, "red", 440.0)
+
+    pipeline = Pipeline(
+        PipelineOptions(
+            output_framerate=Framerate(30),
+            ahead_of_time_processing=True,
+            never_drop_output_frames=True,
+        )
+    )
+    pipeline.register_input(
+        "a", Mp4Input(Mp4InputOptions(path=src)),
+        RegisterInputOptions(required=True, offset=0.0),
+    )
+    sink = RtpOutputSink(RtpOutputOptions(transport="tcp_server"))
+    pipeline.register_output(
+        "out",
+        sink,
+        video=OutputVideoOptions(
+            resolution=Resolution(320, 240),
+            encoder=VideoEncoderOptions(
+                codec="h264", preset="ultrafast", ffmpeg_options="global_header=0"
+            ),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="a")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+        audio=OutputAudioOptions(
+            encoder=AudioEncoderOptions(codec="opus", sample_rate=48000),
+            initial_mixer_config=AudioMixerConfig(inputs=[AudioMixerInputConfig("a")]),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+
+    received = []
+
+    def receiver():
+        s = socket.create_connection(("127.0.0.1", sink.port), timeout=10)
+        s.settimeout(1.0)
+        buf = b""
+        try:
+            while True:
+                try:
+                    chunk = s.recv(65536)
+                except socket.timeout:
+                    continue
+                if not chunk:
+                    break
+                buf += chunk
+                while len(buf) >= 2:
+                    size = struct.unpack("!H", buf[:2])[0]
+                    if len(buf) < 2 + size:
+                        break
+                    pkt = RtpPacket.parse(buf[2 : 2 + size])
+                    if pkt:
+                        received.append(pkt)
+                    buf = buf[2 + size :]
+        finally:
+            s.close()
+
+    rt = threading.Thread(target=receiver, daemon=True)
+    rt.start()
+    pipeline.start()
+    pipeline.wait_for_outputs_done(timeout=240)
+    time.sleep(0.5)
+    pipeline.close()
+    rt.join(timeout=10)
+
+    video_pkts = [p for p in received if p.payload_type == 96]
+    audio_pkts = [p for p in received if p.payload_type == 111]
+    assert len(video_pkts) >= 50
+    assert len(audio_pkts) >= 80  # ~2s of 20ms opus frames
+
+    dep = H264Depayloader()
+    aus = []
+    for p in video_pkts:
+        aus += dep.push(p)
+    assert len(aus) >= 55
+    dec = VideoDecoder(Codec.H264)
+    n = 0
+    v_mean = []
+    for au in aus:
+        dec.send(au.data, au.pts_s)
+        while True:
+            f = dec.receive()
+            if f is None or f == "eof":
+                break
+            v_mean.append(float(f[2].mean()))
+            n += 1
+    assert n >= 55
+    # red content → V plane high
+    assert np.mean(v_mean) > 180
