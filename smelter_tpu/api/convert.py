@@ -331,14 +331,19 @@ def output_audio_options(a: api.OutputAudioOptions) -> pout.OutputAudioOptions:
     )
 
 
-def mp4_input(m: api.Mp4Input):
+def mp4_input(m: api.Mp4Input, side_channel_dir: Optional[str] = None):
     if bool(m.url) == bool(m.path):
         raise ConversionError(
             "Exactly one of \"url\" or \"path\" has to be specified in a register request for an mp4 input."
         )
     source = Mp4Input(Mp4InputOptions(path=m.path or m.url, loop=bool(m.loop_)))
+    sc = m.side_channel or {}
     opts = RegisterInputOptions(
         required=bool(m.required),
         offset=(m.offset_ms / 1000.0) if m.offset_ms is not None else None,
+        side_channel_video=bool(sc.get("video")),
+        side_channel_audio=bool(sc.get("audio")),
+        side_channel_dir=side_channel_dir,
+        side_channel_delay=float(sc.get("delay_ms") or 0.0) / 1000.0,
     )
     return source, opts

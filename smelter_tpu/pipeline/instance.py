@@ -22,6 +22,7 @@ output is written by the encoder threads while frame N+1 composes on the TPU.
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional, Set
@@ -68,6 +69,12 @@ class RegisterInputOptions:
     required: bool = False
     offset: Optional[float] = None        # None = "from start of first frame"
     buffer_duration: float = 0.3
+    # side channel (reference `input/side_channel.rs`): publish decoded
+    # frames/PCM on unix sockets for external ML consumers
+    side_channel_video: bool = False
+    side_channel_audio: bool = False
+    side_channel_dir: Optional[str] = None
+    side_channel_delay: float = 0.0
 
 
 class Pipeline:
@@ -103,6 +110,7 @@ class Pipeline:
         # inputs whose EOS has been dispatched to end conditions
         self._video_eos_seen: Set[str] = set()
         self._audio_eos_seen: Set[str] = set()
+        self._side_channels: Dict[str, list] = {}
 
     # ------------------------------------------------------------------ inputs
 
@@ -129,10 +137,37 @@ class Pipeline:
                 has_video=source.has_video, has_audio=source.has_audio,
             )
             vch, ach = qi.current.video, qi.current.audio
+            video_channel = vch.channel if vch else None
+            audio_channel = ach.channel if ach else None
+            # wrap in side-channel tees if requested
+            side_channels = []
+            if options.side_channel_video or options.side_channel_audio:
+                import tempfile
+
+                from smelter_tpu.pipeline.side_channel import (
+                    AudioSideChannel,
+                    TeeChannel,
+                    VideoSideChannel,
+                )
+
+                sc_dir = options.side_channel_dir or os.path.join(
+                    tempfile.gettempdir(), "smelter_side_channel"
+                )
+                if options.side_channel_video and video_channel is not None:
+                    vsc = VideoSideChannel(sc_dir, input_id)
+                    side_channels.append(vsc)
+                    video_channel = TeeChannel(video_channel, vsc.publish)
+                if options.side_channel_audio and audio_channel is not None:
+                    asc = AudioSideChannel(
+                        sc_dir, input_id, self.options.mixing_sample_rate
+                    )
+                    side_channels.append(asc)
+                    audio_channel = TeeChannel(audio_channel, asc.publish)
+            self._side_channels[input_id] = side_channels
             ctx = InputCtx(
                 input_id=input_id,
-                video_channel=vch.channel if vch else None,
-                audio_channel=ach.channel if ach else None,
+                video_channel=video_channel,
+                audio_channel=audio_channel,
                 mixing_sample_rate=self.options.mixing_sample_rate,
             )
             if source.has_video:
@@ -154,6 +189,8 @@ class Pipeline:
             if source is None:
                 raise KeyError(input_id)
             source.stop()
+            for sc in self._side_channels.pop(input_id, []):
+                sc.close()
             self.queue.remove_input(input_id)
             self.renderer.unregister_input(input_id)
             self.audio_mixer.unregister_input(input_id)
@@ -283,6 +320,10 @@ class Pipeline:
         with self._lock:
             for src in self._inputs.values():
                 src.stop()
+            for scs in self._side_channels.values():
+                for sc in scs:
+                    sc.close()
+            self._side_channels.clear()
             outs = list(self._outputs.values())
         for out in outs:
             out.close()

@@ -127,7 +127,9 @@ def build_app(state: ApiState) -> web.Application:
 
             def do() -> dict:
                 if isinstance(spec, api.Mp4Input):
-                    source, opts = convert.mp4_input(spec)
+                    source, opts = convert.mp4_input(
+                        spec, side_channel_dir=state.config.side_channel_socket_dir or None
+                    )
                     state.pipeline.register_input(input_id, source, opts)
                     state.input_kinds[input_id] = "mp4"
                     vd = source._video_info.duration_s if source._video_info else None
