@@ -50,10 +50,21 @@ def main() -> None:
     # (host->HBM upload overlap is the C++ IO service's job, benched separately)
     dev_frames = [jax.device_put(f) for f in host_frames]
 
+    # jitted scalar checksum: cheap true-completion sync (a large-array
+    # device->host fetch triggers a pathological eager layout-conversion
+    # compile on tunneled platforms; block_until_ready alone can return
+    # early there)
+    jsum = jax.jit(lambda t: jnp.sum(t[0].astype(jnp.int32)))
+
+    def sync(o) -> int:
+        return int(np.asarray(jsum(o)))
+
     for i in range(WARMUP):
         out = jfn(*dev_frames[i % 2])
-    jax.block_until_ready(out)
+    sync(out)
 
+    # blocked per-frame timing (true latency on local devices; on tunneled
+    # devices the dispatch RTT dominates and amortized timing is used below)
     lat = []
     for i in range(ITERS):
         t0 = time.perf_counter()
@@ -61,10 +72,22 @@ def main() -> None:
         jax.block_until_ready(out)
         lat.append(time.perf_counter() - t0)
 
+    # pipelined amortized timing — upper bound on device compute per frame
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = jfn(*dev_frames[i % 2])
+    sync(out)
+    pipe_ms = (time.perf_counter() - t0) / ITERS * 1000.0
+
     lat_ms = sorted(x * 1000.0 for x in lat)
     p50 = statistics.median(lat_ms)
     p95 = lat_ms[int(len(lat_ms) * 0.95) - 1]
-    fps = 1000.0 / p50
+    if p50 < pipe_ms:
+        # block_until_ready returned early (async tunnel) — use amortized
+        p50 = pipe_ms
+        p95 = max(p95, pipe_ms)
+    throughput_fps = 1000.0 / pipe_ms
+    fps = throughput_fps
     result = {
         "metric": "compose_fps_16x1080p_to_4k_1chip",
         "value": round(fps, 2),
@@ -72,6 +95,8 @@ def main() -> None:
         "vs_baseline": round(fps / 60.0, 3),
         "p50_ms": round(p50, 3),
         "p95_ms": round(p95, 3),
+        "amortized_ms_per_frame": round(pipe_ms, 3),
+        "throughput_fps": round(throughput_fps, 2),
         "n_inputs": N_INPUTS,
         "device": str(jax.devices()[0]),
     }

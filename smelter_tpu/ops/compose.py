@@ -20,6 +20,7 @@ Corner-radius order is [top_left, top_right, bottom_right, bottom_left].
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -41,6 +42,14 @@ class LayoutStatic:
     n_masks: int = 0
     has_rotation: bool = False
     has_border: bool = False  # border_width can be > 0
+    # fast path (rect not animating): integer placement rect + source crop.
+    # When set, the layout renders region-local — a static-size separable
+    # resize (MXU matmuls) placed with a static slice update — instead of a
+    # full-canvas gather pass. Chosen per frame by the program planner, which
+    # watches whether the rect is changing (transitions) frame to frame.
+    static_rect: Optional[Tuple[int, int, int, int]] = None  # top, left, h, w
+    static_crop: Optional[Tuple[int, int, int, int]] = None  # top, left, h, w
+    static_blur: float = 0.0  # box-shadow blur (needs static render region)
 
 
 @jax.tree_util.register_dataclass
@@ -177,6 +186,91 @@ def render_single_layout(
     return out * mask_alpha[..., None]
 
 
+def _render_rect_layout(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    canvas: jnp.ndarray,  # (H, W, 4) premultiplied f32
+) -> jnp.ndarray:
+    """Fast path: render one non-rotated layout region-locally and blend it
+    into the canvas with a static slice update (in place inside the fused
+    program). Rect placement is integer; colors/radii/masks stay traced."""
+    H, W = canvas.shape[0], canvas.shape[1]
+    top, left, h, w = static.static_rect  # type: ignore[misc]
+    if static.content == "box_shadow":
+        pad = int(math.ceil(static.static_blur)) + 1
+        top, left, h, w = top - pad, left - pad, h + 2 * pad, w + 2 * pad
+    # static clip to canvas
+    y0, y1 = max(top, 0), min(top + h, H)
+    x0, x1 = max(left, 0), min(left + w, W)
+    if y0 >= y1 or x0 >= x1:
+        return canvas
+    vh, vw = y1 - y0, x1 - x0
+
+    # absolute pixel-center coords of the visible region (static)
+    py = (jnp.arange(y0, y1, dtype=jnp.float32) + 0.5)[:, None]
+    px = (jnp.arange(x0, x1, dtype=jnp.float32) + 0.5)[None, :]
+    py = jnp.broadcast_to(py, (vh, vw))
+    px = jnp.broadcast_to(px, (vh, vw))
+
+    # rect geometry (use the traced values so sub-pixel params still shade
+    # the SDF correctly; placement itself is integer)
+    rw, rh = params.width, params.height
+    cx = params.left + rw * 0.5
+    cy = params.top + rh * 0.5
+    dx = px - cx
+    dy = py - cy
+
+    mask_alpha = _mask_alpha(px, py, params, static.n_masks)
+    edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
+
+    if static.content == "box_shadow":
+        blur = jnp.maximum(params.blur_radius, 1.0)
+        a = smoothstep(-blur * 0.5, blur * 0.5, edge) * mask_alpha
+        layer = _premultiply(params.color)[None, None, :] * a[..., None]
+    else:
+        if static.content == "color":
+            content = jnp.broadcast_to(
+                _premultiply(params.color)[None, None, :], (vh, vw, 4)
+            )
+        else:
+            from smelter_tpu.ops.resample import resize_matmul
+
+            mips = sources[static.source_index]
+            img = mips[0] if isinstance(mips, (list, tuple)) else mips
+            ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
+            src = img[ct : ct + chh, cl : cl + cww]
+            # (h', w', 4) resize via MXU; channel axis moves through einsum
+            tile = resize_matmul(
+                jnp.moveaxis(src, -1, 0),
+                max(top + h, y1) - top if False else h,
+                w,
+            )
+            tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+            # visible slice of the resized tile
+            content = tile[y0 - top : y0 - top + vh, x0 - left : x0 - left + vw]
+
+        if static.has_border:
+            bw = params.border_width
+            border_color = _premultiply(params.border_color)[None, None, :]
+            if static.content == "color":
+                border_alpha = smoothstep(bw, bw + 1.0, edge)
+            else:
+                border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
+            inner = border_color + (content - border_color) * border_alpha[..., None]
+            content_alpha = smoothstep(-0.5, 0.5, edge)
+            outer = border_color * content_alpha[..., None]
+            layer = jnp.where((edge > bw * 0.5)[..., None], inner, outer)
+            layer = layer * mask_alpha[..., None]
+        else:
+            a = smoothstep(-0.5, 0.5, edge) * mask_alpha
+            layer = content * a[..., None]
+
+    region = canvas[y0:y1, x0:x1]
+    blended = layer + region * (1.0 - layer[..., 3:4])
+    return canvas.at[y0:y1, x0:x1].set(blended)
+
+
 def compose_layouts(
     resolution: Tuple[int, int],  # (width, height)
     statics: Sequence[LayoutStatic],
@@ -185,18 +279,29 @@ def compose_layouts(
     background: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Blend all layouts over a transparent canvas; returns premultiplied
-    (H, W, 4) f32. Layout order = paint order (later on top)."""
+    (H, W, 4) f32. Layout order = paint order (later on top).
+
+    Layouts whose `static_rect` is set take the region-local fast path
+    (no full-canvas gathers); the rest run the general full-canvas pass
+    (rotation / animating rects)."""
     w, h = resolution
-    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
-    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
-    px = jnp.broadcast_to(px, (h, w))
-    py = jnp.broadcast_to(py, (h, w))
     canvas = (
         background
         if background is not None
         else jnp.zeros((h, w, 4), jnp.float32)
     )
+    px = py = None
     for st, p in zip(statics, params):
+        if st.static_rect is not None and not st.has_rotation:
+            canvas = _render_rect_layout(st, p, sources, canvas)
+            continue
+        if px is None:
+            px = jnp.broadcast_to(
+                (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :], (h, w)
+            )
+            py = jnp.broadcast_to(
+                (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None], (h, w)
+            )
         layer = render_single_layout(st, p, sources, px, py)
         canvas = layer + canvas * (1.0 - layer[..., 3:4])
     return canvas

@@ -114,6 +114,66 @@ def resize_lanczos3(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return img
 
 
+def _dense_axis_weights(in_size: int, out_size: int, kind: str) -> np.ndarray:
+    """Dense (out, in) resampling matrix for one axis.
+
+    TPU-first: a separable resize IS two small dense matmuls, which XLA maps
+    straight onto the MXU — far faster than gather-based sampling. The band
+    structure wastes some zeros but the matrices are tiny (e.g. 540x1080 f32
+    ≈ 2.3 MB) next to the pixel data.
+    """
+    W = np.zeros((out_size, in_size), np.float32)
+    if kind == "lanczos3":
+        idx, wts = lanczos_axis_weights(in_size, out_size)
+        for o in range(out_size):
+            np.add.at(W[o], idx[o], wts[o])
+    elif kind == "bilinear":
+        pos = np.clip(_axis_positions(out_size, in_size), 0.0, in_size - 1.0)
+        lo = np.floor(pos).astype(np.int32)
+        hi = np.minimum(lo + 1, in_size - 1)
+        f = (pos - lo).astype(np.float32)
+        for o in range(out_size):
+            W[o, lo[o]] += 1.0 - f[o]
+            W[o, hi[o]] += f[o]
+    else:
+        raise ValueError(f"unknown resize kind {kind!r}")
+    return W
+
+
+def resize_matmul(
+    img: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    kind: str = "lanczos3",
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Separable resize as two MXU matmuls. ``img``: (..., H, W) — leading
+    batch dims allowed; resizes the last two axes. uint8 inputs are exact in
+    bf16 (integers < 256 fit the 8-bit mantissa); accumulation is f32."""
+    in_h, in_w = img.shape[-2], img.shape[-1]
+    x = img.astype(compute_dtype)
+    if in_h != out_h:
+        Wh = jnp.asarray(_dense_axis_weights(in_h, out_h, kind), compute_dtype)
+        # (..., H, W) x (out_h, H) -> (..., out_h, W)
+        x = jnp.einsum(
+            "oh,...hw->...ow", Wh, x, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+    if in_w != out_w:
+        Ww = jnp.asarray(_dense_axis_weights(in_w, out_w, kind), compute_dtype)
+        x = jnp.einsum(
+            "ow,...hw->...ho", Ww, x, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+    return x
+
+
+def resize_matmul_u8(
+    img: jnp.ndarray, out_h: int, out_w: int, kind: str = "lanczos3"
+) -> jnp.ndarray:
+    """uint8 → resized uint8 via bf16 MXU matmuls (rounds and clips)."""
+    out = resize_matmul(img, out_h, out_w, kind).astype(jnp.float32)
+    return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """GPU-sampler-equivalent bilinear resize (texel-center aligned), static
     output size."""

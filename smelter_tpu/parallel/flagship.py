@@ -3,15 +3,28 @@
 This is the BASELINE.json north-star configuration (16x1080p -> 4K60) as a
 pure jittable function, plus a multi-chip sharded variant.
 
-Single chip: one fused XLA program - YUV->RGB conversion, mip build, Tiles
-layout compose (via the scene engine's real flatten output), RGB->YUV420.
+TPU-first design (single chip): the Tiles benchmark scene is an *opaque
+axis-aligned grid*, so the whole compose stays in the YUV domain — no
+RGBA roundtrip, no per-pixel gathers:
+
+  - per-input rescale runs as separable dense matmuls on the MXU
+    (`resize_matmul`: u8 -> bf16 exact, f32 accumulate), batched over all N
+    inputs in one einsum per plane when tiles are uniform
+  - tiles land in the canvas via static slice updates (XLA performs them
+    in place inside the fused program)
+  - chroma planes are processed at half resolution, exactly like the
+    reference's YUV pipeline avoids upsampling (rgba_to_yuv.wgsl)
+
+Scenes that are NOT an opaque grid (rotation, radii, borders, masks, alpha)
+fall back to the general RGBA compose program (`ops/compose.py`), same as the
+renderer uses.
 
 Multi chip (jax.sharding over a Mesh):
   - inputs are stacked (N, H, W) planes sharded along N ("streams" axis):
-    per-stream color conversion + rescale-to-tile runs fully parallel
+    per-stream rescale runs fully parallel
   - the gather of tiles into the output canvas is a reshape/transpose whose
     resharding XLA lowers to an all-gather over ICI
-  - output canvas conversion is sharded along output rows ("space" axis)
+  - output assembly is sharded along output rows ("space" axis)
 """
 
 from __future__ import annotations
@@ -27,9 +40,10 @@ import numpy as np
 from smelter_tpu.core.types import PixelFormat, Resolution, RGBAColor
 from smelter_tpu.ops import color_convert as cc
 from smelter_tpu.ops.compose import compose_layouts
-from smelter_tpu.ops.resample import build_mips, resize_bilinear, resize_lanczos3
+from smelter_tpu.ops.resample import build_mips, resize_matmul
 from smelter_tpu.render.program import split_layout
 from smelter_tpu.scene import components as comp
+from smelter_tpu.scene.layout_types import RenderChildNode, RenderColor
 from smelter_tpu.scene.scene_state import BuildCtx, LayoutNode, build_stateful
 
 
@@ -53,16 +67,125 @@ def _tiles_layouts(n_inputs: int, in_res: Resolution, out_res: Resolution):
     return nested.flatten([in_res] * n_inputs, out_res)
 
 
+def _rgb_to_yuv_limited(color: RGBAColor) -> Tuple[int, int, int]:
+    """BT.709 RGB -> limited-range YUV for a constant color
+    (same matrix as `ops/color_convert.py` / rgba_to_yuv.wgsl:27-57)."""
+    r, g, b = color.r / 255.0, color.g / 255.0, color.b / 255.0
+    y = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    u = (b - y) / 1.8556
+    v = (r - y) / 1.5748
+    return (
+        int(round(16.0 + 219.0 * y)),
+        int(round(128.0 + 224.0 * u)),
+        int(round(128.0 + 224.0 * v)),
+    )
+
+
+def _analyze_opaque_grid(flat, out_res: Resolution):
+    """If the flattened layout list is background + opaque axis-aligned child
+    rects (the Tiles case), return (bg_yuv, [(index, top, left, h, w)]);
+    else None."""
+    bg = (0, 128, 128)
+    tiles = []
+    for l in flat:
+        c = l.content
+        if abs(l.rotation_degrees) > 1e-9 or l.masks:
+            return None
+        if any(r > 1e-6 for r in l.border_radius.as_tuple()):
+            return None
+        if isinstance(c, RenderColor):
+            if c.border_width > 0:
+                return None
+            full_canvas = (
+                l.top <= 0.5 and l.left <= 0.5
+                and l.width >= out_res.width - 1 and l.height >= out_res.height - 1
+            )
+            if not full_canvas or tiles:
+                return None  # colored rect above tiles -> general path
+            if c.color.a < 255:
+                return None
+            bg = _rgb_to_yuv_limited(c.color)
+        elif isinstance(c, RenderChildNode):
+            if c.border_width > 0:
+                return None
+            # crop must be the full source (flatten emits full-source crop)
+            top = int(round(l.top / 2.0)) * 2
+            left = int(round(l.left / 2.0)) * 2
+            h = int(round(l.height / 2.0)) * 2
+            w = int(round(l.width / 2.0)) * 2
+            if h <= 0 or w <= 0:
+                return None
+            if top < 0 or left < 0 or top + h > out_res.height or left + w > out_res.width:
+                return None
+            tiles.append((c.index, top, left, h, w))
+        else:
+            return None  # shadows etc. -> general path
+    return bg, tiles
+
+
 def make_flagship_compose(
     n_inputs: int = 16,
     in_res: Resolution = Resolution(1920, 1080),
     out_res: Resolution = Resolution(3840, 2160),
 ):
     """Returns (fn, example_args): jittable fn(y, u, v) with stacked u8 plane
-    batches (N,H,W)/(N,H/2,W/2) -> 4K YUV420 planes."""
+    batches (N,H,W)/(N,H/2,W/2) -> 4K YUV420 planes (u8)."""
     flat = _tiles_layouts(n_inputs, in_res, out_res)
+    grid = _analyze_opaque_grid(flat, out_res)
+    if grid is not None:
+        return _make_yuv_grid_compose(grid, n_inputs, in_res, out_res)
+    return _make_general_compose(flat, n_inputs, in_res, out_res)
+
+
+def _make_yuv_grid_compose(grid, n_inputs, in_res: Resolution, out_res: Resolution):
+    bg, tiles = grid
+    H, W = out_res.height, out_res.width
+    ch, cw = H // 2, W // 2
+    sizes = {(h, w) for _, _, _, h, w in tiles}
+    uniform = len(sizes) == 1 and len(tiles) == n_inputs
+
+    def fn(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+        canvas_y = jnp.full((H, W), jnp.uint8(bg[0]))
+        canvas_u = jnp.full((ch, cw), jnp.uint8(bg[1]))
+        canvas_v = jnp.full((ch, cw), jnp.uint8(bg[2]))
+        if uniform:
+            _, _, _, th, tw = tiles[0]
+            ty = _round_u8(resize_matmul(y, th, tw))          # (N, th, tw)
+            tu = _round_u8(resize_matmul(u, th // 2, tw // 2))
+            tv = _round_u8(resize_matmul(v, th // 2, tw // 2))
+            for idx, top, left, h, w in tiles:
+                canvas_y = canvas_y.at[top : top + h, left : left + w].set(ty[idx])
+                canvas_u = canvas_u.at[
+                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
+                ].set(tu[idx])
+                canvas_v = canvas_v.at[
+                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
+                ].set(tv[idx])
+        else:
+            for idx, top, left, h, w in tiles:
+                ty = _round_u8(resize_matmul(y[idx], h, w))
+                tu = _round_u8(resize_matmul(u[idx], h // 2, w // 2))
+                tv = _round_u8(resize_matmul(v[idx], h // 2, w // 2))
+                canvas_y = canvas_y.at[top : top + h, left : left + w].set(ty)
+                canvas_u = canvas_u.at[
+                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
+                ].set(tu)
+                canvas_v = canvas_v.at[
+                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
+                ].set(tv)
+        return canvas_y, canvas_u, canvas_v
+
+    return fn, _example_args(n_inputs, in_res)
+
+
+def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x.astype(jnp.float32) + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
+def _make_general_compose(flat, n_inputs, in_res: Resolution, out_res: Resolution):
+    """General path: RGBA compose program (rotations, radii, alpha...)."""
     statics, params = zip(*(split_layout(l) for l in flat))
-    levels = 2  # 1080p -> ~960x540 tiles: one extra mip level suffices
+    levels = 2
 
     def fn(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
         sources = [None] * n_inputs
@@ -74,12 +197,15 @@ def make_flagship_compose(
         )
         return cc.rgba_to_planar_yuv420(canvas)
 
-    example_args = (
+    return fn, _example_args(n_inputs, in_res)
+
+
+def _example_args(n_inputs: int, in_res: Resolution):
+    return (
         jnp.zeros((n_inputs, in_res.height, in_res.width), jnp.uint8),
         jnp.full((n_inputs, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
         jnp.full((n_inputs, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
     )
-    return fn, example_args
 
 
 def make_multichip_step(
@@ -90,9 +216,9 @@ def make_multichip_step(
 ):
     """Full sharded compose step over a ("streams", "space") mesh.
 
-    Per-stream stages (convert + rescale to tile) shard along "streams";
-    the canvas assembly reshards to row-sharding along "space" (XLA inserts
-    the ICI collectives); output color conversion runs row-sharded.
+    Per-stream stages (rescale to tile) shard along "streams"; the canvas
+    assembly reshards to row-sharding along "space" (XLA inserts the ICI
+    collectives); output rows stay "space"-sharded.
 
     Returns (jitted_fn, example_args).
     """
@@ -107,34 +233,33 @@ def make_multichip_step(
     tile_w = out_res.width // cols
 
     in_spec = jax.sharding.NamedSharding(mesh, P("streams", None, None))
-    out_spec = jax.sharding.NamedSharding(mesh, P(None, "space", None))
 
     def step(y, u, v):
-        # stage 1: per-stream convert + rescale (sharded along streams)
-        def per_stream(yi, ui, vi):
-            rgba = cc.planar_yuv_to_rgba(yi, ui, vi)
-            return resize_bilinear(rgba, tile_h, tile_w)
+        # stage 1: per-stream rescale (sharded along streams, MXU matmuls)
+        ty = _round_u8(resize_matmul(y, tile_h, tile_w))
+        tu = _round_u8(resize_matmul(u, tile_h // 2, tile_w // 2))
+        tv = _round_u8(resize_matmul(v, tile_h // 2, tile_w // 2))
 
-        tiles = jax.vmap(per_stream)(y, u, v)  # (N, th, tw, 4) streams-sharded
         # stage 2: assemble canvas (resharding gathers tiles over ICI)
-        grid = tiles.reshape(rows, cols, tile_h, tile_w, 4)
-        canvas = grid.transpose(0, 2, 1, 3, 4).reshape(
-            rows * tile_h, cols * tile_w, 4
-        )
-        # stage 3: output conversion, sharded along output rows ("space")
-        canvas = jax.lax.with_sharding_constraint(
-            canvas, jax.sharding.NamedSharding(mesh, P("space", None, None))
-        )
-        return cc.rgba_to_planar_yuv420(canvas)
+        def assemble(tiles, th, tw):
+            grid = tiles.reshape(rows, cols, th, tw)
+            return grid.transpose(0, 2, 1, 3).reshape(rows * th, cols * tw)
 
+        canvas_y = assemble(ty, tile_h, tile_w)
+        canvas_u = assemble(tu, tile_h // 2, tile_w // 2)
+        canvas_v = assemble(tv, tile_h // 2, tile_w // 2)
+        # stage 3: output rows sharded along "space"
+        row_shard = jax.sharding.NamedSharding(mesh, P("space", None))
+        canvas_y = jax.lax.with_sharding_constraint(canvas_y, row_shard)
+        canvas_u = jax.lax.with_sharding_constraint(canvas_u, row_shard)
+        canvas_v = jax.lax.with_sharding_constraint(canvas_v, row_shard)
+        return canvas_y, canvas_u, canvas_v
+
+    out_spec = jax.sharding.NamedSharding(mesh, P("space", None))
     jitted = jax.jit(
         step,
         in_shardings=(in_spec, in_spec, in_spec),
-        out_shardings=(
-            jax.sharding.NamedSharding(mesh, P("space", None)),
-            jax.sharding.NamedSharding(mesh, P("space", None)),
-            jax.sharding.NamedSharding(mesh, P("space", None)),
-        ),
+        out_shardings=(out_spec, out_spec, out_spec),
     )
     example_args = (
         jnp.zeros((n, in_res.height, in_res.width), jnp.uint8),

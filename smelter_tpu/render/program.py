@@ -66,9 +66,37 @@ def _mip_levels(res: Resolution) -> int:
 # ---------------------------------------------------------------------------
 
 
-def split_layout(layout: RenderLayout) -> Tuple[LayoutStatic, LayoutParams]:
+def split_layout(
+    layout: RenderLayout, fast: bool = False
+) -> Tuple[LayoutStatic, LayoutParams]:
+    """``fast=True`` bakes the (non-animating) rect/crop into the static part
+    so the compose op can use the region-local MXU path instead of
+    full-canvas gathers. The planner decides per frame (see
+    `OutputProgram.plan`): a rect that moved since the previous frame renders
+    via the general path; stable rects take the fast path."""
     c = layout.content
     n_masks = len(layout.masks)
+    static_rect = None
+    static_crop = None
+    static_blur = 0.0
+    if fast and abs(layout.rotation_degrees) <= 1e-9:
+        rect = (
+            int(round(layout.top)),
+            int(round(layout.left)),
+            int(round(layout.height)),
+            int(round(layout.width)),
+        )
+        if rect[2] > 0 and rect[3] > 0:
+            static_rect = rect
+            if isinstance(c, RenderChildNode):
+                static_crop = (
+                    int(round(c.crop.top)),
+                    int(round(c.crop.left)),
+                    max(int(round(c.crop.height)), 1),
+                    max(int(round(c.crop.width)), 1),
+                )
+            if isinstance(c, RenderBoxShadow):
+                static_blur = float(c.blur_radius)
     masks = np.zeros((max(n_masks, 1), 8), np.float32)
     for i, m in enumerate(layout.masks[:MAX_MASKS_COUNT]):
         masks[i] = [*m.radius.as_tuple(), m.top, m.left, m.width, m.height]
@@ -92,6 +120,8 @@ def split_layout(layout: RenderLayout) -> Tuple[LayoutStatic, LayoutParams]:
             n_masks=min(n_masks, MAX_MASKS_COUNT),
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
             has_border=c.border_width > 0.0,
+            static_rect=static_rect,
+            static_crop=static_crop,
         )
         params = LayoutParams(
             **common,
@@ -109,6 +139,7 @@ def split_layout(layout: RenderLayout) -> Tuple[LayoutStatic, LayoutParams]:
             n_masks=min(n_masks, MAX_MASKS_COUNT),
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
             has_border=c.border_width > 0.0,
+            static_rect=static_rect,
         )
         params = LayoutParams(
             **common,
@@ -123,6 +154,8 @@ def split_layout(layout: RenderLayout) -> Tuple[LayoutStatic, LayoutParams]:
             content="box_shadow",
             n_masks=min(n_masks, MAX_MASKS_COUNT),
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
+            static_rect=static_rect,
+            static_blur=static_blur,
         )
         params = LayoutParams(
             **common,
@@ -234,6 +267,9 @@ class OutputProgram:
         self._next_id = 0
         self._assign_ids(root)
         self._jit_cache: Dict[tuple, Callable] = {}
+        # (node_id, layout_index) -> last rect signature; used to detect
+        # animating layouts (transitions) and route them to the general path
+        self._rect_history: Dict[tuple, tuple] = {}
 
     def _assign_ids(self, node: Node) -> None:
         self._node_ids[id(node)] = self._next_id
@@ -312,8 +348,25 @@ class OutputProgram:
                 flat = nested.flatten(child_res, res)
                 statics = []
                 params = []
-                for layout in flat:
-                    st, pp = split_layout(layout)
+                for i, layout in enumerate(flat):
+                    sig_key = (nid, i)
+                    c = layout.content
+                    crop_sig = ()
+                    if hasattr(c, "crop"):
+                        crop_sig = (
+                            round(c.crop.top, 2), round(c.crop.left, 2),
+                            round(c.crop.width, 2), round(c.crop.height, 2),
+                        )
+                    sig = (
+                        round(layout.top, 2), round(layout.left, 2),
+                        round(layout.width, 2), round(layout.height, 2),
+                        round(layout.rotation_degrees, 3), crop_sig,
+                    )
+                    prev = self._rect_history.get(sig_key)
+                    # fast on first sight or when stable; general while moving
+                    fast = prev is None or prev == sig
+                    self._rect_history[sig_key] = sig
+                    st, pp = split_layout(layout, fast=fast)
                     statics.append(st)
                     params.append(pp)
                 layout_params[nid] = params

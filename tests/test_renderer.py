@@ -272,7 +272,19 @@ def test_no_recompile_during_transition():
     program = r._programs["out"]
     for i in range(1, 20):
         r.render(FrameSet(pts=i / 25.0))
-    assert len(program._jit_cache) == 1
+    # animating rects hop to the shared general (traced-rect) program: the
+    # 19 animation frames add at most ONE compile, not one per frame
+    assert len(program._jit_cache) <= 2
+    n_during = len(program._jit_cache)
+    # after the transition settles the end geometry gets its own fast
+    # program (one more compile), then every further frame is cache hits
+    for i in range(30, 40):
+        r.render(FrameSet(pts=i / 25.0))
+    assert len(program._jit_cache) <= n_during + 1
+    final = len(program._jit_cache)
+    for i in range(40, 50):
+        r.render(FrameSet(pts=i / 25.0))
+    assert len(program._jit_cache) == final
 
 
 def test_missing_input_renders_absent():
