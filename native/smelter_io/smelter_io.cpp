@@ -199,6 +199,7 @@ struct Mux {
     AVFormatContext *fmt = nullptr;
     AVPacket *pkt = nullptr;
     bool header_written = false;
+    std::string opts;
     ~Mux() {
         if (pkt) av_packet_free(&pkt);
         if (fmt) {
@@ -803,7 +804,7 @@ int sm_mux_open(const char *url, const char *format, const char *opts) {
         err = avio_open(&m->fmt->pb, url, AVIO_FLAG_WRITE);
         if (err < 0) return fail_av("avio_open", err);
     }
-    (void)opts;
+    if (opts && *opts) m->opts = opts;
     m->pkt = av_packet_alloc();
     return g_mux.put(std::move(m));
 }
@@ -857,7 +858,11 @@ int sm_mux_add_audio(int h, int32_t codec, int32_t sample_rate, int32_t channels
 int sm_mux_write_header(int h) {
     Mux *m = g_mux.get(h);
     if (!m) return fail("bad mux handle");
-    int err = avformat_write_header(m->fmt, nullptr);
+    AVDictionary *dict = nullptr;
+    if (!m->opts.empty())
+        av_dict_parse_string(&dict, m->opts.c_str(), "=", ",", 0);
+    int err = avformat_write_header(m->fmt, &dict);
+    av_dict_free(&dict);
     if (err < 0) return fail_av("write_header", err);
     m->header_written = true;
     return 0;

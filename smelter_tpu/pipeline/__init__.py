@@ -17,6 +17,7 @@ from smelter_tpu.pipeline.output import (
     AudioEncoderOptions,
     EncodedDataOutputSink,
     EndCondition,
+    HlsOutputSink,
     Mp4OutputSink,
     OutputAudioOptions,
     OutputVideoOptions,
@@ -38,6 +39,7 @@ __all__ = [
     "AudioEncoderOptions",
     "EncodedDataOutputSink",
     "EndCondition",
+    "HlsOutputSink",
     "Mp4OutputSink",
     "OutputAudioOptions",
     "OutputVideoOptions",

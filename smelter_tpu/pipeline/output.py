@@ -366,10 +366,14 @@ def _frame_to_yuv420(frame: Frame, resolution: Resolution):
 
 
 class Mp4OutputSink(OutputSink):
-    """Muxes encoded streams into an MP4 file (reference `mp4_output.rs`)."""
+    """Muxes encoded streams into an MP4 file (reference `mp4_output.rs`).
+    With format/opts it serves any FFmpeg container — `HlsOutputSink` uses it
+    for HLS playlists (reference `hls_output.rs`)."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, format: Optional[str] = None, opts: str = "") -> None:
         self.path = path
+        self._format = format
+        self._opts = opts
         self._lock = threading.Lock()
         self._mux = None
         self._video_stream: Optional[int] = None
@@ -399,7 +403,7 @@ class Mp4OutputSink(OutputSink):
 
         with self._lock:
             if self._mux is None:
-                self._mux = Muxer(self.path)
+                self._mux = Muxer(self.path, self._format, self._opts)
             self._video_stream = self._mux.add_video(
                 Codec.from_name(opts.encoder.codec),
                 opts.resolution.width,
@@ -415,7 +419,7 @@ class Mp4OutputSink(OutputSink):
 
         with self._lock:
             if self._mux is None:
-                self._mux = Muxer(self.path)
+                self._mux = Muxer(self.path, self._format, self._opts)
             self._audio_stream = self._mux.add_audio(
                 Codec.from_name(opts.encoder.codec),
                 opts.encoder.sample_rate,
@@ -453,6 +457,19 @@ class Mp4OutputSink(OutputSink):
                         pass
                 self._mux.close()
                 self._mux = None
+
+
+class HlsOutputSink(Mp4OutputSink):
+    """HLS output: segments + playlist via the FFmpeg hls muxer
+    (reference `hls/hls_output.rs`). ``path`` is the .m3u8 playlist path."""
+
+    def __init__(self, path: str, max_playlist_size: Optional[int] = None) -> None:
+        opts = "hls_time=2,hls_flags=independent_segments"
+        if max_playlist_size:
+            opts += f",hls_list_size={max_playlist_size}"
+        else:
+            opts += ",hls_list_size=0"
+        super().__init__(path, format="hls", opts=opts)
 
 
 class RawDataOutputSink(OutputSink):

@@ -310,6 +310,20 @@ class QueueInput:
     def required(self) -> bool:
         return self.options.required
 
+    def media_done(self) -> bool:
+        """True once every track fully ended (EOS sent for both media)."""
+        with self._lock:
+            if len(self._tracks) > 1:
+                return False
+            t = self.current
+            video_done = t.video is None or (
+                t.video.get_state() == "done" and t.video_eos_sent
+            )
+            audio_done = t.audio is None or (
+                t.audio.get_state() == "done" and t.audio_eos_sent
+            )
+            return video_done and audio_done
+
     # -- pause/resume -------------------------------------------------------------
 
     def pause(self) -> None:
@@ -632,6 +646,13 @@ class Queue:
             ]
             if not self.options.ahead_of_time_processing and pts > self.now():
                 return False
+            if (
+                self.options.ahead_of_time_processing
+                and pts > self.now()
+                and all(qi.media_done() for qi in self.inputs.values())
+            ):
+                # nothing left to process ahead of time - pace by the clock
+                return False
             all_ready = all(ready for ready, _ in statuses)
             if not all_ready:
                 required_ready = all(ready for ready, req in statuses if req)
@@ -663,6 +684,12 @@ class Queue:
                 for qi in self.inputs.values()
             )
             if not self.options.ahead_of_time_processing and pts_range[0] > self.now():
+                return False
+            if (
+                self.options.ahead_of_time_processing
+                and pts_range[0] > self.now()
+                and all(qi.media_done() for qi in self.inputs.values())
+            ):
                 return False
             if not all_ready:
                 if not ready:

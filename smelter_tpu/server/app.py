@@ -212,6 +212,23 @@ def build_app(state: ApiState) -> web.Application:
                     state.pipeline.register_output(output_id, sink, video, audio)
                     state.output_kinds[output_id] = "mp4"
                     return {}
+                if isinstance(spec, api.HlsOutput):
+                    from smelter_tpu.pipeline.output import HlsOutputSink
+
+                    video = (
+                        convert.output_video_options(spec.video, "hls")
+                        if spec.video
+                        else None
+                    )
+                    audio = (
+                        convert.output_audio_options(spec.audio)
+                        if spec.audio
+                        else None
+                    )
+                    sink = HlsOutputSink(spec.path, spec.max_playlist_size)
+                    state.pipeline.register_output(output_id, sink, video, audio)
+                    state.output_kinds[output_id] = "hls"
+                    return {}
                 if isinstance(spec, api.RtpOutput):
                     from smelter_tpu.io.rtp import register_rtp_output
 
