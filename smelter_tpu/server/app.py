@@ -162,6 +162,32 @@ def build_app(state: ApiState) -> web.Application:
                     port = register_rtp_input(state.pipeline, input_id, spec)
                     state.input_kinds[input_id] = "rtp"
                     return {"port": port}
+                if isinstance(spec, api.RtmpInput):
+                    from smelter_tpu.io.rtmp import RtmpInputOptions, RtmpServerInput
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    source = RtmpServerInput(
+                        RtmpInputOptions(
+                            port=spec.port or 0,
+                            app=spec.app or "",
+                            stream_key=spec.stream_key or "",
+                        )
+                    )
+                    state.pipeline.register_input(
+                        input_id,
+                        source,
+                        RegisterInputOptions(
+                            required=bool(spec.required),
+                            offset=(spec.offset_ms / 1000.0)
+                            if spec.offset_ms is not None
+                            else None,
+                            # reference applies a 2s buffer rule for RTMP
+                            # inputs (queue.rs:110-115)
+                            buffer_duration=2.0,
+                        ),
+                    )
+                    state.input_kinds[input_id] = "rtmp"
+                    return {"port": source.port}
                 raise NotImplementedError(
                     f"input protocol {spec.type!r} is not implemented yet"
                 )
@@ -234,6 +260,23 @@ def build_app(state: ApiState) -> web.Application:
 
                     register_rtp_output(state.pipeline, output_id, spec)
                     state.output_kinds[output_id] = "rtp"
+                    return {}
+                if isinstance(spec, api.RtmpOutput):
+                    from smelter_tpu.io.rtmp import RtmpClientOutput
+
+                    video = (
+                        convert.output_video_options(spec.video, "rtmp")
+                        if spec.video
+                        else None
+                    )
+                    audio = (
+                        convert.output_audio_options(spec.audio)
+                        if spec.audio
+                        else None
+                    )
+                    sink = RtmpClientOutput(spec.url)
+                    state.pipeline.register_output(output_id, sink, video, audio)
+                    state.output_kinds[output_id] = "rtmp"
                     return {}
                 raise NotImplementedError(
                     f"output protocol {spec.type!r} is not implemented yet"
