@@ -31,6 +31,15 @@ def u8_to_f32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32) * (1.0 / 255.0)
 
 
+def _as_unit_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Accept u8 [0,255] or float [0,1]; return f32 [0,1]. Integer inputs
+    are normalized — passing u8 where f32 was expected silently saturated
+    before, a real footgun for API users."""
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+        return u8_to_f32(jnp.asarray(x))
+    return jnp.asarray(x).astype(jnp.float32)
+
+
 def f32_to_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
@@ -137,8 +146,8 @@ def planar_yuv_to_rgba(
 
 
 def rgba_to_planar_yuv420(rgba: jnp.ndarray, full_range: bool = False):
-    """(H, W, 4) f32 RGBA -> (y, u, v) u8 planes, 4:2:0."""
-    y, u, v = rgb_to_yuv(rgba[..., :3], full_range)
+    """(H, W, 4) RGBA (f32 [0,1] or u8) -> (y, u, v) u8 planes, 4:2:0."""
+    y, u, v = rgb_to_yuv(_as_unit_f32(rgba)[..., :3], full_range)
     return (
         f32_to_u8(y),
         f32_to_u8(downsample_chroma_2x2(u)),
@@ -147,7 +156,7 @@ def rgba_to_planar_yuv420(rgba: jnp.ndarray, full_range: bool = False):
 
 
 def rgba_to_planar_yuv422(rgba: jnp.ndarray, full_range: bool = False):
-    y, u, v = rgb_to_yuv(rgba[..., :3], full_range)
+    y, u, v = rgb_to_yuv(_as_unit_f32(rgba)[..., :3], full_range)
     return (
         f32_to_u8(y),
         f32_to_u8(downsample_chroma_1x2(u)),
@@ -156,7 +165,7 @@ def rgba_to_planar_yuv422(rgba: jnp.ndarray, full_range: bool = False):
 
 
 def rgba_to_planar_yuv444(rgba: jnp.ndarray, full_range: bool = False):
-    y, u, v = rgb_to_yuv(rgba[..., :3], full_range)
+    y, u, v = rgb_to_yuv(_as_unit_f32(rgba)[..., :3], full_range)
     return (f32_to_u8(y), f32_to_u8(u), f32_to_u8(v))
 
 

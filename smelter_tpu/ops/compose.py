@@ -50,6 +50,11 @@ class LayoutStatic:
     static_rect: Optional[Tuple[int, int, int, int]] = None  # top, left, h, w
     static_crop: Optional[Tuple[int, int, int, int]] = None  # top, left, h, w
     static_blur: float = 0.0  # box-shadow blur (needs static render region)
+    # true when every corner radius is 0 at plan time (enables the opaque
+    # YUV-grid program; radius animation reroutes via the planner signature)
+    no_radius: bool = False
+    # constant fill color (r,g,b,a u8) for content == "color" in fast mode
+    static_color: Optional[Tuple[int, int, int, int]] = None
 
 
 @jax.tree_util.register_dataclass

@@ -9,6 +9,7 @@ smelter_io service (see `smelter_tpu/io/codec.py`).
 
 from __future__ import annotations
 
+import logging
 import threading
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
@@ -18,6 +19,8 @@ import numpy as np
 from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
 from smelter_tpu.queue.sync_queue import QueueInputOptions
 from smelter_tpu.utils.channels import Channel, Closed
+
+logger = logging.getLogger("smelter.input")
 
 
 @dataclass
@@ -75,12 +78,14 @@ class Mp4InputOptions:
 class Mp4Input(InputSource):
     """MP4/MOV file or URL input (reference `mp4/mp4_input.rs`):
     demux + decode on a dedicated thread, with loop support (PTS re-based
-    on each pass so the timeline is continuous)."""
+    on each pass so the timeline is continuous) and seek (restarts the
+    reader against a fresh queue track — reference mp4_input.rs:39-70)."""
 
     def __init__(self, options: Mp4InputOptions) -> None:
         self.options = options
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._seek_to: Optional[float] = None
         # probe streams up front so has_video/has_audio are correct before
         # the queue track is created
         from smelter_tpu.io.codec import Demuxer
@@ -111,6 +116,16 @@ class Mp4Input(InputSource):
     def join(self, timeout: Optional[float] = None) -> None:
         if self._thread:
             self._thread.join(timeout=timeout)
+
+    def seek(self, seek_s: float, new_ctx: InputCtx) -> None:
+        """Stop the current reader and restart from ``seek_s`` into a fresh
+        queue track (the pipeline closed the old track's channels)."""
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10.0)
+        self._stop = threading.Event()
+        self._seek_to = seek_s
+        self.start(new_ctx)
 
     def _run(self, ctx: InputCtx) -> None:
         """Demux thread: fans packets out to per-media decoder threads over
@@ -256,8 +271,16 @@ class Mp4Input(InputSource):
 
         try:
             pts_base = 0.0
+            seek_to = self._seek_to
+            self._seek_to = None
             while not self._stop.is_set():
                 demux = Demuxer(self.options.path)
+                if seek_to:
+                    try:
+                        demux.seek(seek_to)
+                    except Exception:
+                        logger.warning("mp4 seek to %.3fs failed", seek_to)
+                    seek_to = None  # loop passes restart from 0
                 dones = []
                 for _t, ch in workers:
                     done = threading.Event()

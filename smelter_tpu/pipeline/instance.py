@@ -200,6 +200,48 @@ class Pipeline:
                 if out.audio_end.on_input_unregistered(input_id):
                     out.send_audio_eos()
 
+    def update_input(
+        self,
+        input_id: str,
+        pause: Optional[bool] = None,
+        seek: Optional[float] = None,
+    ) -> None:
+        """Pause/resume any input; seek MP4 inputs (reference
+        `update_input.rs`: Pipeline::update_input)."""
+        with self._lock:
+            source = self._inputs.get(input_id)
+            qi = self.queue.inputs.get(input_id)
+            if source is None or qi is None:
+                raise KeyError(input_id)
+            if seek is not None:
+                if not hasattr(source, "seek"):
+                    raise ValueError(
+                        f"input {input_id!r} does not support seeking"
+                    )
+                old = qi.current
+                vch, ach = qi.add_track(
+                    qi.options.offset,
+                    has_video=source.has_video,
+                    has_audio=source.has_audio,
+                )
+                # release the old reader (its sends fail) and drop the track
+                if old.video is not None:
+                    old.video.channel.close()
+                if old.audio is not None:
+                    old.audio.channel.close()
+                qi.abort_current_track()
+                ctx = InputCtx(
+                    input_id=input_id,
+                    video_channel=vch,
+                    audio_channel=ach,
+                    mixing_sample_rate=self.options.mixing_sample_rate,
+                )
+                source.seek(seek, ctx)
+            if pause is True:
+                qi.pause()
+            elif pause is False:
+                qi.resume()
+
     # ------------------------------------------------------------------ outputs
 
     def register_output(

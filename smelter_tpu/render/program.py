@@ -79,6 +79,11 @@ def split_layout(
     static_rect = None
     static_crop = None
     static_blur = 0.0
+    no_radius = all(r <= 1e-6 for r in layout.border_radius.as_tuple())
+    static_color = None
+    if fast and isinstance(c, RenderColor):
+        col = c.color
+        static_color = (col.r, col.g, col.b, col.a)
     if fast and abs(layout.rotation_degrees) <= 1e-9:
         rect = (
             int(round(layout.top)),
@@ -104,14 +109,17 @@ def split_layout(
     def color_vec(col) -> np.ndarray:
         return np.asarray(col.to_float(), np.float32)
 
+    # numpy, not jnp: planning runs on the host every frame — eager device
+    # ops here would cost one dispatch per scalar; as numpy the values ride
+    # the single jit call
     common = dict(
-        top=jnp.float32(layout.top),
-        left=jnp.float32(layout.left),
-        width=jnp.float32(layout.width),
-        height=jnp.float32(layout.height),
-        rotation_degrees=jnp.float32(layout.rotation_degrees),
-        border_radius=jnp.asarray(layout.border_radius.as_tuple(), jnp.float32),
-        masks=jnp.asarray(masks),
+        top=np.float32(layout.top),
+        left=np.float32(layout.left),
+        width=np.float32(layout.width),
+        height=np.float32(layout.height),
+        rotation_degrees=np.float32(layout.rotation_degrees),
+        border_radius=np.asarray(layout.border_radius.as_tuple(), np.float32),
+        masks=masks,
     )
     if isinstance(c, RenderChildNode):
         static = LayoutStatic(
@@ -122,16 +130,17 @@ def split_layout(
             has_border=c.border_width > 0.0,
             static_rect=static_rect,
             static_crop=static_crop,
+            no_radius=no_radius,
         )
         params = LayoutParams(
             **common,
-            border_width=jnp.float32(c.border_width),
-            border_color=jnp.asarray(color_vec(c.border_color)),
-            color=jnp.zeros(4, jnp.float32),
-            crop=jnp.asarray(
-                [c.crop.top, c.crop.left, c.crop.width, c.crop.height], jnp.float32
+            border_width=np.float32(c.border_width),
+            border_color=color_vec(c.border_color),
+            color=np.zeros(4, np.float32),
+            crop=np.asarray(
+                [c.crop.top, c.crop.left, c.crop.width, c.crop.height], np.float32
             ),
-            blur_radius=jnp.float32(0.0),
+            blur_radius=np.float32(0.0),
         )
     elif isinstance(c, RenderColor):
         static = LayoutStatic(
@@ -140,14 +149,16 @@ def split_layout(
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
             has_border=c.border_width > 0.0,
             static_rect=static_rect,
+            no_radius=no_radius,
+            static_color=static_color,
         )
         params = LayoutParams(
             **common,
-            border_width=jnp.float32(c.border_width),
-            border_color=jnp.asarray(color_vec(c.border_color)),
-            color=jnp.asarray(color_vec(c.color)),
-            crop=jnp.zeros(4, jnp.float32),
-            blur_radius=jnp.float32(0.0),
+            border_width=np.float32(c.border_width),
+            border_color=color_vec(c.border_color),
+            color=color_vec(c.color),
+            crop=np.zeros(4, np.float32),
+            blur_radius=np.float32(0.0),
         )
     elif isinstance(c, RenderBoxShadow):
         static = LayoutStatic(
@@ -156,14 +167,15 @@ def split_layout(
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
             static_rect=static_rect,
             static_blur=static_blur,
+            no_radius=no_radius,
         )
         params = LayoutParams(
             **common,
-            border_width=jnp.float32(0.0),
-            border_color=jnp.zeros(4, jnp.float32),
-            color=jnp.asarray(color_vec(c.color)),
-            crop=jnp.zeros(4, jnp.float32),
-            blur_radius=jnp.float32(c.blur_radius),
+            border_width=np.float32(0.0),
+            border_color=np.zeros(4, np.float32),
+            color=color_vec(c.color),
+            crop=np.zeros(4, np.float32),
+            blur_radius=np.float32(c.blur_radius),
         )
     else:
         raise ValueError(f"unknown content {type(c)}")
@@ -357,10 +369,15 @@ class OutputProgram:
                             round(c.crop.top, 2), round(c.crop.left, 2),
                             round(c.crop.width, 2), round(c.crop.height, 2),
                         )
+                    color_sig = ()
+                    if isinstance(c, RenderColor):
+                        col = c.color
+                        color_sig = (col.r, col.g, col.b, col.a)
                     sig = (
                         round(layout.top, 2), round(layout.left, 2),
                         round(layout.width, 2), round(layout.height, 2),
-                        round(layout.rotation_degrees, 3), crop_sig,
+                        round(layout.rotation_degrees, 3), crop_sig, color_sig,
+                        tuple(round(r, 2) for r in layout.border_radius.as_tuple()),
                     )
                     prev = self._rect_history.get(sig_key)
                     # fast on first sight or when stable; general while moving
@@ -397,7 +414,7 @@ class OutputProgram:
             plan.aux_textures,
             plan.layout_params,
             plan.shader_params,
-            jnp.float32(plan.time),
+            np.float32(plan.time),
         )
 
     def _build(self, key: tuple, plan: FramePlan, input_frames) -> Callable:
@@ -418,6 +435,16 @@ class OutputProgram:
                 static_statics[part[0]] = part[2]
 
         root_nid = node_id(root)
+
+        # opaque axis-aligned grid of YUV inputs → YUV-domain program
+        # (no RGBA roundtrip, MXU/VPU-friendly; same trick as the flagship
+        # path in parallel/flagship.py — this is the common Tiles/View case)
+        fast = _try_yuv_grid_program(
+            root, root_nid, node_id, static_statics.get(root_nid, ()),
+            resolution, out_format, input_formats,
+        )
+        if fast is not None:
+            return fast
 
         def traced(input_planes, aux_textures, layout_params, shader_params, time):
             node_memo: Dict[int, object] = {}
@@ -510,3 +537,111 @@ def _layout_res_from_key(key: tuple, nid: int) -> Resolution:
         if isinstance(part, tuple) and part and part[0] == nid and part[1] == "layout":
             return part[3]
     raise KeyError(nid)
+
+
+def _rgb_to_yuv_limited_u8(r: int, g: int, b: int) -> Tuple[int, int, int]:
+    """BT.709 limited-range YUV for a constant color (matches
+    ops/color_convert.py matrices)."""
+    rf, gf, bf = r / 255.0, g / 255.0, b / 255.0
+    y = 0.2126 * rf + 0.7152 * gf + 0.0722 * bf
+    u = (bf - y) / 1.8556
+    v = (rf - y) / 1.5748
+    return (
+        int(round(16.0 + 219.0 * y)),
+        int(round(128.0 + 224.0 * u)),
+        int(round(128.0 + 224.0 * v)),
+    )
+
+
+def _try_yuv_grid_program(
+    root: Node,
+    root_nid: int,
+    node_id,
+    statics: Tuple[LayoutStatic, ...],
+    resolution: Resolution,
+    out_format: PixelFormat,
+    input_formats: Dict[str, tuple],
+) -> Optional[Callable]:
+    """If this structure is an opaque axis-aligned grid of planar-YUV inputs
+    over an opaque background, build the YUV-domain program: per-tile
+    separable resizes (MXU matmuls) + static slice placements, chroma at half
+    resolution, no RGBA roundtrip. Returns None when conditions don't hold."""
+    if out_format != PixelFormat.PLANAR_YUV420 or not statics:
+        return None
+    if not isinstance(root.params, LayoutNode):
+        return None
+    child_inputs = []
+    for ch in root.children:
+        if not isinstance(ch.params, InputStreamNode):
+            return None
+        child_inputs.append(ch.params.input_id)
+    if not child_inputs:
+        return None
+
+    H, W = resolution.height, resolution.width
+    bg = (16, 128, 128)
+    tiles = []  # (input_id, top, left, h, w, crop)
+    for st in statics:
+        if (
+            st.has_rotation
+            or st.has_border
+            or st.n_masks
+            or not st.no_radius
+            or st.static_rect is None
+        ):
+            return None
+        if st.content == "color":
+            if tiles:
+                return None  # color over tiles → needs blending
+            t, l, h, w = st.static_rect
+            if st.static_color is None or st.static_color[3] != 255:
+                return None
+            if t > 0 or l > 0 or t + h < H or l + w < W:
+                return None  # not a full-canvas background
+            bg = _rgb_to_yuv_limited_u8(*st.static_color[:3])
+        elif st.content == "texture":
+            if st.source_index >= len(child_inputs) or st.static_crop is None:
+                return None
+            fmt = input_formats.get(child_inputs[st.source_index])
+            if fmt is None or fmt[0] != PixelFormat.PLANAR_YUV420:
+                return None
+            t, l, h, w = st.static_rect
+            t, l = t // 2 * 2, l // 2 * 2
+            h, w = h // 2 * 2, w // 2 * 2
+            if h <= 0 or w <= 0 or t < 0 or l < 0 or t + h > H or l + w > W:
+                return None
+            ct, cl, chh, cww = st.static_crop
+            crop = (ct // 2 * 2, cl // 2 * 2, max(chh // 2 * 2, 2), max(cww // 2 * 2, 2))
+            tiles.append((child_inputs[st.source_index], t, l, h, w, crop))
+        else:
+            return None  # shadows need blending
+
+    from smelter_tpu.ops.resample import resize_matmul
+
+    ch_, cw_ = H // 2, W // 2
+
+    def traced(input_planes, aux_textures, layout_params, shader_params, time):
+        canvas_y = jnp.full((H, W), jnp.uint8(bg[0]))
+        canvas_u = jnp.full((ch_, cw_), jnp.uint8(bg[1]))
+        canvas_v = jnp.full((ch_, cw_), jnp.uint8(bg[2]))
+
+        def round_u8(x):
+            return jnp.clip(x.astype(jnp.float32) + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+        for iid, t, l, h, w, (ct, cl, chh, cww) in tiles:
+            y, u, v = input_planes[iid]
+            ys = y[ct : ct + chh, cl : cl + cww]
+            us = u[ct // 2 : (ct + chh) // 2, cl // 2 : (cl + cww) // 2]
+            vs = v[ct // 2 : (ct + chh) // 2, cl // 2 : (cl + cww) // 2]
+            canvas_y = canvas_y.at[t : t + h, l : l + w].set(
+                round_u8(resize_matmul(ys, h, w))
+            )
+            canvas_u = canvas_u.at[t // 2 : (t + h) // 2, l // 2 : (l + w) // 2].set(
+                round_u8(resize_matmul(us, h // 2, w // 2))
+            )
+            canvas_v = canvas_v.at[t // 2 : (t + h) // 2, l // 2 : (l + w) // 2].set(
+                round_u8(resize_matmul(vs, h // 2, w // 2))
+            )
+        return canvas_y, canvas_u, canvas_v
+
+    return jax.jit(traced)

@@ -214,6 +214,34 @@ def build_app(state: ApiState) -> web.Application:
         except Exception as exc:  # noqa: BLE001
             return _error_response(exc)
 
+    async def update_input(request: web.Request) -> web.Response:
+        input_id = request.match_info["id"]
+        try:
+            body = await request.json()
+            pause = body.get("pause")
+            seek_ms = body.get("seek_ms")
+            unknown = set(body) - {"pause", "seek_ms"}
+            if unknown:
+                raise convert.ConversionError(f"unknown fields {sorted(unknown)}")
+            await _run_blocking(
+                lambda: state.pipeline.update_input(
+                    input_id,
+                    pause=pause,
+                    seek=(seek_ms / 1000.0) if seek_ms is not None else None,
+                )
+            )
+            return _json_ok()
+        except KeyError:
+            return _error_response(
+                ApiError(
+                    "INPUT_STREAM_NOT_FOUND",
+                    f"Input stream \"{input_id}\" does not exist.",
+                    404,
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
     # ------------------------------------------------------------- outputs
 
     async def register_output(request: web.Request) -> web.Response:
@@ -492,6 +520,7 @@ def build_app(state: ApiState) -> web.Application:
 
     app.router.add_post("/api/input/{id}/register", register_input)
     app.router.add_post("/api/input/{id}/unregister", unregister_input)
+    app.router.add_post("/api/input/{id}/update", update_input)
     app.router.add_post("/api/output/{id}/register", register_output)
     app.router.add_post("/api/output/{id}/unregister", unregister_output)
     app.router.add_post("/api/output/{id}/update", update_output)

@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Max-realtime-streams benchmark (reference `integration-tests/src/bin/benchmark/`).
+
+Searches for the maximum number of simultaneous input streams the machine
+sustains in real time for a decode → Tiles-compose → x264-encode pipeline,
+the same metric the reference RESULTS.md tables report
+(`benchmarks/2025_04_28_9891af76/RESULTS.md`).
+
+One trial with N inputs / ceil(N/ratio) outputs runs for `--duration`
+seconds of wall clock; it succeeds when every output produced at least
+SUCCESS_RATIO of the expected frames (i.e. the pipeline held real time).
+The search doubles until failure, then bisects (reference maximize_iter.rs).
+
+Usage:
+  python tools/bench_streams.py --resolution 480p --framerate 24 --ratio 4
+  python tools/bench_streams.py --resolution 1080p --framerate 30 --ratio 1 \
+      --preset ultrafast --duration 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The stream benchmark is codec-bound (x264/h264 on host CPUs); compose is a
+# small fraction. Default to the CPU backend so results are comparable on any
+# machine — on a real TPU-VM set SMELTER_BENCH_DEVICE=tpu to run the compose
+# on the chip (over a remote tunnel the per-frame D2H RTT would dominate and
+# measure the tunnel, not the machine).
+if os.environ.get("SMELTER_BENCH_DEVICE", "cpu") == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+RESOLUTIONS = {
+    "480p": (854, 480),
+    "720p": (1280, 720),
+    "1080p": (1920, 1080),
+    "2160p": (3840, 2160),
+}
+
+SUCCESS_RATIO = 0.93
+
+
+class CountingSink:
+    """Output sink that just counts encoded packets/frames."""
+
+    def __init__(self) -> None:
+        self.video_packets = 0
+        self.audio_packets = 0
+
+    def setup_video(self, opts, extradata, fps_num, fps_den) -> None:
+        pass
+
+    def setup_audio(self, opts, extradata) -> None:
+        pass
+
+    def write_video_packet(self, pkt) -> None:
+        self.video_packets += 1
+
+    def write_audio_packet(self, pkt) -> None:
+        self.audio_packets += 1
+
+    def on_done(self) -> None:
+        pass
+
+
+def make_source(path: str, w: int, h: int, fps: int, seconds: float = 4.0,
+                preset: str = "ultrafast") -> None:
+    """Moving-gradient clip: non-trivial encode/decode cost, loops cleanly."""
+    from smelter_tpu.io.codec import Codec, Muxer, VideoEncoder
+
+    enc = VideoEncoder(Codec.H264, w, h, fps, preset=preset)
+    xs = np.arange(w, dtype=np.uint16)
+    ys = np.arange(h, dtype=np.uint16)[:, None]
+    u_grad = ((xs[None, : w // 2] * 255) // max(w // 2, 1)).astype(np.uint8)
+    u_plane = np.broadcast_to(u_grad, (h // 2, w // 2)).copy()
+    v_plane = np.full((h // 2, w // 2), 128, np.uint8)
+    pkts = []
+    n = int(seconds * fps)
+    for i in range(n):
+        y = ((xs[None, :] + ys + i * 7) % 256).astype(np.uint8)
+        enc.send(y, u_plane, v_plane, i / fps)
+        while True:
+            p = enc.receive()
+            if p is None or p == "eof":
+                break
+            pkts.append(p)
+    enc.send_eof()
+    while True:
+        p = enc.receive()
+        if p is None or p == "eof":
+            break
+        pkts.append(p)
+    mux = Muxer(path)
+    vs = mux.add_video(Codec.H264, w, h, fps, 1, enc.extradata())
+    mux.write_header()
+    for p in pkts:
+        mux.write(vs, p.data, p.pts_s, p.dts_s, p.is_keyframe)
+    mux.close()
+    enc.close()
+
+
+def run_trial(src: str, n_inputs: int, ratio: int, w: int, h: int, fps: int,
+              preset: str, duration: float) -> dict:
+    """Returns {'success': bool, 'outputs': [frames...], 'expected': int}."""
+    from smelter_tpu.core.types import Framerate, Resolution, RGBAColor
+    from smelter_tpu.pipeline import (
+        Mp4Input,
+        Mp4InputOptions,
+        OutputVideoOptions,
+        Pipeline,
+        PipelineOptions,
+        RegisterInputOptions,
+        VideoEncoderOptions,
+    )
+    from smelter_tpu.scene import components as comp
+
+    n_outputs = max(1, math.ceil(n_inputs / ratio))
+    pipeline = Pipeline(PipelineOptions(output_framerate=Framerate(fps)))
+    for i in range(n_inputs):
+        pipeline.register_input(
+            f"in_{i}",
+            Mp4Input(Mp4InputOptions(path=src, loop=True)),
+            RegisterInputOptions(required=False),
+        )
+    sinks = []
+    for o in range(n_outputs):
+        members = [f"in_{i}" for i in range(n_inputs) if i % n_outputs == o]
+        scene = comp.Tiles(
+            children=[comp.InputStream(input_id=m) for m in members],
+            background_color=RGBAColor(8, 8, 8),
+        )
+        sink = CountingSink()
+        sinks.append(sink)
+        pipeline.register_output(
+            f"out_{o}",
+            sink,
+            video=OutputVideoOptions(
+                resolution=Resolution(w, h),
+                encoder=VideoEncoderOptions(codec="h264", preset=preset),
+                initial_root=scene,
+            ),
+        )
+    pipeline.start()
+    # warmup: wait until every output produced a frame (first frames pay the
+    # JIT compile; on tunneled TPU attachments that can take minutes)
+    warmup_deadline = time.time() + 300.0
+    while time.time() < warmup_deadline:
+        if all(s.video_packets > 0 for s in sinks):
+            break
+        time.sleep(0.1)
+    time.sleep(2.0)  # let the queue recover from the compile stall
+    baseline = [s.video_packets for s in sinks]
+    time.sleep(duration)
+    counts = [s.video_packets - b for s, b in zip(sinks, baseline)]
+    pipeline.close()
+    expected = int(duration * fps)
+    return {
+        "success": all(c >= SUCCESS_RATIO * expected for c in counts),
+        "outputs": counts,
+        "expected": expected,
+    }
+
+
+class MaximizeSearch:
+    """Doubling + bisection (reference maximize_iter.rs MaximizeU64)."""
+
+    def __init__(self, start: int) -> None:
+        self.value = start
+        self.lower = 0
+        self.upper: int | None = None
+        self.first = True
+
+    def next(self, prev_success: bool) -> int | None:
+        if self.first:
+            self.first = False
+            return self.value
+        if prev_success:
+            self.lower = max(self.lower, self.value)
+        else:
+            self.upper = self.value if self.upper is None else min(self.upper, self.value)
+        if self.upper is None:
+            self.value *= 2
+            return self.value
+        if self.upper - self.lower <= 1:
+            return None
+        self.value = (self.lower + self.upper) // 2
+        return self.value
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--resolution", default="480p", choices=sorted(RESOLUTIONS))
+    ap.add_argument("--framerate", type=int, default=24)
+    ap.add_argument("--ratio", type=int, default=1,
+                    help="inputs per output (1, 2 or 4 like the reference)")
+    ap.add_argument("--preset", default="ultrafast")
+    ap.add_argument("--duration", type=float, default=8.0)
+    ap.add_argument("--start", type=int, default=1)
+    ap.add_argument("--max", type=int, default=256)
+    args = ap.parse_args()
+
+    w, h = RESOLUTIONS[args.resolution]
+    tmp = tempfile.mkdtemp(prefix="smelter_bench_")
+    src = os.path.join(tmp, "src.mp4")
+    print(f"generating {args.resolution}@{args.framerate} source...", file=sys.stderr)
+    make_source(src, w, h, args.framerate, preset=args.preset)
+
+    search = MaximizeSearch(args.start)
+    n = search.next(False)
+    best = 0
+    results = []
+    while n is not None and n <= args.max:
+        print(f"trial: {n} inputs / {max(1, math.ceil(n/args.ratio))} outputs...",
+              file=sys.stderr, end=" ", flush=True)
+        trial = run_trial(src, n, args.ratio, w, h, args.framerate,
+                          args.preset, args.duration)
+        print("OK" if trial["success"] else f"FAIL {trial['outputs']}",
+              file=sys.stderr)
+        results.append({"n_inputs": n, **trial})
+        if trial["success"]:
+            best = max(best, n)
+        n = search.next(trial["success"])
+
+    print(json.dumps({
+        "metric": f"max_realtime_streams_{args.resolution}p{args.framerate}"
+                  f"_ratio{args.ratio}_{args.preset}",
+        "value": best,
+        "unit": "inputs",
+        "outputs": max(1, math.ceil(best / args.ratio)) if best else 0,
+        "trials": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
