@@ -405,6 +405,38 @@ class H264Payloader:
         return pkt
 
 
+class Vp8Payloader:
+    """RFC 7741 payloader: 1-byte descriptor (S bit on first fragment)."""
+
+    def __init__(self, ssrc: int, payload_type: int = PT_VP8, mtu: int = 1200) -> None:
+        self.ssrc = ssrc
+        self.pt = payload_type
+        self.mtu = mtu
+        self.seq = 0
+
+    def payload(self, frame: bytes, pts_s: float) -> List[RtpPacket]:
+        ts = int(round(pts_s * VIDEO_CLOCK)) & 0xFFFFFFFF
+        out: List[RtpPacket] = []
+        pos = 0
+        first = True
+        while pos < len(frame) or first:
+            chunk = frame[pos : pos + self.mtu - 1]
+            pos += len(chunk)
+            desc = bytes([0x10 if first else 0x00])
+            pkt = RtpPacket(
+                payload_type=self.pt,
+                sequence_number=self.seq,
+                timestamp=ts,
+                ssrc=self.ssrc,
+                payload=desc + chunk,
+                marker=pos >= len(frame),
+            )
+            self.seq = (self.seq + 1) & 0xFFFF
+            out.append(pkt)
+            first = False
+        return out
+
+
 class OpusPayloader:
     def __init__(self, ssrc: int, payload_type: int = PT_OPUS) -> None:
         self.ssrc = ssrc
@@ -615,37 +647,26 @@ class RtpInputSource(InputSource):
     # -- decode threads ---------------------------------------------------------
 
     def _run_video_decode(self, aus: Channel, ctx: InputCtx) -> None:
-        from smelter_tpu.io.codec import Codec, VideoDecoder
+        run_video_decode(aus, ctx, self.options.video_codec or "h264")
 
-        codec = Codec.from_name(self.options.video_codec or "h264")
-        dec = VideoDecoder(codec)
-        out = ctx.video_channel
-        assert out is not None
-        try:
-            while True:
-                try:
-                    au: AccessUnit = aus.recv()
-                except Closed:
-                    break
-                dec.send(au.data, au.pts_s)
-                while True:
-                    f = dec.receive()
-                    if f is None or f == "eof":
-                        break
-                    y, u, v, pts, _ = f
-                    h, w = y.shape
-                    try:
-                        out.send(
-                            Frame(
-                                data=(y, u, v),
-                                format=PixelFormat.PLANAR_YUV420,
-                                resolution=Resolution(w, h),
-                                pts=pts or 0.0,
-                            )
-                        )
-                    except Closed:
-                        return
-            dec.send_eof()
+    def _run_audio_decode(self, aus: Channel, ctx: InputCtx) -> None:
+        run_audio_decode(aus, ctx)
+
+
+def run_video_decode(aus: Channel, ctx: InputCtx, codec_name: str = "h264") -> None:
+    from smelter_tpu.io.codec import Codec, VideoDecoder
+
+    codec = Codec.from_name(codec_name)
+    dec = VideoDecoder(codec)
+    out = ctx.video_channel
+    assert out is not None
+    try:
+        while True:
+            try:
+                au: AccessUnit = aus.recv()
+            except Closed:
+                break
+            dec.send(au.data, au.pts_s)
             while True:
                 f = dec.receive()
                 if f is None or f == "eof":
@@ -663,38 +684,58 @@ class RtpInputSource(InputSource):
                     )
                 except Closed:
                     return
-        finally:
-            dec.close()
-            out.close()
+        dec.send_eof()
+        while True:
+            f = dec.receive()
+            if f is None or f == "eof":
+                break
+            y, u, v, pts, _ = f
+            h, w = y.shape
+            try:
+                out.send(
+                    Frame(
+                        data=(y, u, v),
+                        format=PixelFormat.PLANAR_YUV420,
+                        resolution=Resolution(w, h),
+                        pts=pts or 0.0,
+                    )
+                )
+            except Closed:
+                return
+    finally:
+        dec.close()
+        out.close()
 
-    def _run_audio_decode(self, aus: Channel, ctx: InputCtx) -> None:
-        from smelter_tpu.io.codec import AudioDecoder, Codec
 
-        dec = AudioDecoder(
-            Codec.OPUS, ctx.mixing_sample_rate, 2,
-            in_sample_rate=OPUS_CLOCK, in_channels=2,
-        )
-        out = ctx.audio_channel
-        assert out is not None
-        try:
+
+def run_audio_decode(aus: Channel, ctx: InputCtx) -> None:
+    from smelter_tpu.io.codec import AudioDecoder, Codec
+
+    dec = AudioDecoder(
+        Codec.OPUS, ctx.mixing_sample_rate, 2,
+        in_sample_rate=OPUS_CLOCK, in_channels=2,
+    )
+    out = ctx.audio_channel
+    assert out is not None
+    try:
+        while True:
+            try:
+                au: AccessUnit = aus.recv()
+            except Closed:
+                break
+            dec.send(au.data, au.pts_s)
             while True:
-                try:
-                    au: AccessUnit = aus.recv()
-                except Closed:
+                s = dec.receive()
+                if s is None or s == "eof":
                     break
-                dec.send(au.data, au.pts_s)
-                while True:
-                    s = dec.receive()
-                    if s is None or s == "eof":
-                        break
-                    samples, pts = s
-                    try:
-                        out.send(AudioSamples(samples=samples, start_pts=pts or 0.0))
-                    except Closed:
-                        return
-        finally:
-            dec.close()
-            out.close()
+                samples, pts = s
+                try:
+                    out.send(AudioSamples(samples=samples, start_pts=pts or 0.0))
+                except Closed:
+                    return
+    finally:
+        dec.close()
+        out.close()
 
 
 # ---------------------------------------------------------------------------

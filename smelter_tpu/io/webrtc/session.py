@@ -1,0 +1,249 @@
+"""WebRTC media transport session: ICE (lite responder or minimal full
+agent), DTLS-SRTP, RTP/RTCP mux over one UDP socket.
+
+The analogue of the reference's webrtc-rs peer connections
+(`smelter-core/src/webrtc/peer_connection_recvonly.rs` etc.), built on:
+  - `stun.py` connectivity checks (RFC 5389/8445 subset)
+  - the native DTLS helper (`dtls.py`) + `srtp.py` (RFC 3711)
+  - demux by first byte (RFC 7983): 0-3 STUN, 20-63 DTLS, 128-191 RTP/RTCP
+
+Roles:
+  - answerer (WHIP/WHEP server endpoints): ICE-lite responder,
+    DTLS passive (server)
+  - offerer (WHIP/WHEP clients): minimal full ICE (sends checks),
+    DTLS active (client)
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+import struct
+import threading
+import time
+from typing import Callable, Optional, Tuple
+
+from smelter_tpu.io.webrtc import sdp as sdp_mod
+from smelter_tpu.io.webrtc import stun
+from smelter_tpu.io.webrtc.dtls import DtlsEndpoint
+from smelter_tpu.io.webrtc.srtp import SrtpSession, sessions_from_dtls
+
+logger = logging.getLogger("smelter.webrtc")
+
+
+def _local_ip() -> str:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        s.connect(("8.8.8.8", 80))
+        return s.getsockname()[0]
+    except OSError:
+        return "127.0.0.1"
+    finally:
+        s.close()
+
+
+class WebRtcSession:
+    """One peer transport. Construct, exchange SDP, then start()."""
+
+    def __init__(self, is_offerer: bool) -> None:
+        self.is_offerer = is_offerer
+        self.local_ufrag, self.local_pwd = sdp_mod.new_ice_credentials()
+        self.remote_ufrag = ""
+        self.remote_pwd = ""
+        self.remote_candidates: list = []
+        # offerer takes the DTLS client (active) role; answerer passive
+        self.dtls = DtlsEndpoint(is_server=not is_offerer)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(("0.0.0.0", 0))
+        self.port = self.sock.getsockname()[1]
+        self.ip = _local_ip()
+        self.peer_addr: Optional[Tuple[str, int]] = None
+        self.srtp_tx: Optional[SrtpSession] = None
+        self.srtp_rx: Optional[SrtpSession] = None
+        self.on_rtp: Optional[Callable[[bytes], None]] = None
+        self.on_rtcp: Optional[Callable[[bytes], None]] = None
+        self.established = threading.Event()
+        self._stop = threading.Event()
+        self._threads: list = []
+        self._ice_ok = threading.Event()
+        self._dtls_lock = threading.Lock()
+
+    # -- SDP glue ------------------------------------------------------------
+
+    def set_remote(self, desc: sdp_mod.SessionDescription) -> None:
+        self.remote_ufrag = desc.ice_ufrag
+        self.remote_pwd = desc.ice_pwd
+        self.remote_candidates = list(desc.candidates)
+
+    @property
+    def candidate(self) -> Tuple[str, int]:
+        return (self.ip, self.port)
+
+    def fingerprint(self) -> str:
+        return self.dtls.fingerprint()
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def start(self) -> None:
+        t = threading.Thread(target=self._recv_loop, name="webrtc-recv", daemon=True)
+        t.start()
+        self._threads.append(t)
+        if self.is_offerer:
+            t2 = threading.Thread(target=self._ice_client_loop,
+                                  name="webrtc-ice", daemon=True)
+            t2.start()
+            self._threads.append(t2)
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+        self.dtls.close()
+
+    # -- send ---------------------------------------------------------------------
+
+    def send_rtp(self, packet_bytes: bytes) -> None:
+        if self.srtp_tx is None or self.peer_addr is None:
+            return
+        try:
+            self.sock.sendto(self.srtp_tx.protect_rtp(packet_bytes), self.peer_addr)
+        except OSError:
+            pass
+
+    def send_rtcp(self, packet_bytes: bytes) -> None:
+        if self.srtp_tx is None or self.peer_addr is None:
+            return
+        try:
+            self.sock.sendto(self.srtp_tx.protect_rtcp(packet_bytes), self.peer_addr)
+        except OSError:
+            pass
+
+    # -- ICE client (offerer) -----------------------------------------------------
+
+    def _ice_client_loop(self) -> None:
+        """Send connectivity checks until answered, then run DTLS client."""
+        while not self._stop.is_set() and not self._ice_ok.is_set():
+            for cand in self.remote_candidates or []:
+                req = stun.build(
+                    stun.BINDING_REQUEST,
+                    attrs=[
+                        (stun.ATTR_USERNAME,
+                         f"{self.remote_ufrag}:{self.local_ufrag}".encode()),
+                        (stun.ATTR_ICE_CONTROLLING, struct.pack("!Q", 1)),
+                        (stun.ATTR_PRIORITY, struct.pack("!I", 0x7E0000FF)),
+                        (stun.ATTR_USE_CANDIDATE, b""),
+                    ],
+                    password=self.remote_pwd,
+                )
+                try:
+                    self.sock.sendto(req, cand)
+                except OSError:
+                    return
+            self._ice_ok.wait(timeout=0.25)
+        # kick off the DTLS client flight
+        if self._stop.is_set():
+            return
+        with self._dtls_lock:
+            flight = self.dtls.handshake(b"")
+        if flight and self.peer_addr:
+            self.sock.sendto(flight, self.peer_addr)
+        # retransmit the first flight until progress (lossy startup)
+        for _ in range(20):
+            if self.established.is_set() or self._stop.is_set():
+                return
+            time.sleep(0.5)
+            if not self.established.is_set() and self.peer_addr:
+                with self._dtls_lock:
+                    flight = self.dtls.handshake(b"")
+                if flight:
+                    try:
+                        self.sock.sendto(flight, self.peer_addr)
+                    except OSError:
+                        return
+
+    # -- receive/demux ---------------------------------------------------------------
+
+    def _recv_loop(self) -> None:
+        self.sock.settimeout(0.25)
+        while not self._stop.is_set():
+            try:
+                data, addr = self.sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            if not data:
+                continue
+            first = data[0]
+            if first < 4:
+                self._handle_stun(data, addr)
+            elif 20 <= first <= 63:
+                self._handle_dtls(data, addr)
+            elif 128 <= first <= 191:
+                self._handle_srtp(data)
+
+    def _handle_stun(self, data: bytes, addr) -> None:
+        msg = stun.parse(data)
+        if msg is None:
+            return
+        if msg.msg_type == stun.BINDING_REQUEST:
+            # requests to us are signed with OUR password
+            if not stun.check_integrity(data, msg, self.local_pwd):
+                logger.debug("stun integrity failed from %s", addr)
+                return
+            self.peer_addr = addr
+            resp = stun.build(
+                stun.BINDING_RESPONSE,
+                tid=msg.transaction_id,
+                attrs=[(stun.ATTR_XOR_MAPPED_ADDRESS,
+                        stun.xor_mapped_address(addr, msg.transaction_id))],
+                password=self.local_pwd,
+            )
+            try:
+                self.sock.sendto(resp, addr)
+            except OSError:
+                pass
+        elif msg.msg_type == stun.BINDING_RESPONSE:
+            self.peer_addr = addr
+            self._ice_ok.set()
+
+    def _handle_dtls(self, data: bytes, addr) -> None:
+        self.peer_addr = addr
+        with self._dtls_lock:
+            try:
+                out = self.dtls.handshake(data)
+            except Exception:
+                logger.exception("dtls handshake failed")
+                return
+            if out:
+                try:
+                    self.sock.sendto(out, addr)
+                except OSError:
+                    return
+            if self.dtls.established and self.srtp_tx is None:
+                keys = self.dtls.export_srtp_keys()
+                self.srtp_tx, self.srtp_rx = sessions_from_dtls(
+                    keys, is_server=self.dtls.is_server
+                )
+                self.established.set()
+                logger.info("dtls-srtp established with %s", addr)
+
+    def _handle_srtp(self, data: bytes) -> None:
+        if self.srtp_rx is None or len(data) < 12:
+            return
+        # RTCP: payload type field 200..206 (second byte)
+        pt = data[1] & 0x7F
+        is_rtcp = 72 <= pt <= 78  # 200-206 minus marker bit
+        try:
+            if is_rtcp:
+                plain = self.srtp_rx.unprotect_rtcp(data)
+                if self.on_rtcp:
+                    self.on_rtcp(plain)
+            else:
+                plain = self.srtp_rx.unprotect_rtp(data)
+                if self.on_rtp:
+                    self.on_rtp(plain)
+        except ValueError:
+            logger.debug("srtp auth failure (%d bytes)", len(data))

@@ -1,0 +1,416 @@
+"""WHIP/WHEP endpoints and peers (reference `smelter-core/src/webrtc/`).
+
+Four roles, same as the reference:
+  - WHIP server input  (`whip_input/`):  POST /whip/:id  — publisher sends us
+    media; we answer recvonly, ICE-lite, DTLS passive
+  - WHEP server output (`whep_output/`): POST /whep/:id  — subscriber pulls
+    our output; we answer sendonly
+  - WHIP client output (`whip_output/`): we POST an offer to an external
+    WHIP endpoint and publish (sendonly, ICE full, DTLS active)
+  - WHEP client input  (`whep_input/`):  we POST an offer and receive
+
+Media: H264/VP8 + Opus; payload types follow the offer. Trickle-ICE PATCH
+is accepted and ignored (we answer with full host candidates); DELETE tears
+the session down.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
+from smelter_tpu.io.rtp import (
+    H264Depayloader,
+    H264Payloader,
+    Vp8Payloader,
+    JitterBuffer,
+    OpusDepayloader,
+    OpusPayloader,
+    RtpPacket,
+    Vp8Depayloader,
+    run_audio_decode,
+    run_video_decode,
+    _has_sps,
+)
+from smelter_tpu.io.webrtc import sdp as sdp_mod
+from smelter_tpu.io.webrtc.session import WebRtcSession
+from smelter_tpu.pipeline.input import InputCtx, InputSource
+from smelter_tpu.pipeline.output import OutputSink
+from smelter_tpu.utils.channels import Channel, Closed
+
+logger = logging.getLogger("smelter.whip")
+
+
+@dataclass
+class NegotiatedMedia:
+    video_pt: Optional[int]
+    video_codec: Optional[str]   # "h264" | "vp8"
+    audio_pt: Optional[int]      # opus
+
+
+def negotiate(offer: sdp_mod.SessionDescription) -> NegotiatedMedia:
+    video = offer.find_codec("video", ["h264", "vp8"])
+    audio = offer.find_codec("audio", ["opus"])
+    return NegotiatedMedia(
+        video_pt=video[0] if video else None,
+        video_codec=video[1] if video else None,
+        audio_pt=audio[0] if audio else None,
+    )
+
+
+def _answer_media(offer: sdp_mod.SessionDescription, neg: NegotiatedMedia):
+    """Answer media sections echoing the chosen payload types."""
+    out = []
+    dirs = []
+    for m in offer.media:
+        if m.kind == "audio" and neg.audio_pt is not None:
+            out.append(sdp_mod.MediaDescription(
+                kind="audio", mid=m.mid, payload_types=[neg.audio_pt],
+                rtpmap={neg.audio_pt: m.rtpmap.get(neg.audio_pt, "opus/48000/2")},
+                fmtp={k: v for k, v in m.fmtp.items() if k == neg.audio_pt},
+            ))
+        elif m.kind == "video" and neg.video_pt is not None:
+            out.append(sdp_mod.MediaDescription(
+                kind="video", mid=m.mid, payload_types=[neg.video_pt],
+                rtpmap={neg.video_pt: m.rtpmap.get(neg.video_pt, "H264/90000")},
+                fmtp={k: v for k, v in m.fmtp.items() if k == neg.video_pt},
+            ))
+        else:
+            continue
+        dirs.append(m.direction)
+    return out, dirs
+
+
+def _flip(direction: str) -> str:
+    return {"sendonly": "recvonly", "recvonly": "sendonly"}.get(direction, direction)
+
+
+# ---------------------------------------------------------------------------
+# media plumbing
+# ---------------------------------------------------------------------------
+
+
+class _RtpReceiverBridge:
+    """session.on_rtp → jitter buffers → depayloaders → decode threads."""
+
+    def __init__(self, session: WebRtcSession, ctx: InputCtx,
+                 neg: NegotiatedMedia) -> None:
+        self.session = session
+        self.neg = neg
+        self.video_aus: Optional[Channel] = (
+            Channel(64) if neg.video_pt is not None and ctx.video_channel else None
+        )
+        self.audio_aus: Optional[Channel] = (
+            Channel(512) if neg.audio_pt is not None and ctx.audio_channel else None
+        )
+        self._vjb = JitterBuffer()
+        self._ajb = JitterBuffer()
+        self._vd = (
+            H264Depayloader() if neg.video_codec == "h264" else Vp8Depayloader()
+        )
+        self._ad = OpusDepayloader()
+        self._threads = []
+        if self.video_aus is not None:
+            t = threading.Thread(
+                target=run_video_decode,
+                args=(self.video_aus, ctx, neg.video_codec or "h264"),
+                daemon=True, name="whip-vdec",
+            )
+            t.start()
+            self._threads.append(t)
+        if self.audio_aus is not None:
+            t = threading.Thread(
+                target=run_audio_decode, args=(self.audio_aus, ctx),
+                daemon=True, name="whip-adec",
+            )
+            t.start()
+            self._threads.append(t)
+        session.on_rtp = self._on_rtp
+
+    def _on_rtp(self, data: bytes) -> None:
+        pkt = RtpPacket.parse(data)
+        if pkt is None:
+            return
+        if pkt.payload_type == self.neg.video_pt and self.video_aus is not None:
+            for ordered in self._vjb.push(pkt):
+                for au in self._vd.push(ordered):
+                    try:
+                        self.video_aus.send(au)
+                    except Closed:
+                        pass
+        elif pkt.payload_type == self.neg.audio_pt and self.audio_aus is not None:
+            for ordered in self._ajb.push(pkt):
+                for au in self._ad.push(ordered):
+                    try:
+                        self.audio_aus.send(au)
+                    except Closed:
+                        pass
+
+    def close(self) -> None:
+        for ch in (self.video_aus, self.audio_aus):
+            if ch is not None:
+                ch.close()
+
+
+# ---------------------------------------------------------------------------
+# input sources
+# ---------------------------------------------------------------------------
+
+
+class WhipServerInput(InputSource):
+    """Input registered via the API; media arrives when a publisher POSTs an
+    offer to /whip/:id (reference `whip_input/`). `handle_offer` is called by
+    the HTTP layer."""
+
+    def __init__(self, bearer_token: Optional[str] = None) -> None:
+        self.bearer_token = bearer_token
+        self.ctx: Optional[InputCtx] = None
+        self.session: Optional[WebRtcSession] = None
+        self._bridge: Optional[_RtpReceiverBridge] = None
+
+    def start(self, ctx: InputCtx) -> None:
+        self.ctx = ctx
+
+    def stop(self) -> None:
+        self.disconnect()
+
+    def handle_offer(self, offer_sdp: str) -> str:
+        """Publisher's SDP offer → our answer."""
+        if self.ctx is None:
+            raise RuntimeError("input not registered")
+        if self.session is not None:
+            self.disconnect()
+        offer = sdp_mod.parse(offer_sdp)
+        neg = negotiate(offer)
+        if neg.video_pt is None and neg.audio_pt is None:
+            raise ValueError("no supported codecs in offer (need H264/VP8/Opus)")
+        session = WebRtcSession(is_offerer=False)
+        session.set_remote(offer)
+        media, offer_dirs = _answer_media(offer, neg)
+        answer = sdp_mod.build(
+            session.local_ufrag,
+            session.local_pwd,
+            session.fingerprint(),
+            setup="passive",
+            media=media,
+            directions=[_flip(d) for d in offer_dirs],
+            candidate=session.candidate,
+            ice_lite=True,
+        )
+        self._bridge = _RtpReceiverBridge(session, self.ctx, neg)
+        session.start()
+        self.session = session
+        return answer
+
+    def disconnect(self) -> None:
+        if self._bridge is not None:
+            self._bridge.close()
+            self._bridge = None
+        if self.session is not None:
+            self.session.close()
+            self.session = None
+
+
+class WhepClientInput(InputSource):
+    """Input that subscribes to an external WHEP endpoint
+    (reference `whep_input/`): we offer recvonly, DTLS active."""
+
+    def __init__(self, endpoint_url: str, bearer_token: Optional[str] = None,
+                 video_codec: str = "h264") -> None:
+        self.endpoint_url = endpoint_url
+        self.bearer_token = bearer_token
+        self.video_codec = video_codec
+        self.session: Optional[WebRtcSession] = None
+        self._bridge = None
+
+    def start(self, ctx: InputCtx) -> None:
+        import httpx
+
+        session = WebRtcSession(is_offerer=True)
+        media = sdp_mod.default_offer_media(self.video_codec)
+        offer = sdp_mod.build(
+            session.local_ufrag, session.local_pwd, session.fingerprint(),
+            setup="actpass", media=media,
+            directions=["recvonly", "recvonly"],
+            candidate=session.candidate,
+        )
+        headers = {"Content-Type": "application/sdp"}
+        if self.bearer_token:
+            headers["Authorization"] = f"Bearer {self.bearer_token}"
+        resp = httpx.post(self.endpoint_url, content=offer, headers=headers,
+                          timeout=15)
+        if resp.status_code not in (200, 201):
+            raise RuntimeError(f"WHEP endpoint returned {resp.status_code}")
+        answer = sdp_mod.parse(resp.text)
+        session.set_remote(answer)
+        neg = negotiate(sdp_mod.parse(offer))
+        self._bridge = _RtpReceiverBridge(session, ctx, neg)
+        session.start()
+        self.session = session
+
+    def stop(self) -> None:
+        if self._bridge is not None:
+            self._bridge.close()
+        if self.session is not None:
+            self.session.close()
+
+
+# ---------------------------------------------------------------------------
+# output sinks
+# ---------------------------------------------------------------------------
+
+
+class _RtpSenderBridge(OutputSink):
+    """Encoded packets → payloaders → session.send_rtp. Base for WHIP client
+    and WHEP server outputs. Video encoder should keep parameter sets inline
+    (global_header=0)."""
+
+    def __init__(self) -> None:
+        self.session: Optional[WebRtcSession] = None
+        self.video_pt = 96
+        self.audio_pt = 111
+        self.video_codec = "h264" 
+        self._vp: Optional[H264Payloader] = None
+        self._ap: Optional[OpusPayloader] = None
+        self._video_extradata = b""
+        self._lock = threading.Lock()
+
+    def attach(self, session: WebRtcSession, video_pt: int, audio_pt: int) -> None:
+        with self._lock:
+            self.session = session
+            self.video_pt = video_pt
+            self.audio_pt = audio_pt
+            self._vp = (
+                Vp8Payloader(ssrc=0x574950, payload_type=video_pt, mtu=1200)
+                if self.video_codec == "vp8"
+                else H264Payloader(ssrc=0x574950, payload_type=video_pt, mtu=1200)
+            )
+            self._ap = OpusPayloader(ssrc=0x574941, payload_type=audio_pt)
+
+    def detach(self) -> None:
+        with self._lock:
+            if self.session is not None:
+                self.session.close()
+            self.session = None
+
+    # -- OutputSink ----------------------------------------------------------
+
+    def setup_video(self, opts, extradata, fps_num, fps_den) -> None:
+        self._video_extradata = extradata
+
+    def setup_audio(self, opts, extradata) -> None:
+        pass
+
+    def write_video_packet(self, pkt) -> None:
+        with self._lock:
+            session, vp = self.session, self._vp
+        if session is None or vp is None or not session.established.is_set():
+            return
+        data = pkt.data
+        if pkt.is_keyframe and self._video_extradata and not _has_sps(data):
+            data = self._video_extradata + data
+        for rtp_pkt in vp.payload(data, pkt.pts_s or 0.0):
+            session.send_rtp(rtp_pkt.serialize())
+
+    def write_audio_packet(self, pkt) -> None:
+        with self._lock:
+            session, ap = self.session, self._ap
+        if session is None or ap is None or not session.established.is_set():
+            return
+        for rtp_pkt in ap.payload(pkt.data, pkt.pts_s or 0.0):
+            session.send_rtp(rtp_pkt.serialize())
+
+    def on_done(self) -> None:
+        self.detach()
+
+
+class WhepServerOutput(_RtpSenderBridge):
+    """Output whose media is pulled by WHEP subscribers POSTing offers to
+    /whep/:id (reference `whep_output/`). Single-subscriber for now."""
+
+    def __init__(self, bearer_token: Optional[str] = None) -> None:
+        super().__init__()
+        self.bearer_token = bearer_token
+
+    def handle_offer(self, offer_sdp: str) -> str:
+        offer = sdp_mod.parse(offer_sdp)
+        neg = negotiate(offer)
+        if neg.video_pt is None and neg.audio_pt is None:
+            raise ValueError("no supported codecs in offer")
+        session = WebRtcSession(is_offerer=False)
+        session.set_remote(offer)
+        media, offer_dirs = _answer_media(offer, neg)
+        answer = sdp_mod.build(
+            session.local_ufrag, session.local_pwd, session.fingerprint(),
+            setup="passive", media=media,
+            directions=[_flip(d) for d in offer_dirs],
+            candidate=session.candidate,
+            ice_lite=True,
+        )
+        self.attach(session, neg.video_pt or 96, neg.audio_pt or 111)
+        session.start()
+        return answer
+
+
+class WhipClientOutput(_RtpSenderBridge):
+    """Output publishing to an external WHIP endpoint
+    (reference `whip_output/`): we offer sendonly, DTLS active."""
+
+    def __init__(self, endpoint_url: str, bearer_token: Optional[str] = None,
+                 video_codec: str = "h264") -> None:
+        super().__init__()
+        self.video_codec = video_codec
+        import httpx
+
+        session = WebRtcSession(is_offerer=True)
+        media = sdp_mod.default_offer_media(video_codec)
+        offer = sdp_mod.build(
+            session.local_ufrag, session.local_pwd, session.fingerprint(),
+            setup="actpass", media=media,
+            directions=["sendonly", "sendonly"],
+            candidate=session.candidate,
+        )
+        headers = {"Content-Type": "application/sdp"}
+        if bearer_token:
+            headers["Authorization"] = f"Bearer {bearer_token}"
+        resp = httpx.post(endpoint_url, content=offer, headers=headers, timeout=15)
+        if resp.status_code not in (200, 201):
+            raise RuntimeError(f"WHIP endpoint returned {resp.status_code}")
+        answer = sdp_mod.parse(resp.text)
+        session.set_remote(answer)
+        # session resource for teardown (WHIP DELETE)
+        loc = resp.headers.get("Location")
+        if loc:
+            import urllib.parse as _up
+
+            self._session_url = _up.urljoin(endpoint_url, loc)
+        else:
+            self._session_url = None
+        self._headers = headers
+        audio_pt = 111
+        video_pt = 97 if video_codec == "vp8" else 96
+        self.attach(session, video_pt, audio_pt)
+        session.start()
+        # wait for the transport before encoded frames start flowing
+        if not session.established.is_set():
+            session.established.wait(timeout=15)
+        if not session.established.is_set():
+            raise RuntimeError("WHIP DTLS transport did not establish")
+
+    def on_done(self) -> None:
+        # WHIP teardown: DELETE the session resource so the server side
+        # closes the input (EOS for its end conditions)
+        if getattr(self, "_session_url", None):
+            import httpx
+
+            try:
+                httpx.delete(self._session_url, headers=self._headers, timeout=5)
+            except Exception:
+                logger.debug("WHIP DELETE failed", exc_info=True)
+        self.detach()

@@ -188,6 +188,48 @@ def build_app(state: ApiState) -> web.Application:
                     )
                     state.input_kinds[input_id] = "rtmp"
                     return {"port": source.port}
+                if isinstance(spec, api.WhipInput):
+                    import secrets
+
+                    from smelter_tpu.io.webrtc import WhipServerInput
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    token = spec.bearer_token or secrets.token_urlsafe(24)
+                    source = WhipServerInput(bearer_token=token)
+                    state.pipeline.register_input(
+                        input_id,
+                        source,
+                        RegisterInputOptions(
+                            required=bool(spec.required),
+                            offset=(spec.offset_ms / 1000.0)
+                            if spec.offset_ms is not None
+                            else None,
+                        ),
+                    )
+                    state.input_kinds[input_id] = "whip"
+                    return {
+                        "bearer_token": token,
+                        "endpoint_route": f"/whip/{input_id}",
+                    }
+                if isinstance(spec, api.WhepInput):
+                    from smelter_tpu.io.webrtc import WhepClientInput
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    source = WhepClientInput(
+                        spec.endpoint_url, bearer_token=spec.bearer_token
+                    )
+                    state.pipeline.register_input(
+                        input_id,
+                        source,
+                        RegisterInputOptions(
+                            required=bool(spec.required),
+                            offset=(spec.offset_ms / 1000.0)
+                            if spec.offset_ms is not None
+                            else None,
+                        ),
+                    )
+                    state.input_kinds[input_id] = "whep"
+                    return {}
                 raise NotImplementedError(
                     f"input protocol {spec.type!r} is not implemented yet"
                 )
@@ -305,6 +347,53 @@ def build_app(state: ApiState) -> web.Application:
                     sink = RtmpClientOutput(spec.url)
                     state.pipeline.register_output(output_id, sink, video, audio)
                     state.output_kinds[output_id] = "rtmp"
+                    return {}
+                if isinstance(spec, (api.WhepOutput, api.WhipOutput)):
+                    video = (
+                        convert.output_video_options(spec.video, "webrtc")
+                        if spec.video
+                        else None
+                    )
+                    audio = (
+                        convert.output_audio_options(spec.audio)
+                        if spec.audio
+                        else None
+                    )
+                    if video is not None:
+                        extra = video.encoder.ffmpeg_options
+                        video.encoder = type(video.encoder)(
+                            codec=video.encoder.codec,
+                            preset=video.encoder.preset,
+                            bitrate=video.encoder.bitrate,
+                            ffmpeg_options=(extra + "," if extra else "")
+                            + "global_header=0",
+                        )
+                    if audio is not None and audio.encoder.codec != "opus":
+                        from smelter_tpu.pipeline.output import AudioEncoderOptions
+
+                        audio.encoder = AudioEncoderOptions(
+                            codec="opus", sample_rate=48000
+                        )
+                    if isinstance(spec, api.WhepOutput):
+                        import secrets
+
+                        from smelter_tpu.io.webrtc import WhepServerOutput
+
+                        token = spec.bearer_token or secrets.token_urlsafe(24)
+                        sink = WhepServerOutput(bearer_token=token)
+                        state.pipeline.register_output(output_id, sink, video, audio)
+                        state.output_kinds[output_id] = "whep"
+                        return {
+                            "bearer_token": token,
+                            "endpoint_route": f"/whep/{output_id}",
+                        }
+                    from smelter_tpu.io.webrtc import WhipClientOutput
+
+                    sink = WhipClientOutput(
+                        spec.endpoint_url, bearer_token=spec.bearer_token
+                    )
+                    state.pipeline.register_output(output_id, sink, video, audio)
+                    state.output_kinds[output_id] = "whip"
                     return {}
                 raise NotImplementedError(
                     f"output protocol {spec.type!r} is not implemented yet"
@@ -518,6 +607,94 @@ def build_app(state: ApiState) -> web.Application:
             state.pipeline.events.unsubscribe(sub)
         return ws
 
+    async def whip_endpoint(request: web.Request) -> web.Response:
+        input_id = request.match_info["id"]
+        try:
+            from smelter_tpu.io.webrtc import WhipServerInput
+
+            source = state.pipeline._inputs.get(input_id)
+            if not isinstance(source, WhipServerInput):
+                return _error_response(
+                    ApiError("INPUT_STREAM_NOT_FOUND",
+                             f"No WHIP input \"{input_id}\".", 404)
+                )
+            if source.bearer_token:
+                auth = request.headers.get("Authorization", "")
+                if auth != f"Bearer {source.bearer_token}":
+                    return _error_response(
+                        ApiError("UNAUTHORIZED", "invalid bearer token", 401)
+                    )
+            offer = (await request.read()).decode()
+            answer = await _run_blocking(source.handle_offer, offer)
+            return web.Response(
+                status=201,
+                content_type="application/sdp",
+                text=answer,
+                headers={"Location": f"/whip/{input_id}/session"},
+            )
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def whip_session(request: web.Request) -> web.Response:
+        input_id = request.match_info["id"]
+        from smelter_tpu.io.webrtc import WhipServerInput
+
+        source = state.pipeline._inputs.get(input_id)
+        if not isinstance(source, WhipServerInput):
+            return web.Response(status=404)
+        if request.method == "DELETE":
+            await _run_blocking(source.disconnect)
+            return web.Response(status=200)
+        return web.Response(status=204)  # trickle-ICE PATCH: full answer sent
+
+    async def whep_endpoint(request: web.Request) -> web.Response:
+        output_id = request.match_info["id"]
+        try:
+            from smelter_tpu.io.webrtc import WhepServerOutput
+
+            out = state.pipeline._outputs.get(output_id)
+            sink = out.sink if out else None
+            if not isinstance(sink, WhepServerOutput):
+                return _error_response(
+                    ApiError("OUTPUT_STREAM_NOT_FOUND",
+                             f"No WHEP output \"{output_id}\".", 404)
+                )
+            if sink.bearer_token:
+                auth = request.headers.get("Authorization", "")
+                if auth != f"Bearer {sink.bearer_token}":
+                    return _error_response(
+                        ApiError("UNAUTHORIZED", "invalid bearer token", 401)
+                    )
+            offer = (await request.read()).decode()
+            answer = await _run_blocking(sink.handle_offer, offer)
+            return web.Response(
+                status=201,
+                content_type="application/sdp",
+                text=answer,
+                headers={"Location": f"/whep/{output_id}/session"},
+            )
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
+
+    async def whep_session(request: web.Request) -> web.Response:
+        output_id = request.match_info["id"]
+        from smelter_tpu.io.webrtc import WhepServerOutput
+
+        out = state.pipeline._outputs.get(output_id)
+        sink = out.sink if out else None
+        if not isinstance(sink, WhepServerOutput):
+            return web.Response(status=404)
+        if request.method == "DELETE":
+            await _run_blocking(sink.detach)
+            return web.Response(status=200)
+        return web.Response(status=204)
+
+    app.router.add_post("/whip/{id}", whip_endpoint)
+    app.router.add_route("PATCH", "/whip/{id}/session", whip_session)
+    app.router.add_route("DELETE", "/whip/{id}/session", whip_session)
+    app.router.add_post("/whep/{id}", whep_endpoint)
+    app.router.add_route("PATCH", "/whep/{id}/session", whep_session)
+    app.router.add_route("DELETE", "/whep/{id}/session", whep_session)
     app.router.add_post("/api/input/{id}/register", register_input)
     app.router.add_post("/api/input/{id}/unregister", unregister_input)
     app.router.add_post("/api/input/{id}/update", update_input)

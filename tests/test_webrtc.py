@@ -1,0 +1,387 @@
+"""WebRTC tests: DTLS handshake, SRTP protect/unprotect, STUN, SDP, session
+loopback, and full WHIP publish → compose → MP4 through the HTTP server
+(reference `smelter-core/src/webrtc/` tested via in-process loopback like the
+reference's WHIP tests against its own axum server)."""
+
+import os
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from smelter_tpu.io.webrtc import sdp as sdp_mod
+from smelter_tpu.io.webrtc import stun
+from smelter_tpu.io.webrtc.dtls import DtlsEndpoint
+from smelter_tpu.io.webrtc.session import WebRtcSession
+from smelter_tpu.io.webrtc.srtp import SrtpSession, sessions_from_dtls
+
+
+def test_dtls_handshake_and_keys():
+    srv = DtlsEndpoint(is_server=True)
+    cli = DtlsEndpoint(is_server=False)
+    assert len(srv.fingerprint().split(":")) == 32
+    flight = cli.handshake(b"")
+    for _ in range(10):
+        if srv.established and cli.established:
+            break
+        s_out = srv.handshake(flight)
+        flight = cli.handshake(s_out)
+    assert srv.established and cli.established
+    assert srv.export_srtp_keys() == cli.export_srtp_keys()
+    srv.close()
+    cli.close()
+
+
+def test_srtp_rtp_roundtrip():
+    key, salt = os.urandom(16), os.urandom(14)
+    tx = SrtpSession(key, salt)
+    rx = SrtpSession(key, salt)
+    from smelter_tpu.io.rtp import RtpPacket
+
+    for seq in [0, 1, 2, 65534, 65535, 0, 1]:  # crosses a rollover
+        pkt = RtpPacket(96, seq, seq * 3000, 0x1234, os.urandom(200), marker=True)
+        wire = tx.protect_rtp(pkt.serialize())
+        plain = rx.unprotect_rtp(wire)
+        back = RtpPacket.parse(plain)
+        assert back.payload == pkt.payload
+        assert back.sequence_number == seq
+
+    # tampering is detected
+    pkt = RtpPacket(96, 10, 30000, 0x1234, b"x" * 50)
+    wire = bytearray(tx.protect_rtp(pkt.serialize()))
+    wire[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        rx.unprotect_rtp(bytes(wire))
+
+
+def test_srtcp_roundtrip():
+    key, salt = os.urandom(16), os.urandom(14)
+    tx = SrtpSession(key, salt)
+    rx = SrtpSession(key, salt)
+    # minimal RTCP RR packet: V=2, PT=201, length=1, ssrc
+    rtcp = bytes([0x80, 201, 0, 1]) + struct.pack("!I", 0xAABBCCDD)
+    wire = tx.protect_rtcp(rtcp)
+    plain = rx.unprotect_rtcp(wire)
+    assert plain == rtcp
+
+
+def test_stun_binding_roundtrip():
+    req = stun.build(
+        stun.BINDING_REQUEST,
+        attrs=[(stun.ATTR_USERNAME, b"remote:local")],
+        password="secretpw",
+    )
+    assert stun.is_stun(req)
+    msg = stun.parse(req)
+    assert msg.msg_type == stun.BINDING_REQUEST
+    assert msg.attr(stun.ATTR_USERNAME) == b"remote:local"
+    assert stun.check_integrity(req, msg, "secretpw")
+    assert not stun.check_integrity(req, msg, "wrongpw")
+
+    xor = stun.xor_mapped_address(("192.168.1.7", 50000), msg.transaction_id)
+    ip, port = stun.parse_xor_mapped_address(xor, msg.transaction_id)
+    assert (ip, port) == ("192.168.1.7", 50000)
+
+
+def test_sdp_parse_build_roundtrip():
+    media = sdp_mod.default_offer_media("h264")
+    offer = sdp_mod.build(
+        "ufrag1", "pwd1" * 6, "AB:CD", setup="actpass",
+        media=media, directions=["sendonly", "sendonly"],
+        candidate=("10.0.0.5", 4242),
+    )
+    parsed = sdp_mod.parse(offer)
+    assert parsed.ice_ufrag == "ufrag1"
+    assert parsed.fingerprint == "AB:CD"
+    assert parsed.candidates == [("10.0.0.5", 4242)]
+    assert parsed.find_codec("video", ["h264"]) == (96, "h264")
+    assert parsed.find_codec("audio", ["opus"]) == (111, "opus")
+    assert parsed.media[1].direction == "sendonly"
+
+
+def test_session_loopback_media():
+    """Two WebRtcSessions (offerer+answerer) on localhost: ICE, DTLS, SRTP,
+    then RTP flows both ways."""
+    from smelter_tpu.io.rtp import RtpPacket
+
+    answerer = WebRtcSession(is_offerer=False)
+    offerer = WebRtcSession(is_offerer=True)
+
+    # emulate the SDP exchange
+    offer_desc = sdp_mod.parse(sdp_mod.build(
+        offerer.local_ufrag, offerer.local_pwd, offerer.fingerprint(),
+        setup="actpass", media=sdp_mod.default_offer_media(),
+        directions=["sendrecv", "sendrecv"], candidate=offerer.candidate,
+    ))
+    answer_desc = sdp_mod.parse(sdp_mod.build(
+        answerer.local_ufrag, answerer.local_pwd, answerer.fingerprint(),
+        setup="passive", media=sdp_mod.default_offer_media(),
+        directions=["sendrecv", "sendrecv"], candidate=answerer.candidate,
+        ice_lite=True,
+    ))
+    answerer.set_remote(offer_desc)
+    offerer.set_remote(answer_desc)
+
+    got_a, got_b = [], []
+    answerer.on_rtp = got_a.append
+    offerer.on_rtp = got_b.append
+    answerer.start()
+    offerer.start()
+    assert offerer.established.wait(timeout=15), "offerer DTLS failed"
+    assert answerer.established.wait(timeout=15), "answerer DTLS failed"
+
+    for i in range(20):
+        offerer.send_rtp(RtpPacket(96, i, i * 3000, 7, bytes([i]) * 100).serialize())
+        answerer.send_rtp(RtpPacket(111, i, i * 960, 9, bytes([i]) * 40).serialize())
+    deadline = time.time() + 5
+    while time.time() < deadline and (len(got_a) < 20 or len(got_b) < 20):
+        time.sleep(0.05)
+    offerer.close()
+    answerer.close()
+    assert len(got_a) >= 18, len(got_a)
+    assert len(got_b) >= 18, len(got_b)
+    from smelter_tpu.io.rtp import RtpPacket as RP
+
+    p = RP.parse(got_a[0])
+    assert p.payload_type == 96 and len(p.payload) == 100
+
+
+def test_whip_publish_end_to_end(tmp_path):
+    """Full WHIP: our WHIP client publishes into the HTTP server's /whip/:id,
+    pipeline composes to MP4."""
+    import httpx
+
+    from smelter_tpu.config import Config, LoggerConfig
+    from smelter_tpu.core.types import Framerate
+    from tests.test_pipeline import _decode_output, _make_source_mp4
+    from tests.test_server import ServerThread
+
+    src = str(tmp_path / "src.mp4")
+    _make_source_mp4(src, "red", 440.0)
+    out_path = str(tmp_path / "out.mp4")
+
+    cfg = Config(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+        logger=LoggerConfig(level="warning"),
+    )
+    s = ServerThread(cfg)
+    try:
+        with httpx.Client(base_url=s.base, timeout=120) as c:
+            r = c.post(
+                "/api/input/cam/register",
+                json={"type": "whip_server", "required": True, "offset_ms": 0},
+            )
+            assert r.status_code == 200, r.text
+            body = r.json()
+            assert body["endpoint_route"] == "/whip/cam"
+            token = body["bearer_token"]
+
+            r = c.post(
+                "/api/output/out/register",
+                json={
+                    "type": "mp4",
+                    "path": out_path,
+                    "video": {
+                        "resolution": {"width": 320, "height": 240},
+                        "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                        "initial": {
+                            "root": {
+                                "type": "rescaler",
+                                "child": {"type": "input_stream", "input_id": "cam"},
+                            }
+                        },
+                        "send_eos_when": {"any_input": True},
+                    },
+                    "audio": {
+                        "encoder": {"type": "aac"},
+                        "initial": {"inputs": [{"input_id": "cam"}]},
+                        "send_eos_when": {"any_input": True},
+                    },
+                },
+            )
+            assert r.status_code == 200, r.text
+            assert c.post("/api/start", json={}).status_code == 200
+
+            # bad token rejected
+            r = c.post(f"/whip/cam", content="v=0", headers={
+                "Content-Type": "application/sdp",
+                "Authorization": "Bearer wrong",
+            })
+            assert r.status_code == 401
+
+            # our WHIP publisher: encode 2s of video+audio in a 2nd pipeline
+            from smelter_tpu.audio.mixer import AudioMixerConfig, AudioMixerInputConfig
+            from smelter_tpu.core.types import Resolution
+            from smelter_tpu.io.webrtc.whip import WhipClientOutput
+            from smelter_tpu.pipeline import (
+                AudioEncoderOptions,
+                EndCondition,
+                Mp4Input,
+                Mp4InputOptions,
+                OutputAudioOptions,
+                OutputVideoOptions,
+                Pipeline,
+                PipelineOptions,
+                RegisterInputOptions,
+                VideoEncoderOptions,
+            )
+            from smelter_tpu.scene import components as comp
+
+            tx = Pipeline(PipelineOptions(
+                output_framerate=Framerate(30),
+                ahead_of_time_processing=True,
+                never_drop_output_frames=True,
+            ))
+            tx.register_input(
+                "a", Mp4Input(Mp4InputOptions(path=src)),
+                RegisterInputOptions(required=True, offset=0.0),
+            )
+            sink = WhipClientOutput(
+                f"{s.base}/whip/cam", bearer_token=token
+            )
+            tx.register_output(
+                "whip", sink,
+                video=OutputVideoOptions(
+                    resolution=Resolution(320, 240),
+                    encoder=VideoEncoderOptions(
+                        codec="h264", preset="ultrafast",
+                        ffmpeg_options="global_header=0",
+                    ),
+                    initial_root=comp.Rescaler(child=comp.InputStream(input_id="a")),
+                    end_condition=EndCondition(all_inputs=True),
+                ),
+                audio=OutputAudioOptions(
+                    encoder=AudioEncoderOptions(codec="opus", sample_rate=48000),
+                    initial_mixer_config=AudioMixerConfig(
+                        inputs=[AudioMixerInputConfig("a")]
+                    ),
+                    end_condition=EndCondition(all_inputs=True),
+                ),
+            )
+            tx.start()
+
+            # wait for the rx pipeline to produce the MP4 (EOS: when the whip
+            # publisher finishes, media stops; any_input fires when the
+            # session closes the channels)
+            deadline = time.time() + 120
+            done = False
+            while time.time() < deadline:
+                kinds = {(e.kind, e.entity_id)
+                         for e in s.state.pipeline.events.history()}
+                if ("OUTPUT_DONE", "out") in kinds:
+                    done = True
+                    break
+                time.sleep(0.3)
+            tx.close()
+            assert done, "OUTPUT_DONE not observed"
+    finally:
+        s.state.pipeline.close()
+        s.stop()
+
+    frames, audio, infos = _decode_output(out_path)
+    assert len(frames) >= 30, len(frames)
+    assert audio.shape[0] > 30000, audio.shape
+    # red content → high V plane
+    assert float(np.mean([float(f[2].mean()) for f in frames])) > 170
+
+
+def test_whep_subscribe_end_to_end(tmp_path):
+    """WHEP: a subscriber (our WhepClientInput) pulls the server's output."""
+    import httpx
+
+    from smelter_tpu.audio.mixer import AudioMixerConfig, AudioMixerInputConfig
+    from smelter_tpu.config import Config, LoggerConfig
+    from smelter_tpu.core.types import Framerate, Resolution
+    from smelter_tpu.io.webrtc import WhepClientInput
+    from smelter_tpu.pipeline import (
+        EndCondition,
+        Mp4Input,
+        Mp4InputOptions,
+        OutputVideoOptions,
+        Pipeline,
+        PipelineOptions,
+        RawDataOutputSink,
+        RegisterInputOptions,
+        VideoEncoderOptions,
+    )
+    from smelter_tpu.scene import components as comp
+    from smelter_tpu.utils.channels import Closed
+    from tests.test_pipeline import _make_source_mp4
+    from tests.test_server import ServerThread
+
+    src = str(tmp_path / "src.mp4")
+    _make_source_mp4(src, "blue", 440.0)
+
+    cfg = Config(output_framerate=Framerate(30), logger=LoggerConfig(level="warning"))
+    s = ServerThread(cfg)
+    rx = None
+    try:
+        with httpx.Client(base_url=s.base, timeout=60) as c:
+            r = c.post(
+                "/api/input/clip/register",
+                json={"type": "mp4", "path": src, "loop": True},
+            )
+            assert r.status_code == 200, r.text
+            r = c.post(
+                "/api/output/live/register",
+                json={
+                    "type": "whep_server",
+                    "video": {
+                        "resolution": {"width": 320, "height": 240},
+                        "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                        "initial": {
+                            "root": {
+                                "type": "rescaler",
+                                "child": {"type": "input_stream", "input_id": "clip"},
+                            }
+                        },
+                    },
+                    "audio": {
+                        "encoder": {"type": "opus"},
+                        "initial": {"inputs": [{"input_id": "clip"}]},
+                    },
+                },
+            )
+            assert r.status_code == 200, r.text
+            token = r.json()["bearer_token"]
+            assert c.post("/api/start", json={}).status_code == 200
+
+            # subscriber pipeline
+            rx = Pipeline(PipelineOptions(output_framerate=Framerate(30)))
+            sub = WhepClientInput(f"{s.base}/whep/live", bearer_token=token)
+            rx.register_input("remote", sub, RegisterInputOptions())
+            sink = RawDataOutputSink(video_capacity=300)
+            rx.register_output(
+                "raw",
+                sink,
+                video=OutputVideoOptions(
+                    resolution=Resolution(320, 240),
+                    encoder=VideoEncoderOptions(codec="raw"),
+                    initial_root=comp.Rescaler(
+                        child=comp.InputStream(input_id="remote")
+                    ),
+                    end_condition=EndCondition(),
+                ),
+            )
+            rx.start()
+            frames = []
+            deadline = time.time() + 60
+            while time.time() < deadline and len(frames) < 30:
+                try:
+                    frames.append(sink.video.recv(timeout=0.5))
+                except (Closed, TimeoutError):
+                    continue
+            assert len(frames) >= 30, len(frames)
+            # blue content → U plane high
+            mid = frames[len(frames) // 2]
+            u_mean = float(np.asarray(mid.data[1]).mean())
+            assert u_mean > 170, u_mean
+    finally:
+        if rx is not None:
+            rx.close()
+        s.state.pipeline.close()
+        s.stop()
