@@ -188,6 +188,30 @@ def build_app(state: ApiState) -> web.Application:
                     )
                     state.input_kinds[input_id] = "rtmp"
                     return {"port": source.port}
+                if isinstance(spec, api.V4l2Input):
+                    from smelter_tpu.io.v4l2 import V4l2Input, V4l2InputOptions
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    res = spec.resolution
+                    source = V4l2Input(
+                        V4l2InputOptions(
+                            device_path=spec.device_path or "/dev/video0",
+                            width=res.width if res else 1280,
+                            height=res.height if res else 720,
+                        )
+                    )
+                    state.pipeline.register_input(
+                        input_id,
+                        source,
+                        RegisterInputOptions(
+                            required=bool(spec.required),
+                            offset=(spec.offset_ms / 1000.0)
+                            if spec.offset_ms is not None
+                            else None,
+                        ),
+                    )
+                    state.input_kinds[input_id] = "v4l2"
+                    return {}
                 if isinstance(spec, api.WhipInput):
                     import secrets
 
