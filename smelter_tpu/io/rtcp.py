@@ -1,0 +1,187 @@
+"""RTCP packets (RFC 3550) + NTP-based A/V sync state.
+
+Covers the reference's RTCP handling (`smelter-core/src/rtp/rtp_input/
+rtcp_sync.rs`, `webrtc/handle_keyframe_requests.rs`):
+  - Sender Reports out (NTP↔RTP timestamp mapping for receiver-side sync)
+  - Sender Report parsing in + `RtcpSyncState` aligning multiple streams'
+    PTS timelines through their NTP clocks
+  - PLI (Picture Loss Indication) build/parse → keyframe requests
+  - BYE build/parse → EOS for connectionless transports
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+PT_SR = 200
+PT_RR = 201
+PT_SDES = 202
+PT_BYE = 203
+PT_APP = 204
+PT_RTPFB = 205
+PT_PSFB = 206
+
+NTP_EPOCH_OFFSET = 2208988800  # 1900 → 1970
+
+
+def ntp_now() -> Tuple[int, int]:
+    t = time.time() + NTP_EPOCH_OFFSET
+    sec = int(t)
+    frac = int((t - sec) * (1 << 32))
+    return sec, frac
+
+
+def ntp_to_unix(sec: int, frac: int) -> float:
+    return sec - NTP_EPOCH_OFFSET + frac / (1 << 32)
+
+
+@dataclass
+class SenderReport:
+    ssrc: int
+    ntp_sec: int
+    ntp_frac: int
+    rtp_timestamp: int
+    packet_count: int
+    octet_count: int
+
+    @property
+    def ntp_unix(self) -> float:
+        return ntp_to_unix(self.ntp_sec, self.ntp_frac)
+
+
+@dataclass
+class Pli:
+    sender_ssrc: int
+    media_ssrc: int
+
+
+@dataclass
+class Bye:
+    ssrcs: List[int]
+
+
+def build_sender_report(sr: SenderReport) -> bytes:
+    return struct.pack(
+        "!BBHIIIIII",
+        0x80, PT_SR, 6,
+        sr.ssrc, sr.ntp_sec, sr.ntp_frac, sr.rtp_timestamp,
+        sr.packet_count, sr.octet_count,
+    )
+
+
+def build_pli(sender_ssrc: int, media_ssrc: int) -> bytes:
+    # PSFB, FMT=1 (PLI)
+    return struct.pack("!BBHII", 0x81, PT_PSFB, 2, sender_ssrc, media_ssrc)
+
+
+def build_bye(ssrcs: List[int]) -> bytes:
+    n = len(ssrcs)
+    return struct.pack(f"!BBH{n}I", 0x80 | n, PT_BYE, n, *ssrcs)
+
+
+def is_rtcp(data: bytes) -> bool:
+    return len(data) >= 4 and PT_SR <= data[1] <= PT_PSFB
+
+
+def parse_compound(data: bytes) -> List[object]:
+    """Parses a compound RTCP packet into SenderReport/Pli/Bye items."""
+    out: List[object] = []
+    pos = 0
+    while pos + 4 <= len(data):
+        b0, pt, length = struct.unpack("!BBH", data[pos : pos + 4])
+        if (b0 >> 6) != 2:
+            break
+        size = (length + 1) * 4
+        body = data[pos : pos + size]
+        if pt == PT_SR and len(body) >= 28:
+            vals = struct.unpack("!IIIIII", body[4:28])
+            out.append(SenderReport(*vals))
+        elif pt == PT_PSFB and (b0 & 0x1F) == 1 and len(body) >= 12:
+            sender, media = struct.unpack("!II", body[4:12])
+            out.append(Pli(sender, media))
+        elif pt == PT_BYE:
+            n = b0 & 0x1F
+            ssrcs = list(struct.unpack(f"!{n}I", body[4 : 4 + 4 * n])) if n else []
+            out.append(Bye(ssrcs))
+        pos += size
+    return out
+
+
+class RtcpSyncState:
+    """Aligns multiple RTP streams onto one PTS timeline via SR NTP anchors
+    (reference `rtcp_sync.rs`).
+
+    Each stream registers with its clock rate; `pts_for` converts an
+    extended RTP timestamp into a shared NTP-derived timeline once an SR for
+    that SSRC arrived, else falls back to the first-packet-rebased timeline
+    the depayloaders use.
+    """
+
+    def __init__(self) -> None:
+        self._anchors: Dict[int, Tuple[float, int]] = {}  # ssrc -> (ntp_unix, rtp_ts)
+        self._clock: Dict[int, int] = {}
+        self._base_ntp: Optional[float] = None
+
+    def register_stream(self, ssrc: int, clock_rate: int) -> None:
+        self._clock[ssrc] = clock_rate
+
+    def on_sender_report(self, sr: SenderReport) -> None:
+        self._anchors[sr.ssrc] = (sr.ntp_unix, sr.rtp_timestamp)
+        if self._base_ntp is None:
+            self._base_ntp = sr.ntp_unix
+
+    def has_anchor(self, ssrc: int) -> bool:
+        return ssrc in self._anchors
+
+    def pts_for(self, ssrc: int, rtp_ts_ext: int) -> Optional[float]:
+        """NTP-aligned PTS (seconds since the first SR's NTP time), or None
+        if no anchor for this SSRC yet."""
+        anchor = self._anchors.get(ssrc)
+        clock = self._clock.get(ssrc)
+        if anchor is None or not clock or self._base_ntp is None:
+            return None
+        ntp, anchor_ts = anchor
+        # wrapped distance between this timestamp and the SR's anchor
+        diff = (rtp_ts_ext & 0xFFFFFFFF) - anchor_ts
+        if diff < -(1 << 31):
+            diff += 1 << 32
+        elif diff > (1 << 31):
+            diff -= 1 << 32
+        return (ntp - self._base_ntp) + diff / clock
+
+
+class RtcpSenderState:
+    """Per-SSRC send stats + periodic SR emission for an output stream."""
+
+    def __init__(self, ssrc: int, clock_rate: int, interval_s: float = 1.0) -> None:
+        self.ssrc = ssrc
+        self.clock_rate = clock_rate
+        self.interval = interval_s
+        self.packet_count = 0
+        self.octet_count = 0
+        self._last_sr = 0.0
+
+    def on_packet(self, payload_len: int) -> None:
+        self.packet_count += 1
+        self.octet_count += payload_len
+
+    def maybe_build_sr(self, media_pts_s: float, now: Optional[float] = None
+                       ) -> Optional[bytes]:
+        now = now if now is not None else time.monotonic()
+        if now - self._last_sr < self.interval:
+            return None
+        self._last_sr = now
+        sec, frac = ntp_now()
+        return build_sender_report(
+            SenderReport(
+                ssrc=self.ssrc,
+                ntp_sec=sec,
+                ntp_frac=frac,
+                rtp_timestamp=int(round(media_pts_s * self.clock_rate)) & 0xFFFFFFFF,
+                packet_count=self.packet_count,
+                octet_count=self.octet_count,
+            )
+        )

@@ -561,7 +561,19 @@ class RtpInputSource(InputSource):
         ajb = JitterBuffer(self.options.jitter_window_s)
         video_pts = {PT_H264, PT_VP8, PT_VP9}
 
+        from smelter_tpu.io import rtcp as rtcp_mod
+
+        sync = rtcp_mod.RtcpSyncState()
+        bye = threading.Event()
+
         def on_datagram(data: bytes) -> None:
+            if rtcp_mod.is_rtcp(data):
+                for item in rtcp_mod.parse_compound(data):
+                    if isinstance(item, rtcp_mod.SenderReport):
+                        sync.on_sender_report(item)
+                    elif isinstance(item, rtcp_mod.Bye):
+                        bye.set()
+                return
             pkt = RtpPacket.parse(data)
             if pkt is None:
                 return
@@ -585,7 +597,7 @@ class RtpInputSource(InputSource):
         try:
             if self.options.transport == "udp":
                 self._sock.settimeout(0.25)
-                while not self._stop.is_set():
+                while not self._stop.is_set() and not bye.is_set():
                     try:
                         data, _addr = self._sock.recvfrom(65536)
                     except socket.timeout:
@@ -756,7 +768,11 @@ class RtpOutputOptions:
 class RtpOutputSink(OutputSink):
     """Sends encoded packets as RTP over UDP, or to TCP clients with 2-byte
     length framing. Use with the pipeline's encoder threads (codec h264 video,
-    opus audio, with global_header=0 so parameter sets stay inline)."""
+    opus audio, with global_header=0 so parameter sets stay inline).
+
+    RTCP: periodic Sender Reports ride the same socket (rtcp-mux); inbound
+    PLI feedback triggers `on_keyframe_request` (set by the pipeline when
+    registering the output, reference handle_keyframe_requests.rs)."""
 
     def __init__(self, options: RtpOutputOptions) -> None:
         self.options = options
@@ -765,6 +781,11 @@ class RtpOutputSink(OutputSink):
             ssrc=0x53544956, payload_type=options.video_payload_type, mtu=options.mtu
         )
         self._ap = OpusPayloader(ssrc=0x53544941, payload_type=options.audio_payload_type)
+        from smelter_tpu.io.rtcp import RtcpSenderState
+
+        self._v_rtcp = RtcpSenderState(self._vp.ssrc, VIDEO_CLOCK)
+        self._a_rtcp = RtcpSenderState(self._ap.ssrc, OPUS_CLOCK)
+        self.on_keyframe_request = None  # set by the pipeline
         self._video_extradata = b""
         self._stop = threading.Event()
         self._clients: List[socket.socket] = []
@@ -772,6 +793,10 @@ class RtpOutputSink(OutputSink):
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             self._dest = (options.ip, options.port)
             self.port = options.port
+            self._fb_thread = threading.Thread(
+                target=self._feedback_loop, name="rtp-out-fb", daemon=True
+            )
+            self._fb_thread.start()
         elif options.transport == "tcp_server":
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -785,6 +810,17 @@ class RtpOutputSink(OutputSink):
         else:
             raise ValueError(f"unknown transport {options.transport!r}")
 
+    def _feedback_loop(self) -> None:
+        self._sock.settimeout(0.25)
+        while not self._stop.is_set():
+            try:
+                data, _ = self._sock.recvfrom(2048)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            self.handle_inbound(data)
+
     def _accept_loop(self) -> None:
         self._sock.settimeout(0.25)
         while not self._stop.is_set():
@@ -796,6 +832,28 @@ class RtpOutputSink(OutputSink):
                 return
             with self._lock:
                 self._clients.append(conn)
+
+    def _send_raw(self, data: bytes) -> None:
+        if self.options.transport == "udp":
+            try:
+                self._sock.sendto(data, self._dest)
+            except OSError:
+                pass
+        else:
+            framed = struct.pack("!H", len(data)) + data
+            with self._lock:
+                dead = []
+                for c in self._clients:
+                    try:
+                        c.sendall(framed)
+                    except OSError:
+                        dead.append(c)
+                for c in dead:
+                    self._clients.remove(c)
+                    try:
+                        c.close()
+                    except OSError:
+                        pass
 
     def _send_pkt(self, pkt: RtpPacket) -> None:
         data = pkt.serialize()
@@ -836,10 +894,28 @@ class RtpOutputSink(OutputSink):
             data = self._video_extradata + data
         for rtp_pkt in self._vp.payload(data, pkt.pts_s or 0.0):
             self._send_pkt(rtp_pkt)
+            self._v_rtcp.on_packet(len(rtp_pkt.payload))
+        sr = self._v_rtcp.maybe_build_sr(pkt.pts_s or 0.0)
+        if sr:
+            self._send_raw(sr)
 
     def write_audio_packet(self, pkt) -> None:
         for rtp_pkt in self._ap.payload(pkt.data, pkt.pts_s or 0.0):
             self._send_pkt(rtp_pkt)
+            self._a_rtcp.on_packet(len(rtp_pkt.payload))
+        sr = self._a_rtcp.maybe_build_sr(pkt.pts_s or 0.0)
+        if sr:
+            self._send_raw(sr)
+
+    def handle_inbound(self, data: bytes) -> None:
+        """Inbound datagrams on the output socket: RTCP feedback (PLI)."""
+        from smelter_tpu.io import rtcp as rtcp_mod
+
+        if not rtcp_mod.is_rtcp(data):
+            return
+        for item in rtcp_mod.parse_compound(data):
+            if isinstance(item, rtcp_mod.Pli) and self.on_keyframe_request:
+                self.on_keyframe_request()
 
     def on_done(self) -> None:
         self._stop.set()

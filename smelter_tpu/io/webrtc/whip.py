@@ -275,13 +275,22 @@ class _RtpSenderBridge(OutputSink):
         self.session: Optional[WebRtcSession] = None
         self.video_pt = 96
         self.audio_pt = 111
-        self.video_codec = "h264" 
+        self.video_codec = "h264"
+        self.on_keyframe_request = None  # set by the pipeline 
         self._vp: Optional[H264Payloader] = None
         self._ap: Optional[OpusPayloader] = None
         self._video_extradata = b""
         self._lock = threading.Lock()
 
     def attach(self, session: WebRtcSession, video_pt: int, audio_pt: int) -> None:
+        from smelter_tpu.io import rtcp as rtcp_mod
+
+        def on_rtcp(data: bytes) -> None:
+            for item in rtcp_mod.parse_compound(data):
+                if isinstance(item, rtcp_mod.Pli) and self.on_keyframe_request:
+                    self.on_keyframe_request()
+
+        session.on_rtcp = on_rtcp
         with self._lock:
             self.session = session
             self.video_pt = video_pt

@@ -274,6 +274,10 @@ class Pipeline:
                 current_inputs=set(self._inputs.keys()),
                 on_done=self._on_output_done,
             )
+            # sinks that receive RTCP PLI feedback propagate keyframe
+            # requests into the encoder (reference handle_keyframe_requests)
+            if hasattr(sink, "on_keyframe_request"):
+                sink.on_keyframe_request = out.request_keyframe
             self._outputs[output_id] = out
             out.start()
             return out
