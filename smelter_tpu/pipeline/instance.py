@@ -97,6 +97,7 @@ class Pipeline:
                 audio_chunk_duration=options.audio_chunk_duration,
             ),
             event_callback=self.events.emit_queue_event,
+            drop_callback=self._on_queue_drop,
         )
         self._lock = threading.RLock()
         self.stats = PipelineStats()
@@ -111,6 +112,10 @@ class Pipeline:
         self._video_eos_seen: Set[str] = set()
         self._audio_eos_seen: Set[str] = set()
         self._side_channels: Dict[str, list] = {}
+
+    def _on_queue_drop(self) -> None:
+        with self.stats._lock:
+            self.stats.video_frames_dropped += 1
 
     # ------------------------------------------------------------------ inputs
 
@@ -344,6 +349,17 @@ class Pipeline:
             import time as _time
 
             self.stats.started_at = _time.time()
+            # tracing subsystem (reference uses `tracing` spans; here the
+            # device-side story is a jax.profiler trace, env-gated)
+            trace_dir = os.environ.get("SMELTER_JAX_PROFILER_DIR")
+            if trace_dir:
+                import jax
+
+                try:
+                    jax.profiler.start_trace(trace_dir)
+                    self._profiling = True
+                except Exception:
+                    self._profiling = False
             self._video_channel = Channel(2)
             self._audio_channel = Channel(100)
             self.queue.start(self._video_channel, self._audio_channel)
@@ -357,6 +373,14 @@ class Pipeline:
             self._threads += [rt, at]
 
     def close(self) -> None:
+        if getattr(self, "_profiling", False):
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+            self._profiling = False
         self._closed.set()
         self.queue.close()
         if self._video_channel is not None:

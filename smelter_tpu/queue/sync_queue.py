@@ -504,7 +504,9 @@ class Queue:
         options: QueueOptions = QueueOptions(),
         clock: Optional[MonotonicClock] = None,
         event_callback: Optional[Callable[[str, str], None]] = None,
+        drop_callback: Optional[Callable[[], None]] = None,
     ) -> None:
+        self._drop_callback = drop_callback
         self.options = options
         self.clock = clock or MonotonicClock()
         self._sync_origin = self.clock.now()
@@ -724,6 +726,10 @@ class Queue:
                 sender.send(item)
             else:
                 deadline = self._sync_origin + pts
-                sender.send_deadline(item, deadline, clock=self.clock.now)
+                delivered = sender.send_deadline(
+                    item, deadline, clock=self.clock.now
+                )
+                if not delivered and self._drop_callback is not None:
+                    self._drop_callback()
         except Closed:
             pass

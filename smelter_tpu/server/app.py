@@ -188,6 +188,20 @@ def build_app(state: ApiState) -> web.Application:
                     )
                     state.input_kinds[input_id] = "rtmp"
                     return {"port": source.port}
+                if isinstance(spec, api.DeckLinkInput):
+                    from smelter_tpu.io.decklink import DeckLinkInput
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    source = DeckLinkInput(
+                        subdevice_index=spec.subdevice_index or 0,
+                        enable_audio=bool(spec.enable_audio),
+                    )
+                    state.pipeline.register_input(
+                        input_id, source,
+                        RegisterInputOptions(required=bool(spec.required)),
+                    )
+                    state.input_kinds[input_id] = "decklink"
+                    return {}
                 if isinstance(spec, api.V4l2Input):
                     from smelter_tpu.io.v4l2 import V4l2Input, V4l2InputOptions
                     from smelter_tpu.pipeline.instance import RegisterInputOptions

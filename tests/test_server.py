@@ -186,7 +186,7 @@ def test_server_validation_errors(server, tmp_path):
         # unimplemented protocol → 501
         r = c.post(
             "/api/input/x/register",
-            json={"type": "decklink"},
+            json={"type": "moq_server"},
         )
         assert r.status_code == 501
 
@@ -319,3 +319,24 @@ def test_server_hls_output(server, tmp_path):
 
     segs = glob.glob(str(tmp_path / "*.ts"))
     assert segs, "no HLS segments written"
+
+
+def test_server_reset_and_decklink(server, tmp_path):
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        src = str(tmp_path / "a.mp4")
+        _make_source_mp4(src, "red", 440.0)
+        assert c.post("/api/input/a/register",
+                      json={"type": "mp4", "path": src}).status_code == 200
+        st = c.get("/status").json()
+        assert [i["input_id"] for i in st["inputs"]] == ["a"]
+        # reset swaps in a fresh pipeline
+        assert c.post("/api/reset", json={}).status_code == 200
+        st = c.get("/status").json()
+        assert st["inputs"] == [] and st["outputs"] == []
+        # registering again after reset works
+        assert c.post("/api/input/a/register",
+                      json={"type": "mp4", "path": src}).status_code == 200
+        # decklink without the vendor SDK fails cleanly (400-class)
+        r = c.post("/api/input/sdi/register", json={"type": "decklink"})
+        assert r.status_code in (400, 500)
+        assert "DeckLink" in r.json()["message"]
