@@ -84,7 +84,12 @@ class Pipeline:
         self.options = options
         self.events = Emitter()
         self.renderer = Renderer(
-            RendererOptions(stream_fallback_timeout=options.stream_fallback_timeout)
+            RendererOptions(
+                stream_fallback_timeout=options.stream_fallback_timeout,
+                # live pipelines must not stall on scene-update compiles;
+                # offline (AOT) runs stay synchronous for determinism
+                async_compile=not options.ahead_of_time_processing,
+            )
         )
         self.audio_mixer = AudioMixer(mixing_sample_rate=options.mixing_sample_rate)
         self.queue = Queue(

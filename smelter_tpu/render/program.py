@@ -279,6 +279,10 @@ class OutputProgram:
         self._next_id = 0
         self._assign_ids(root)
         self._jit_cache: Dict[tuple, Callable] = {}
+        import threading as _threading
+
+        self._compile_lock = _threading.Lock()
+        self._compiling: set = set()
         # (node_id, layout_index) -> last rect signature; used to detect
         # animating layouts (transitions) and route them to the general path
         self._rect_history: Dict[tuple, tuple] = {}
@@ -403,11 +407,22 @@ class OutputProgram:
 
     # -- compile + run ------------------------------------------------------------
 
-    def render(self, pts, input_frames, image_store, text_renderer):
+    def render(self, pts, input_frames, image_store, text_renderer,
+               allow_async_compile: bool = False):
+        """Render one frame. With ``allow_async_compile`` an uncompiled
+        structure kicks off a background compile and returns None instead of
+        stalling the 60 Hz loop (SURVEY §7 hard part (a)): the caller shows
+        the previous frame until the program is ready. The first-ever frame
+        of an output always compiles synchronously."""
         key, plan = self.plan(pts, input_frames, image_store, text_renderer)
         fn = self._jit_cache.get(key)
         if fn is None:
+            if allow_async_compile:
+                self._compile_async(key, plan, input_frames)
+                return None
             fn = self._build(key, plan, input_frames)
+            # warm: the first call compiles; do it here so timing is charged
+            # to the control path, not a later hot frame
             self._jit_cache[key] = fn
         return fn(
             plan.input_planes,
@@ -416,6 +431,39 @@ class OutputProgram:
             plan.shader_params,
             np.float32(plan.time),
         )
+
+    def _compile_async(self, key: tuple, plan: FramePlan, input_frames) -> None:
+        import threading
+
+        with self._compile_lock:
+            if key in self._compiling:
+                return
+            self._compiling.add(key)
+
+        def work() -> None:
+            try:
+                fn = self._build(key, plan, input_frames)
+                # actually compile by executing once with the captured args
+                out = fn(
+                    plan.input_planes,
+                    plan.aux_textures,
+                    plan.layout_params,
+                    plan.shader_params,
+                    np.float32(plan.time),
+                )
+                jax.block_until_ready(out)
+                self._jit_cache[key] = fn
+            except Exception:  # pragma: no cover - surfaced via logs
+                import logging
+
+                logging.getLogger("smelter.render").exception(
+                    "background compile failed"
+                )
+            finally:
+                with self._compile_lock:
+                    self._compiling.discard(key)
+
+        threading.Thread(target=work, name="program-compile", daemon=True).start()
 
     def _build(self, key: tuple, plan: FramePlan, input_frames) -> Callable:
         """Build + jit the full render program for the current structure."""

@@ -33,12 +33,17 @@ from smelter_tpu.scene.scene_state import OutputScene, SceneState
 class RendererOptions:
     framerate: Framerate = Framerate(30)
     stream_fallback_timeout: float = 0.5  # seconds
+    # live mode: compile new scene structures in the background and freeze
+    # the last frame meanwhile, so updates never stall the 60 Hz loop
+    # (offline/deterministic runs keep synchronous compiles)
+    async_compile: bool = False
 
 
 class Renderer:
     """Thread-safe renderer entry point."""
 
     def __init__(self, options: RendererOptions = RendererOptions()) -> None:
+        self._last_outputs = {}
         self._lock = threading.Lock()
         self.options = options
         self.scene = SceneState()
@@ -148,13 +153,28 @@ class Renderer:
 
             out = FrameSet(pts=pts)
             for output_id, program in self._programs.items():
-                planes = program.render(pts, frames, self.images, self.text)
-                out.frames[output_id] = Frame(
+                has_last = output_id in self._last_outputs
+                planes = program.render(
+                    pts, frames, self.images, self.text,
+                    allow_async_compile=self.options.async_compile and has_last,
+                )
+                if planes is None:
+                    # program compiling in the background: freeze the last
+                    # frame instead of stalling the loop
+                    last = self._last_outputs[output_id]
+                    out.frames[output_id] = Frame(
+                        data=last.data, format=last.format,
+                        resolution=last.resolution, pts=pts,
+                    )
+                    continue
+                frame = Frame(
                     data=planes,
                     format=self._output_formats[output_id],
                     resolution=program.resolution,
                     pts=pts,
                 )
+                self._last_outputs[output_id] = frame
+                out.frames[output_id] = frame
             return out
 
 

@@ -318,3 +318,45 @@ def test_stream_fallback_then_timeout():
     # frame missing at pts=2.0 (> fallback timeout): renders absent
     out = r.render(FrameSet(pts=2.0)).frames["out"]
     assert frame_to_rgb_u8(out)[90, 160].sum() < 30
+
+
+def test_scene_update_does_not_stall_render_loop():
+    """SURVEY §7 hard part (a): a scene update compiles in the background;
+    frames keep flowing (frozen) until the new program is ready."""
+    import time as _time
+
+    from smelter_tpu.render.renderer import Renderer, RendererOptions
+
+    r = Renderer(RendererOptions(async_compile=True))
+    r.register_input("input_0")
+    scene_a = comp.View(
+        background_color=RGBAColor(255, 0, 0),
+        children=[comp.Rescaler(child=comp.InputStream(input_id="input_0"))],
+    )
+    r.update_scene("out", scene_a, OUT, PixelFormat.RGBA)
+    out0 = r.render(_frames(1)).frames["out"]  # first frame: sync compile
+    assert frame_to_rgb_u8(out0)[5, 5, 0] > 200
+
+    # structural update: different scene
+    scene_b = comp.View(background_color=RGBAColor(0, 0, 255))
+    r.update_scene("out", scene_b, OUT, PixelFormat.RGBA)
+    t0 = _time.perf_counter()
+    out1 = r.render(_frames(1, pts=0.1)).frames["out"]
+    first_dt = _time.perf_counter() - t0
+    # returned immediately with the frozen previous frame OR the compile was
+    # instantaneous; either way no multi-second stall
+    assert first_dt < 1.0, first_dt
+
+    # eventually the new scene appears
+    deadline = _time.time() + 60
+    became_blue = False
+    pts = 0.2
+    while _time.time() < deadline:
+        out = r.render(_frames(1, pts=pts)).frames["out"]
+        rgb = frame_to_rgb_u8(out)
+        if rgb[5, 5, 2] > 200 and rgb[5, 5, 0] < 60:
+            became_blue = True
+            break
+        pts += 1 / 30
+        _time.sleep(0.05)
+    assert became_blue, "new scene never took effect"
