@@ -436,6 +436,8 @@ class RtpInputAudioOptions(ApiModel):
     decoder: Optional[str] = None
     sample_rate: Optional[int] = None
     forward_error_correction: Optional[bool] = None
+    # AAC AudioSpecificConfig as hex (RFC 3640 out-of-band config)
+    audio_specific_config: Optional[str] = None
 
 
 class RtpInput(ApiModel):

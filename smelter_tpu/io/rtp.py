@@ -312,6 +312,160 @@ class Vp8Depayloader:
         return []
 
 
+class Vp9Depayloader:
+    """draft-ietf-payload-vp9: strips the VP9 payload descriptor and
+    reassembles frames (flexible + non-flexible modes, SS skipped)."""
+
+    def __init__(self) -> None:
+        self._parts: List[bytes] = []
+        self._keyframe = False
+        self._unroller = TimestampUnroller()
+        self._first_ts: Optional[int] = None
+
+    def push(self, pkt: RtpPacket) -> List[AccessUnit]:
+        p = pkt.payload
+        if not p:
+            return []
+        b0 = p[0]
+        i_bit = b0 & 0x80
+        p_bit = b0 & 0x40
+        l_bit = b0 & 0x20
+        f_bit = b0 & 0x10
+        b_bit = b0 & 0x08
+        v_bit = b0 & 0x02
+        i = 1
+        if i_bit:
+            if i >= len(p):
+                return []
+            if p[i] & 0x80:
+                i += 2
+            else:
+                i += 1
+        if l_bit:
+            i += 1
+            if not f_bit:
+                i += 1  # TL0PICIDX
+        if v_bit and i < len(p):
+            # scalability structure: N_S|Y|G
+            ss = p[i]
+            i += 1
+            n_s = (ss >> 5) + 1
+            if ss & 0x10:  # Y: width/height per layer
+                i += 4 * n_s
+            if ss & 0x08:  # G
+                if i < len(p):
+                    n_g = p[i]
+                    i += 1
+                    for _ in range(n_g):
+                        if i >= len(p):
+                            break
+                        g = p[i]
+                        i += 1
+                        r = (g >> 2) & 0x03
+                        i += r
+        if b_bit and not self._parts:
+            self._keyframe = not p_bit
+        self._parts.append(p[i:])
+        if pkt.marker:
+            data = b"".join(self._parts)
+            self._parts = []
+            keyframe = self._keyframe
+            self._keyframe = False
+            if not data:
+                return []
+            ext = self._unroller.unroll(pkt.timestamp)
+            if self._first_ts is None:
+                self._first_ts = ext
+            return [AccessUnit(data, (ext - self._first_ts) / VIDEO_CLOCK, keyframe)]
+        return []
+
+
+class Vp9Payloader:
+    """Minimal VP9 payloader (flexible mode, no picture id / layers)."""
+
+    def __init__(self, ssrc: int, payload_type: int = PT_VP9, mtu: int = 1200) -> None:
+        self.ssrc = ssrc
+        self.pt = payload_type
+        self.mtu = mtu
+        self.seq = 0
+
+    def payload(self, frame: bytes, pts_s: float, keyframe: bool = False
+                ) -> List[RtpPacket]:
+        ts = int(round(pts_s * VIDEO_CLOCK)) & 0xFFFFFFFF
+        out: List[RtpPacket] = []
+        pos = 0
+        first = True
+        while pos < len(frame) or first:
+            chunk = frame[pos : pos + self.mtu - 1]
+            pos += len(chunk)
+            last = pos >= len(frame)
+            desc = (0x08 if first else 0x00) | (0x04 if last else 0x00)
+            if not keyframe:
+                desc |= 0x40  # P: inter-picture predicted
+            out.append(RtpPacket(
+                payload_type=self.pt, sequence_number=self.seq, timestamp=ts,
+                ssrc=self.ssrc, payload=bytes([desc]) + chunk, marker=last,
+            ))
+            self.seq = (self.seq + 1) & 0xFFFF
+            first = False
+        return out
+
+
+class AacDepayloader:
+    """RFC 3640 mpeg4-generic (AAC-hbr): 13-bit AU sizes in AU headers."""
+
+    def __init__(self, clock_rate: int = 48000) -> None:
+        self.clock = clock_rate
+        self._unroller = TimestampUnroller()
+        self._first_ts: Optional[int] = None
+
+    def push(self, pkt: RtpPacket) -> List[AccessUnit]:
+        p = pkt.payload
+        if len(p) < 2:
+            return []
+        hdr_bits = struct.unpack("!H", p[:2])[0]
+        n_headers = hdr_bits // 16
+        sizes = []
+        pos = 2
+        for _ in range(n_headers):
+            if pos + 2 > len(p):
+                return []
+            au = struct.unpack("!H", p[pos : pos + 2])[0]
+            sizes.append(au >> 3)
+            pos += 2
+        ext = self._unroller.unroll(pkt.timestamp)
+        if self._first_ts is None:
+            self._first_ts = ext
+        base = (ext - self._first_ts) / self.clock
+        out = []
+        # 1024 samples per AAC frame
+        for k, size in enumerate(sizes):
+            au = p[pos : pos + size]
+            pos += size
+            out.append(AccessUnit(au, base + k * 1024.0 / self.clock, True))
+        return out
+
+
+class AacPayloader:
+    """RFC 3640 AAC-hbr payloader (one AU per packet)."""
+
+    def __init__(self, ssrc: int, payload_type: int, clock_rate: int = 48000) -> None:
+        self.ssrc = ssrc
+        self.pt = payload_type
+        self.clock = clock_rate
+        self.seq = 0
+
+    def payload(self, au: bytes, pts_s: float) -> List[RtpPacket]:
+        hdr = struct.pack("!HH", 16, (len(au) << 3))
+        pkt = RtpPacket(
+            payload_type=self.pt, sequence_number=self.seq,
+            timestamp=int(round(pts_s * self.clock)) & 0xFFFFFFFF,
+            ssrc=self.ssrc, payload=hdr + au, marker=True,
+        )
+        self.seq = (self.seq + 1) & 0xFFFF
+        return [pkt]
+
+
 class OpusDepayloader:
     """RFC 7587: each packet is one Opus frame."""
 
@@ -465,8 +619,9 @@ class OpusPayloader:
 class RtpInputOptions:
     port: int = 0                       # 0 = pick free port
     transport: str = "udp"              # udp | tcp_server
-    video_codec: Optional[str] = None   # h264 | vp8 | None
-    audio_codec: Optional[str] = None   # opus | None
+    video_codec: Optional[str] = None   # h264 | vp8 | vp9 | None
+    audio_codec: Optional[str] = None   # opus | aac | None
+    audio_extradata: bytes = b""        # AAC AudioSpecificConfig (RFC 3640)
     jitter_window_s: float = 0.050
 
 
@@ -552,7 +707,13 @@ class RtpInputSource(InputSource):
             vd = H264Depayloader()
         elif self.options.video_codec == "vp8":
             vd = Vp8Depayloader()
-        ad = OpusDepayloader() if self.options.audio_codec == "opus" else None
+        elif self.options.video_codec == "vp9":
+            vd = Vp9Depayloader()
+        ad = None
+        if self.options.audio_codec == "opus":
+            ad = OpusDepayloader()
+        elif self.options.audio_codec == "aac":
+            ad = AacDepayloader()
         return vd, ad
 
     def _run_recv(self, video_au: Optional[Channel], audio_au: Optional[Channel]) -> None:
@@ -662,7 +823,11 @@ class RtpInputSource(InputSource):
         run_video_decode(aus, ctx, self.options.video_codec or "h264")
 
     def _run_audio_decode(self, aus: Channel, ctx: InputCtx) -> None:
-        run_audio_decode(aus, ctx)
+        run_audio_decode(
+            aus, ctx,
+            codec_name=self.options.audio_codec or "opus",
+            extradata=self.options.audio_extradata,
+        )
 
 
 def run_video_decode(aus: Channel, ctx: InputCtx, codec_name: str = "h264") -> None:
@@ -720,13 +885,19 @@ def run_video_decode(aus: Channel, ctx: InputCtx, codec_name: str = "h264") -> N
 
 
 
-def run_audio_decode(aus: Channel, ctx: InputCtx) -> None:
+def run_audio_decode(aus: Channel, ctx: InputCtx, codec_name: str = "opus",
+                     extradata: bytes = b"") -> None:
     from smelter_tpu.io.codec import AudioDecoder, Codec
 
-    dec = AudioDecoder(
-        Codec.OPUS, ctx.mixing_sample_rate, 2,
-        in_sample_rate=OPUS_CLOCK, in_channels=2,
-    )
+    if codec_name == "aac":
+        dec = AudioDecoder(
+            Codec.AAC, ctx.mixing_sample_rate, 2, extradata=extradata
+        )
+    else:
+        dec = AudioDecoder(
+            Codec.OPUS, ctx.mixing_sample_rate, 2,
+            in_sample_rate=OPUS_CLOCK, in_channels=2,
+        )
     out = ctx.audio_channel
     assert out is not None
     try:
@@ -964,12 +1135,27 @@ def register_rtp_input(pipeline, input_id: str, spec) -> int:
         video_codec = _DECODER_NAME_MAP.get(wire_name)
         if video_codec is None:
             raise ValueError(f"unknown video decoder {wire_name!r}")
+    audio_codec = None
+    audio_extradata = b""
+    if spec.audio is not None:
+        name = (spec.audio.decoder or "opus").lower()
+        audio_codec = {"opus": "opus", "aac": "aac", "fdk_aac": "aac"}.get(name)
+        if audio_codec is None:
+            raise ValueError(f"unknown audio decoder {name!r}")
+        if audio_codec == "aac":
+            asc = getattr(spec.audio, "audio_specific_config", None)
+            if not asc:
+                raise ValueError(
+                    "aac rtp input requires audio_specific_config (hex)"
+                )
+            audio_extradata = bytes.fromhex(asc)
     source = RtpInputSource(
         RtpInputOptions(
             port=port,
             transport=spec.transport_protocol or "udp",
             video_codec=video_codec,
-            audio_codec=("opus" if spec.audio else None),
+            audio_codec=audio_codec,
+            audio_extradata=audio_extradata,
         )
     )
     pipeline.register_input(

@@ -135,12 +135,15 @@ class Pipeline:
                 raise ValueError(f"input {input_id!r} already registered")
             # offset semantics match the reference's `offset_ms`: the stream
             # starts exactly `offset` seconds after queue start (queue.rs:76-95)
+            # side_channel_delay extends the input buffer so subscribers see
+            # frames that long before they are due (reference queue.rs:96-102)
             qopts = QueueInputOptions(
                 required=options.required,
                 offset=("from_start", options.offset)
                 if options.offset is not None
                 else None,
-                buffer_duration=options.buffer_duration,
+                buffer_duration=options.buffer_duration
+                + max(options.side_channel_delay, 0.0),
             )
             qi = self.queue.add_input(
                 input_id, qopts,

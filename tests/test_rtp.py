@@ -371,3 +371,89 @@ def test_rtp_output_loopback(tmp_path):
     assert n >= 55
     # red content → V plane high
     assert np.mean(v_mean) > 180
+
+
+def test_vp9_payload_depayload_roundtrip():
+    from smelter_tpu.io.rtp import Vp9Depayloader, Vp9Payloader
+
+    enc = VideoEncoder(Codec.VP9, 128, 96, 30)
+    y = np.full((96, 128), 80, np.uint8)
+    u = np.full((48, 64), 128, np.uint8)
+    v = u.copy()
+    pkts = []
+    for i in range(10):
+        y[:] = 40 + i * 15
+        enc.send(y, u, v, i / 30)
+        while True:
+            p = enc.receive()
+            if p in (None, "eof"):
+                break
+            pkts.append(p)
+    enc.send_eof()
+    while True:
+        p = enc.receive()
+        if p in (None, "eof"):
+            break
+        pkts.append(p)
+
+    payloader = Vp9Payloader(ssrc=3, mtu=500)
+    dep = Vp9Depayloader()
+    aus = []
+    for p in pkts:
+        for rp in payloader.payload(p.data, p.pts_s or 0.0, keyframe=p.is_keyframe):
+            aus += dep.push(rp)
+    assert len(aus) == len(pkts)
+    assert aus[0].is_keyframe
+
+    dec = VideoDecoder(Codec.VP9)
+    n = 0
+    for au in aus:
+        dec.send(au.data, au.pts_s)
+        while True:
+            f = dec.receive()
+            if f in (None, "eof"):
+                break
+            n += 1
+    dec.send_eof()
+    while True:
+        f = dec.receive()
+        if f in (None, "eof"):
+            break
+        n += 1
+    assert n == len(pkts)
+
+
+def test_aac_payload_depayload_roundtrip():
+    from smelter_tpu.io.codec import AudioDecoder
+    from smelter_tpu.io.rtp import AacDepayloader, AacPayloader
+
+    enc = AudioEncoder(Codec.AAC, 48000, 2)
+    t = np.arange(48000) / 48000.0
+    pcm = np.stack([np.sin(2 * np.pi * 440 * t)] * 2, axis=1).astype(np.float32)
+    enc.send(pcm, 0.0)
+    enc.send_eof()
+    pkts = []
+    while True:
+        p = enc.receive()
+        if p in (None, "eof"):
+            break
+        pkts.append(p)
+
+    payloader = AacPayloader(ssrc=4, payload_type=97, clock_rate=48000)
+    dep = AacDepayloader(clock_rate=48000)
+    aus = []
+    for p in pkts:
+        for rp in payloader.payload(p.data, p.pts_s or 0.0):
+            aus += dep.push(rp)
+    assert len(aus) == len(pkts)
+
+    dec = AudioDecoder(Codec.AAC, 48000, 2, extradata=enc.extradata())
+    total = 0
+    for au in aus:
+        dec.send(au.data, au.pts_s)
+        while True:
+            s = dec.receive()
+            if s in (None, "eof"):
+                break
+            total += s[0].shape[0]
+    assert total > 40000
