@@ -175,7 +175,8 @@ struct AEnc {
     AVCodecContext *ctx = nullptr;
     AVFrame *frame = nullptr;
     AVPacket *pkt = nullptr;
-    SwrContext *swr = nullptr;
+    SwrContext *swr = nullptr;       /* FLT interleaved -> encoder fmt */
+    SwrContext *swr_rate = nullptr;  /* in_rate -> out_rate, FLT -> FLT */
     /* FIFO of interleaved f32 samples awaiting a full encoder frame */
     std::vector<float> fifo;
     /* encoded packets staged so send never stalls on EAGAIN */
@@ -184,6 +185,7 @@ struct AEnc {
     double next_pts_s = 0;
     bool pts_set = false;
     ~AEnc() {
+        if (swr_rate) swr_free(&swr_rate);
         if (swr) swr_free(&swr);
         if (pkt) av_packet_free(&pkt);
         if (frame) av_frame_free(&frame);
@@ -513,6 +515,7 @@ int sm_venc_new(int32_t codec, int32_t width, int32_t height,
     /* low-latency defaults matching the reference's realtime encoder config
        (smelter-core/src/pipeline/encoder/ffmpeg_h264.rs) */
     v->ctx->max_b_frames = 0;
+    v->ctx->thread_count = 0; /* auto (frame/slice threads on multi-core) */
     v->ctx->gop_size = (int)(2.0 * fps_num / fps_den); /* 2s GOP */
     if (bitrate > 0) v->ctx->bit_rate = bitrate;
     v->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -609,7 +612,8 @@ int sm_venc_close(int h) { return g_venc.erase(h) ? 0 : fail("bad venc handle");
 
 /* ---------------- audio encoder ---------------- */
 
-int sm_aenc_new(int32_t codec, int32_t sample_rate, int32_t channels, int64_t bitrate) {
+int sm_aenc_new(int32_t codec, int32_t sample_rate, int32_t channels,
+                int64_t bitrate, int32_t in_sample_rate) {
     const AVCodec *c = nullptr;
     if (codec == SM_CODEC_OPUS) c = avcodec_find_encoder_by_name("libopus");
     if (!c) c = avcodec_find_encoder(to_av_codec(codec));
@@ -649,6 +653,13 @@ int sm_aenc_new(int32_t codec, int32_t sample_rate, int32_t channels, int64_t bi
                               sample_rate, &in_layout, AV_SAMPLE_FMT_FLT,
                               sample_rate, 0, nullptr);
     if (err < 0 || swr_init(a->swr) < 0) return fail("swr init (aenc) failed");
+    if (in_sample_rate > 0 && in_sample_rate != sample_rate) {
+        err = swr_alloc_set_opts2(&a->swr_rate, &in_layout, AV_SAMPLE_FMT_FLT,
+                                  sample_rate, &in_layout, AV_SAMPLE_FMT_FLT,
+                                  in_sample_rate, 0, nullptr);
+        if (err < 0 || swr_init(a->swr_rate) < 0)
+            return fail("swr init (aenc rate) failed");
+    }
     return g_aenc.put(std::move(a));
 }
 
@@ -730,10 +741,25 @@ int sm_aenc_send(int h, const float *interleaved, int32_t n_samples, double pts_
         a->next_pts_s = pts_s;
         a->pts_set = true;
     }
-    size_t old = a->fifo.size();
-    a->fifo.resize(old + (size_t)n_samples * ch);
-    memcpy(a->fifo.data() + old, interleaved, (size_t)n_samples * ch * sizeof(float));
-    int fs = a->ctx->frame_size > 0 ? a->ctx->frame_size : n_samples;
+    if (a->swr_rate) {
+        /* rate-convert first so the fifo holds out-rate samples */
+        int max_out = swr_get_out_samples(a->swr_rate, n_samples);
+        std::vector<float> conv((size_t)max_out * ch);
+        uint8_t *outp[1] = {(uint8_t *)conv.data()};
+        const uint8_t *inp[1] = {(const uint8_t *)interleaved};
+        int got = swr_convert(a->swr_rate, outp, max_out, inp, n_samples);
+        if (got < 0) return fail_av("swr_convert(aenc rate)", got);
+        size_t old = a->fifo.size();
+        a->fifo.resize(old + (size_t)got * ch);
+        memcpy(a->fifo.data() + old, conv.data(), (size_t)got * ch * sizeof(float));
+    } else {
+        size_t old = a->fifo.size();
+        a->fifo.resize(old + (size_t)n_samples * ch);
+        memcpy(a->fifo.data() + old, interleaved,
+               (size_t)n_samples * ch * sizeof(float));
+    }
+    int fs = a->ctx->frame_size > 0 ? a->ctx->frame_size
+                                    : (int)(a->fifo.size() / ch);
     while (fs > 0 && (int)(a->fifo.size() / ch) >= fs) {
         if (aenc_encode_one(a, fs, false) < 0) return -2;
     }

@@ -286,6 +286,7 @@ class Pipeline:
                 output_id, sink, video, audio, fr.num, fr.den,
                 current_inputs=set(self._inputs.keys()),
                 on_done=self._on_output_done,
+                mixing_sample_rate=self.options.mixing_sample_rate,
             )
             # sinks that receive RTCP PLI feedback propagate keyframe
             # requests into the encoder (reference handle_keyframe_requests)

@@ -162,7 +162,9 @@ class PipelineOutput:
         fps_den: int,
         current_inputs: Set[str],
         on_done: Callable[[str], None],
+        mixing_sample_rate: int = 48000,
     ) -> None:
+        self.mixing_sample_rate = mixing_sample_rate
         self.output_id = output_id
         self.sink = sink
         self.video_opts = video
@@ -313,6 +315,7 @@ class PipelineOutput:
                     opts.encoder.sample_rate,
                     opts.encoder.channels,
                     opts.encoder.bitrate,
+                    input_sample_rate=self.mixing_sample_rate,
                 )
                 self.sink.setup_audio(opts, enc.extradata())
             else:

@@ -195,3 +195,31 @@ def test_demux_seek():
     assert pkt.pts_s is not None and pkt.pts_s >= 0.9  # seeks to a keyframe at/before 2s
     d.close()
     os.unlink(path)
+
+
+def test_audio_encoder_resamples_input_rate():
+    """A 48 kHz mixer feeding a 44.1 kHz AAC encoder must not pitch-shift
+    (reference encoder/resampler.rs)."""
+    enc = AudioEncoder(Codec.AAC, 44100, 2, input_sample_rate=48000)
+    t = np.arange(96000) / 48000.0  # 2s at 48 kHz
+    sine = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    enc.send(np.stack([sine, sine], axis=1), 0.0)
+    enc.send_eof()
+    pkts = _drain(enc)[0]
+    assert pkts
+
+    dec = AudioDecoder(Codec.AAC, 48000, 2, extradata=enc.extradata(),
+                       in_sample_rate=44100, in_channels=2)
+    chunks = []
+    for p in pkts:
+        dec.send(p.data, p.pts_s or 0.0)
+        chunks += [s for s, _ in _drain(dec)[0]]
+    dec.send_eof()
+    chunks += [s for s, _ in _drain(dec)[0]]
+    pcm = np.concatenate(chunks).mean(axis=1)
+    assert pcm.shape[0] > 48000
+    seg = pcm[24000:72000]
+    spectrum = np.abs(np.fft.rfft(seg))
+    freqs = np.fft.rfftfreq(len(seg), 1 / 48000)
+    peak = float(freqs[int(np.argmax(spectrum))])
+    assert abs(peak - 440.0) < 5.0, f"tone moved to {peak} Hz"
