@@ -296,9 +296,41 @@ def compose_layouts(
         else jnp.zeros((h, w, 4), jnp.float32)
     )
     px = py = None
-    for st, p in zip(statics, params):
+    items = list(zip(statics, params))
+    i = 0
+    while i < len(items):
+        st, p = items[i]
         if st.static_rect is not None and not st.has_rotation:
             canvas = _render_rect_layout(st, p, sources, canvas)
+            i += 1
+            continue
+        # collect a run of full-canvas non-texture layers → fused Pallas
+        # pass (one canvas read/write for the whole run)
+        run = []
+        j = i
+        while j < len(items):
+            st_j, p_j = items[j]
+            if (
+                st_j.static_rect is None
+                and st_j.content in ("color", "box_shadow")
+                and st_j.n_masks == 0
+            ):
+                run.append((st_j, p_j))
+                j += 1
+            else:
+                break
+        if run:
+            from smelter_tpu.ops.pallas.sdf_layers import (
+                compose_sdf_layers,
+                pack_layer_params_traced,
+            )
+
+            kinds = tuple(
+                (s_.content, s_.has_border, s_.has_rotation) for s_, _ in run
+            )
+            rows = pack_layer_params_traced([p_ for _, p_ in run])
+            canvas = compose_sdf_layers(canvas, rows, kinds)
+            i = j
             continue
         if px is None:
             px = jnp.broadcast_to(
@@ -309,4 +341,5 @@ def compose_layouts(
             )
         layer = render_single_layout(st, p, sources, px, py)
         canvas = layer + canvas * (1.0 - layer[..., 3:4])
+        i += 1
     return canvas
