@@ -177,6 +177,7 @@ class PipelineOutput:
             audio.end_condition if audio else EndCondition(), current_inputs
         )
         self._on_done = on_done
+        self.encoded_video_packets = 0
         self._done_lock = threading.Lock()
         self._video_done = video is None
         self._audio_done = audio is None
@@ -289,6 +290,7 @@ class PipelineOutput:
                     pkt = enc.receive()
                     if pkt is None or pkt == "eof":
                         break
+                    self.encoded_video_packets += 1
                     self.sink.write_video_packet(pkt)
             if enc is not None:
                 enc.send_eof()

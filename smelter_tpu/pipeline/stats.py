@@ -86,7 +86,15 @@ def collect_stats(pipeline) -> dict:
                 iid: {"frames_delivered": n} for iid, n in stats.input_frames.items()
             },
             "outputs": {
-                oid: {"frames_rendered": n} for oid, n in stats.output_frames.items()
+                oid: {
+                    "frames_rendered": n,
+                    "encoded_packets": getattr(
+                        pipeline._outputs.get(oid), "encoded_video_packets", 0
+                    )
+                    if oid in pipeline._outputs
+                    else 0,
+                }
+                for oid, n in stats.output_frames.items()
             },
         }
     return report
