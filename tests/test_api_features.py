@@ -307,3 +307,93 @@ def test_overflow_modes_render_fidelity():
             assert outside < 60, f"overflow=hidden leaked: {outside}"
         else:
             assert outside > 200, f"overflow=visible clipped: {outside}"
+
+
+def test_unregister_input_during_live_run(tmp_path):
+    """Unregistering an input mid-run counts as EOS for end conditions and
+    the pipeline keeps running (reference unregistering.rs)."""
+    from smelter_tpu.config import Config, LoggerConfig
+    from tests.test_server import ServerThread
+
+    src = str(tmp_path / "a.mp4")
+    _make_source_mp4(src, "red", 440.0)
+    out_path = str(tmp_path / "out.mp4")
+    cfg = Config(output_framerate=Framerate(30), logger=LoggerConfig(level="warning"))
+    s = ServerThread(cfg)
+    try:
+        with httpx.Client(base_url=s.base, timeout=60) as c:
+            assert c.post(
+                "/api/input/a/register",
+                json={"type": "mp4", "path": src, "loop": True},
+            ).status_code == 200
+            assert c.post(
+                "/api/output/out/register",
+                json={
+                    "type": "mp4",
+                    "path": out_path,
+                    "video": {
+                        "resolution": {"width": 160, "height": 120},
+                        "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                        "initial": {
+                            "root": {
+                                "type": "rescaler",
+                                "child": {"type": "input_stream", "input_id": "a"},
+                            }
+                        },
+                        "send_eos_when": {"any_input": True},
+                    },
+                },
+            ).status_code == 200
+            assert c.post("/api/start", json={}).status_code == 200
+            time.sleep(1.5)
+            # unregister while live: scene still references the input →
+            # renderer falls back, end condition fires via unregister-as-EOS
+            r = c.post("/api/input/a/unregister", json={})
+            assert r.status_code == 200, r.text
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                kinds = {(e.kind, e.entity_id)
+                         for e in s.state.pipeline.events.history()}
+                if ("OUTPUT_DONE", "out") in kinds:
+                    break
+                time.sleep(0.2)
+            else:
+                pytest.fail("unregister did not finish the output")
+    finally:
+        s.state.pipeline.close()
+        s.stop()
+    frames = _decode_video(out_path)
+    assert len(frames) >= 20
+
+
+def test_aac_rtp_input_register_requires_config(tmp_path):
+    """AAC over RTP needs audio_specific_config in the register request."""
+    from smelter_tpu.config import Config, LoggerConfig
+    from tests.test_server import ServerThread
+
+    cfg = Config(output_framerate=Framerate(30), logger=LoggerConfig(level="warning"))
+    s = ServerThread(cfg)
+    try:
+        with httpx.Client(base_url=s.base, timeout=30) as c:
+            r = c.post(
+                "/api/input/x/register",
+                json={"type": "rtp_stream", "port": 0,
+                      "audio": {"decoder": "aac"}},
+            )
+            assert r.status_code == 400
+            assert "audio_specific_config" in r.json()["message"]
+            # with a config it registers and returns the port
+            from smelter_tpu.io.codec import AudioEncoder, Codec
+
+            asc = AudioEncoder(Codec.AAC, 48000, 2).extradata().hex()
+            r = c.post(
+                "/api/input/x/register",
+                json={"type": "rtp_stream", "port": 0,
+                      "audio": {"decoder": "aac",
+                                "audio_specific_config": asc}},
+            )
+            assert r.status_code == 200, r.text
+            assert r.json()["port"] > 0
+    finally:
+        s.state.pipeline.close()
+        s.stop()
