@@ -129,20 +129,42 @@ class TimestampUnroller:
 
 
 class JitterBuffer:
-    """Sequence-number reordering with a fixed time window.
+    """Sequence-number reordering window.
 
-    Packets are released in seq order; a gap is skipped once the window
-    (default 50 ms like the reference FixedWindow mode,
-    `jitter_buffer.rs:26-36`) elapses.
+    Two modes like the reference (`jitter_buffer.rs:26-36`):
+      - fixed window (default 50 ms): a gap is skipped once the oldest
+        buffered packet outlives the window
+      - adaptive: the window follows the RFC 3550 §6.4.1 interarrival jitter
+        estimate (J += (|D| - J)/16), clamped to [min_window, max_window] —
+        clean networks release almost immediately, jittery ones wait longer
     """
 
-    def __init__(self, window_s: float = 0.050, clock=time.monotonic) -> None:
+    def __init__(self, window_s: float = 0.050, clock=time.monotonic,
+                 adaptive: bool = False, min_window_s: float = 0.005,
+                 max_window_s: float = 0.500,
+                 clock_rate: int = VIDEO_CLOCK) -> None:
         self.window = window_s
         self.clock = clock
+        self.adaptive = adaptive
+        self.min_window = min_window_s
+        self.max_window = max_window_s
+        self.clock_rate = clock_rate
+        self._jitter = 0.0            # RFC 3550 jitter, in seconds
+        self._last_transit: Optional[float] = None
         self._buffer: Dict[int, Tuple[float, RtpPacket]] = {}
         self._next_seq: Optional[int] = None
         self._max_ext_seq: Optional[int] = None
         self._seq_rollovers = 0
+
+    def _update_jitter(self, pkt: RtpPacket, now: float) -> None:
+        transit = now - pkt.timestamp / self.clock_rate
+        if self._last_transit is not None:
+            d = abs(transit - self._last_transit)
+            self._jitter += (d - self._jitter) / 16.0
+            # 4x jitter is the usual de-jitter buffer sizing rule
+            self.window = min(max(4.0 * self._jitter, self.min_window),
+                              self.max_window)
+        self._last_transit = transit
 
     def _extend_seq(self, seq: int) -> int:
         if self._max_ext_seq is not None:
@@ -159,12 +181,15 @@ class JitterBuffer:
 
     def push(self, pkt: RtpPacket) -> List[RtpPacket]:
         """Insert a packet; returns packets ready for release in order."""
+        now = self.clock()
+        if self.adaptive:
+            self._update_jitter(pkt, now)
         ext = self._extend_seq(pkt.sequence_number)
         if self._next_seq is None:
             self._next_seq = ext
         if ext < self._next_seq:
             return []  # too late
-        self._buffer[ext] = (self.clock(), pkt)
+        self._buffer[ext] = (now, pkt)
         return self._release()
 
     def _release(self) -> List[RtpPacket]:
@@ -623,6 +648,7 @@ class RtpInputOptions:
     audio_codec: Optional[str] = None   # opus | aac | None
     audio_extradata: bytes = b""        # AAC AudioSpecificConfig (RFC 3640)
     jitter_window_s: float = 0.050
+    jitter_adaptive: bool = False       # RealTime adaptive mode
 
 
 class RtpInputSource(InputSource):
@@ -718,8 +744,12 @@ class RtpInputSource(InputSource):
 
     def _run_recv(self, video_au: Optional[Channel], audio_au: Optional[Channel]) -> None:
         vd, ad = self._make_depayloaders()
-        vjb = JitterBuffer(self.options.jitter_window_s)
-        ajb = JitterBuffer(self.options.jitter_window_s)
+        vjb = JitterBuffer(self.options.jitter_window_s,
+                           adaptive=self.options.jitter_adaptive,
+                           clock_rate=VIDEO_CLOCK)
+        ajb = JitterBuffer(self.options.jitter_window_s,
+                           adaptive=self.options.jitter_adaptive,
+                           clock_rate=OPUS_CLOCK)
         video_pts = {PT_H264, PT_VP8, PT_VP9}
 
         from smelter_tpu.io import rtcp as rtcp_mod
@@ -1149,6 +1179,9 @@ def register_rtp_input(pipeline, input_id: str, spec) -> int:
                     "aac rtp input requires audio_specific_config (hex)"
                 )
             audio_extradata = bytes.fromhex(asc)
+    jb = spec.jitter_buffer or {}
+    mode = str(jb.get("mode", "fixed_window"))
+    window_ms = jb.get("window_ms")
     source = RtpInputSource(
         RtpInputOptions(
             port=port,
@@ -1156,6 +1189,8 @@ def register_rtp_input(pipeline, input_id: str, spec) -> int:
             video_codec=video_codec,
             audio_codec=audio_codec,
             audio_extradata=audio_extradata,
+            jitter_window_s=(float(window_ms) / 1000.0) if window_ms else 0.050,
+            jitter_adaptive=(mode == "real_time"),
         )
     )
     pipeline.register_input(

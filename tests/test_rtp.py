@@ -457,3 +457,28 @@ def test_aac_payload_depayload_roundtrip():
                 break
             total += s[0].shape[0]
     assert total > 40000
+
+
+def test_adaptive_jitter_buffer_tracks_jitter():
+    fake_now = [0.0]
+    jb = JitterBuffer(adaptive=True, clock=lambda: fake_now[0],
+                      min_window_s=0.005, max_window_s=0.5)
+
+    def pkt(seq, ts):
+        return RtpPacket(96, seq, ts, 1, b"x")
+
+    # perfectly paced 30 fps arrivals → jitter ~0 → window shrinks to min
+    for i in range(40):
+        fake_now[0] = i / 30.0
+        jb.push(pkt(i, int(i * 3000)))
+    assert jb.window == pytest.approx(0.005, abs=1e-6)
+
+    # bursty arrivals (±25 ms) → window grows
+    import random
+
+    rng = random.Random(7)
+    for i in range(40, 120):
+        fake_now[0] = i / 30.0 + rng.uniform(0, 0.05)
+        jb.push(pkt(i, int(i * 3000)))
+    assert jb.window > 0.02, jb.window
+    assert jb.window <= 0.5
