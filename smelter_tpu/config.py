@@ -10,7 +10,7 @@ import logging
 import os
 import uuid
 from dataclasses import dataclass, field
-from fractions import Fraction
+
 from typing import Optional
 
 from smelter_tpu.core.types import Framerate

@@ -13,7 +13,7 @@ import os
 import subprocess
 import threading
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 from smelter_tpu.pipeline.input import InputCtx, InputSource
 

@@ -27,9 +27,8 @@ import threading
 import time
 import urllib.parse
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
-import numpy as np
 
 from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
 from smelter_tpu.io.rtmp import amf0

@@ -26,10 +26,9 @@ import socket
 import struct
 import threading
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
-import numpy as np
 
 from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
 from smelter_tpu.pipeline.input import InputCtx, InputSource

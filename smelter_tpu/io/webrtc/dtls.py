@@ -11,7 +11,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional, Tuple
+from typing import Tuple
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -7,7 +7,6 @@ answers echo the offerer's payload types.
 
 from __future__ import annotations
 
-import os
 import secrets
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple

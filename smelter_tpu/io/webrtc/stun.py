@@ -15,7 +15,7 @@ import struct
 import zlib
 from dataclasses import dataclass, field
 from hashlib import sha1
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 MAGIC_COOKIE = 0x2112A442
 

@@ -18,13 +18,10 @@ from __future__ import annotations
 
 import logging
 import threading
-import time
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Optional
 
-import numpy as np
 
-from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
 from smelter_tpu.io.rtp import (
     H264Depayloader,
     H264Payloader,

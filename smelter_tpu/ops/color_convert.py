@@ -16,9 +16,7 @@ Matrix constants follow ITU-R BT.709 (same values as the reference's
 
 from __future__ import annotations
 
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 
 # Limited-range footroom/scale: Y in [16, 235], UV in [16, 240] (8-bit).

@@ -21,8 +21,8 @@ Corner-radius order is [top_left, top_right, bottom_right, bottom_left].
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

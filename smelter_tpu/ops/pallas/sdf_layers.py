@@ -24,7 +24,7 @@ Param row layout (f32, PARAMS_WIDTH columns):
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,14 +30,12 @@ Multi chip (jax.sharding over a Mesh):
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from smelter_tpu.core.types import PixelFormat, Resolution, RGBAColor
+from smelter_tpu.core.types import Resolution, RGBAColor
 from smelter_tpu.ops import color_convert as cc
 from smelter_tpu.ops.compose import compose_layouts
 from smelter_tpu.ops.resample import build_mips, resize_matmul

@@ -11,13 +11,11 @@ from __future__ import annotations
 
 import logging
 import threading
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
-import numpy as np
 
 from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
-from smelter_tpu.queue.sync_queue import QueueInputOptions
 from smelter_tpu.utils.channels import Channel, Closed
 
 logger = logging.getLogger("smelter.input")

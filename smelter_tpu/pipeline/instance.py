@@ -24,13 +24,12 @@ from __future__ import annotations
 
 import os
 import threading
-from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional, Set
+from dataclasses import dataclass
+from typing import Dict, Optional, Set
 
-import numpy as np
 
 from smelter_tpu.audio.mixer import AudioMixer, AudioMixerConfig
-from smelter_tpu.core.types import FrameSet, Framerate, PixelFormat, Resolution
+from smelter_tpu.core.types import FrameSet, Framerate, PixelFormat
 from smelter_tpu.pipeline.events import Emitter, Event
 from smelter_tpu.pipeline.input import InputCtx, InputSource
 from smelter_tpu.pipeline.output import (

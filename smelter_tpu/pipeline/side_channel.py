@@ -23,12 +23,12 @@ import queue
 import socket
 import struct
 import threading
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat
-from smelter_tpu.utils.channels import Channel, Closed
+from smelter_tpu.utils.channels import Channel
 
 logger = logging.getLogger("smelter.side_channel")
 

@@ -10,10 +10,9 @@ support; registering inputs/renderers mirrors the reference API.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
-import numpy as np
 
 from smelter_tpu.core.types import (
     Frame,

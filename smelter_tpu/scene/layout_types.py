@@ -8,7 +8,6 @@ Pure-Python port-level semantics of the reference layout flattening
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field, replace
 from typing import ClassVar, List, Optional, Sequence, Tuple, Union
 

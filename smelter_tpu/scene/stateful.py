@@ -12,7 +12,6 @@ Python re-implementation of the reference scene machinery:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field, replace
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 

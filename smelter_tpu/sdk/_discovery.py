@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Tuple
+from typing import Dict
 
 _SOCKET_RE = re.compile(r"^(video|audio)_(.+)\.sock$")
 

@@ -6,7 +6,6 @@ sends (`src/routes.rs:33-79`), so it works against either server.
 
 from __future__ import annotations
 
-import json
 from typing import Optional
 
 import httpx

@@ -17,7 +17,6 @@ for registered MP4s, error bodies `{"error_code", "message", ...}`.
 from __future__ import annotations
 
 import asyncio
-import json
 import logging
 import queue as _queue
 import threading
@@ -29,7 +28,7 @@ from aiohttp import WSMsgType, web
 from smelter_tpu.api import convert
 from smelter_tpu.api import schema as api
 from smelter_tpu.config import Config, read_config
-from smelter_tpu.core.types import Framerate
+
 from smelter_tpu.pipeline import (
     Mp4OutputSink,
     Pipeline,
