@@ -422,7 +422,7 @@ class OutputProgram:
             fn = self._build(key, plan, input_frames)
             # warm: the first call compiles; do it here so timing is charged
             # to the control path, not a later hot frame
-            self._jit_cache[key] = fn
+            self._store_program(key, fn)
         return fn(
             plan.input_planes,
             plan.aux_textures,
@@ -430,6 +430,16 @@ class OutputProgram:
             plan.shader_params,
             np.float32(plan.time),
         )
+
+    # long-running servers see many distinct stable geometries; bound the
+    # compiled-program cache (evict oldest) so memory stays flat
+    MAX_CACHED_PROGRAMS = 32
+
+    def _store_program(self, key: tuple, fn) -> None:
+        if len(self._jit_cache) >= self.MAX_CACHED_PROGRAMS:
+            oldest = next(iter(self._jit_cache))
+            del self._jit_cache[oldest]
+        self._jit_cache[key] = fn
 
     def _compile_async(self, key: tuple, plan: FramePlan, input_frames) -> None:
         import threading
@@ -451,7 +461,7 @@ class OutputProgram:
                     np.float32(plan.time),
                 )
                 jax.block_until_ready(out)
-                self._jit_cache[key] = fn
+                self._store_program(key, fn)
             except Exception:  # pragma: no cover - surfaced via logs
                 import logging
 

@@ -617,7 +617,12 @@ def build_app(state: ApiState) -> web.Application:
     async def stats(request: web.Request) -> web.Response:
         from smelter_tpu.pipeline.stats import collect_stats
 
-        return web.json_response(await _run_blocking(collect_stats, state.pipeline))
+        report = await _run_blocking(collect_stats, state.pipeline)
+        for iid, entry in report.get("inputs", {}).items():
+            entry["input_type"] = state.input_kinds.get(iid, "raw_data")
+        for oid, entry in report.get("outputs", {}).items():
+            entry["output_type"] = state.output_kinds.get(oid, "raw_data")
+        return web.json_response(report)
 
     async def ws_handler(request: web.Request) -> web.WebSocketResponse:
         ws = web.WebSocketResponse()
