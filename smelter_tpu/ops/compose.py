@@ -55,6 +55,10 @@ class LayoutStatic:
     no_radius: bool = False
     # constant fill color (r,g,b,a u8) for content == "color" in fast mode
     static_color: Optional[Tuple[int, int, int, int]] = None
+    # planner-stable rotation angle (degrees): the layout renders via the
+    # gather-free 3-shear path (ops/rotate.py) instead of full-canvas
+    # inverse sampling. Animated rotations leave this None.
+    static_rotation: Optional[float] = None
 
 
 @jax.tree_util.register_dataclass
@@ -276,6 +280,65 @@ def _render_rect_layout(
     return canvas.at[y0:y1, x0:x1].set(blended)
 
 
+def _render_rotated_rect_layout(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    canvas: jnp.ndarray,  # (H, W, 4) premultiplied f32
+) -> jnp.ndarray:
+    """Stable-rotation fast path: resize the source crop upright (MXU
+    matmuls), apply edge/border SDF alpha in the rect's LOCAL axis-aligned
+    frame, rotate the premultiplied tile with the gather-free 3-shear
+    decomposition (static angle), and blend the rotated bbox region into the
+    canvas with a static slice update."""
+    from smelter_tpu.ops.resample import resize_matmul
+    from smelter_tpu.ops.rotate import rotate_static, rotated_bbox
+
+    H, W = canvas.shape[0], canvas.shape[1]
+    top, left, h, w = static.static_rect  # type: ignore[misc]
+    theta = float(static.static_rotation)  # type: ignore[arg-type]
+
+    mips = sources[static.source_index]
+    img = mips[0] if isinstance(mips, (list, tuple)) else mips
+    ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
+    src = img[ct : ct + chh, cl : cl + cww]
+    tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w)
+    tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+
+    # SDF alpha in the local (unrotated) frame — rect centered, axis-aligned
+    rw, rh = params.width, params.height
+    ly = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] - h * 0.5
+    lx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] - w * 0.5
+    dy = jnp.broadcast_to(ly, (h, w))
+    dx = jnp.broadcast_to(lx, (h, w))
+    edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
+    if static.has_border:
+        bw = params.border_width
+        border_color = _premultiply(params.border_color)[None, None, :]
+        border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
+        inner = border_color + (tile - border_color) * border_alpha[..., None]
+        content_alpha = smoothstep(-0.5, 0.5, edge)
+        outer = border_color * content_alpha[..., None]
+        tile = jnp.where((edge > bw * 0.5)[..., None], inner, outer)
+    else:
+        tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+
+    bh, bw_ = rotated_bbox(theta, h, w)
+    rotated = rotate_static(tile, theta, bh, bw_)
+
+    # bbox shares the rect center: integer origin
+    otop = top + (h - bh) // 2
+    oleft = left + (w - bw_) // 2
+    y0, y1 = max(otop, 0), min(otop + bh, H)
+    x0, x1 = max(oleft, 0), min(oleft + bw_, W)
+    if y0 >= y1 or x0 >= x1:
+        return canvas
+    layer = rotated[y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
+    region = canvas[y0:y1, x0:x1]
+    blended = layer + region * (1.0 - layer[..., 3:4])
+    return canvas.at[y0:y1, x0:x1].set(blended)
+
+
 def compose_layouts(
     resolution: Tuple[int, int],  # (width, height)
     statics: Sequence[LayoutStatic],
@@ -302,6 +365,15 @@ def compose_layouts(
         st, p = items[i]
         if st.static_rect is not None and not st.has_rotation:
             canvas = _render_rect_layout(st, p, sources, canvas)
+            i += 1
+            continue
+        if (
+            st.static_rect is not None
+            and st.static_rotation is not None
+            and st.content == "texture"
+            and st.n_masks == 0
+        ):
+            canvas = _render_rotated_rect_layout(st, p, sources, canvas)
             i += 1
             continue
         # collect a run of full-canvas non-texture layers → fused Pallas

@@ -38,6 +38,7 @@ from smelter_tpu.ops.compose import (
 )
 from smelter_tpu.ops.resample import build_mips
 from smelter_tpu.scene.layout_types import (
+    Mask,
     RenderBoxShadow,
     RenderChildNode,
     RenderColor,
@@ -80,9 +81,40 @@ def split_layout(
     static_blur = 0.0
     no_radius = all(r <= 1e-6 for r in layout.border_radius.as_tuple())
     static_color = None
+    static_rotation = None
     if fast and isinstance(c, RenderColor):
         col = c.color
         static_color = (col.r, col.g, col.b, col.a)
+    if (
+        fast
+        and abs(layout.rotation_degrees) > 1e-9
+        and isinstance(c, RenderChildNode)
+        and n_masks == 0
+    ):
+        # stable rotation of a texture: gather-free 3-shear path, as long as
+        # the banded-shear program stays reasonably sized
+        from smelter_tpu.ops.rotate import MAX_SHEAR_BANDS, rotation_band_count
+
+        rect = (
+            int(round(layout.top)),
+            int(round(layout.left)),
+            int(round(layout.height)),
+            int(round(layout.width)),
+        )
+        if (
+            rect[2] > 0
+            and rect[3] > 0
+            and rotation_band_count(layout.rotation_degrees, rect[2], rect[3])
+            <= MAX_SHEAR_BANDS
+        ):
+            static_rect = rect
+            static_rotation = round(layout.rotation_degrees, 3)
+            static_crop = (
+                int(round(c.crop.top)),
+                int(round(c.crop.left)),
+                max(int(round(c.crop.height)), 1),
+                max(int(round(c.crop.width)), 1),
+            )
     if fast and abs(layout.rotation_degrees) <= 1e-9:
         rect = (
             int(round(layout.top)),
@@ -130,6 +162,7 @@ def split_layout(
             static_rect=static_rect,
             static_crop=static_crop,
             no_radius=no_radius,
+            static_rotation=static_rotation,
         )
         params = LayoutParams(
             **common,
@@ -182,23 +215,221 @@ def split_layout(
 
 
 # ---------------------------------------------------------------------------
+# layout-tree collapse (plan time)
+# ---------------------------------------------------------------------------
+#
+# A layout entry that places a child LayoutNode's canvas as a pure translation
+# (1:1 scale, no rotation/radius/border/crop) is replaced by the child's own
+# flattened layouts, offset into the parent frame. Premultiplied OVER is
+# associative, so interleaving is exact; the child canvas (and its mip
+# pyramid, format conversion and second resample) is never materialized.
+# This is what routes the common `View[Rescaler(InputStream), ...]` scene
+# onto the flat fast paths (region-local MXU resize / YUV-grid program)
+# instead of per-node intermediate canvases.
+
+_COLLAPSE_EPS = 0.51
+
+
+def _entry_within_bounds(e: RenderLayout, res: Resolution) -> bool:
+    """True if the entry's painted footprint stays inside the child canvas,
+    so skipping the canvas clip is invisible."""
+    margin = 0.5
+    if isinstance(e.content, RenderBoxShadow):
+        margin += float(e.content.blur_radius)
+    t, l, h, w = e.top, e.left, e.height, e.width
+    if abs(e.rotation_degrees) > 1e-9:
+        ang = math.radians(e.rotation_degrees)
+        cx, cy = l + w * 0.5, t + h * 0.5
+        bw = abs(math.cos(ang)) * w + abs(math.sin(ang)) * h
+        bh = abs(math.sin(ang)) * w + abs(math.cos(ang)) * h
+        t, l, h, w = cy - bh * 0.5, cx - bw * 0.5, bh, bw
+    return (
+        t >= -margin - _COLLAPSE_EPS
+        and l >= -margin - _COLLAPSE_EPS
+        and t + h <= res.height + margin + _COLLAPSE_EPS
+        and l + w <= res.width + margin + _COLLAPSE_EPS
+    )
+
+
+def _collapsible(
+    layout: RenderLayout,
+    child_res: Optional[Resolution],
+    inner: List[Tuple[RenderLayout, Optional[int]]],
+) -> bool:
+    c = layout.content
+    if child_res is None or not isinstance(c, RenderChildNode):
+        return False
+    if abs(layout.rotation_degrees) > 1e-9 or c.border_width > 0.0:
+        return False
+    if any(r > 1e-6 for r in layout.border_radius.as_tuple()):
+        return False
+    if (
+        abs(layout.width - child_res.width) > _COLLAPSE_EPS
+        or abs(layout.height - child_res.height) > _COLLAPSE_EPS
+    ):
+        return False
+    cr = c.crop
+    if (
+        abs(cr.top) > _COLLAPSE_EPS
+        or abs(cr.left) > _COLLAPSE_EPS
+        or abs(cr.width - child_res.width) > _COLLAPSE_EPS
+        or abs(cr.height - child_res.height) > _COLLAPSE_EPS
+    ):
+        return False
+    for e, _src in inner:
+        if len(e.masks) + len(layout.masks) > MAX_MASKS_COUNT:
+            return False
+        if not _entry_within_bounds(e, child_res):
+            return False
+    return True
+
+
+def _offset_entries(
+    inner: List[Tuple[RenderLayout, Optional[int]]], layout: RenderLayout
+) -> List[Tuple[RenderLayout, Optional[int]]]:
+    from dataclasses import replace as _replace
+
+    dt, dl = layout.top, layout.left
+    out = []
+    for e, src in inner:
+        masks = tuple(
+            Mask(m.radius, m.top + dt, m.left + dl, m.width, m.height)
+            for m in e.masks
+        ) + tuple(layout.masks)
+        out.append((_replace(e, top=e.top + dt, left=e.left + dl, masks=masks), src))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # node tree -> traced evaluation
 # ---------------------------------------------------------------------------
 
 
 @dataclass
 class FramePlan:
-    """Per-frame host-computed traced values for one output render."""
+    """Per-frame host-computed traced values for one output render.
 
-    # per layout-node id: list of LayoutParams (matching the statics)
-    layout_params: Dict[int, List[LayoutParams]]
+    Everything numeric rides the device boundary in TWO buffers — one u8
+    pixel buffer holding every host-side input's planes and one f32 vector
+    holding every layout parameter + time (the TPU analogue of the
+    reference's wgpu uniform buffer, `layout/params.rs`) — so a frame costs
+    O(1) host->device transfers instead of one per plane/scalar."""
+
+    # all packable input planes, ravelled + concatenated (sorted by input id)
+    frame_buf: np.ndarray
+    # inputs that arrived device-resident (or non-u8) pass through untouched
+    raw_planes: Dict[str, object]
+    # every LayoutParams field flattened (sorted by node id) + [time] tail
+    packed_params: np.ndarray
     # texture payloads keyed by (node id) for text/image aux textures
     aux_textures: Dict[int, jnp.ndarray]
-    # input planes keyed by input id
-    input_planes: Dict[str, object]
-    # shader params / time
     shader_params: Dict[int, object]
     time: float
+
+
+def _is_packable(data) -> bool:
+    planes = data if isinstance(data, (tuple, list)) else (data,)
+    return all(
+        isinstance(p, np.ndarray) and p.dtype == np.uint8 for p in planes
+    )
+
+
+class _InputAccess:
+    """Static unpacking plan mapping input ids to slices of the frame
+    buffer (shapes captured from the example frames; the structure key pins
+    format+resolution, so shapes are stable per compiled program)."""
+
+    def __init__(self, used_frames: Dict[str, "Frame"]) -> None:
+        self.specs: Dict[str, tuple] = {}
+        off = 0
+        for iid in sorted(used_frames):
+            data = used_frames[iid].data
+            if _is_packable(data):
+                is_tuple = isinstance(data, (tuple, list))
+                planes = data if is_tuple else (data,)
+                shapes = [tuple(p.shape) for p in planes]
+                self.specs[iid] = ("buf", off, shapes, is_tuple)
+                off += sum(int(np.prod(s)) for s in shapes)
+            else:
+                self.specs[iid] = ("raw",)
+        self.total = off
+
+    def get(self, iid: str, frame_buf, raw_planes):
+        spec = self.specs[iid]
+        if spec[0] == "raw":
+            return raw_planes[iid]
+        _, off, shapes, is_tuple = spec
+        planes = []
+        for s in shapes:
+            n = int(np.prod(s))
+            planes.append(frame_buf[off : off + n].reshape(s))
+            off += n
+        return tuple(planes) if is_tuple else planes[0]
+
+
+def _pack_frame_buf(used_frames: Dict[str, "Frame"]) -> Tuple[np.ndarray, Dict[str, object]]:
+    parts: List[np.ndarray] = []
+    raw: Dict[str, object] = {}
+    for iid in sorted(used_frames):
+        data = used_frames[iid].data
+        if _is_packable(data):
+            planes = data if isinstance(data, (tuple, list)) else (data,)
+            parts.extend(p.reshape(-1) for p in planes)
+        else:
+            raw[iid] = data
+    buf = np.concatenate(parts) if parts else np.zeros(1, np.uint8)
+    return buf, raw
+
+
+_P_FIXED = 23  # [top,left,w,h,rot, radius*4, bw, bcolor*4, color*4, crop*4, blur]
+
+
+def _pack_layout_params(
+    layout_params: Dict[int, List[LayoutParams]], time: float
+) -> np.ndarray:
+    chunks: List[np.ndarray] = []
+    for nid in sorted(layout_params):
+        for p in layout_params[nid]:
+            chunks.append(
+                np.asarray(
+                    [p.top, p.left, p.width, p.height, p.rotation_degrees],
+                    np.float32,
+                )
+            )
+            chunks.append(np.asarray(p.border_radius, np.float32))
+            chunks.append(np.asarray([p.border_width], np.float32))
+            chunks.append(np.asarray(p.border_color, np.float32))
+            chunks.append(np.asarray(p.color, np.float32))
+            chunks.append(np.asarray(p.crop, np.float32))
+            chunks.append(np.asarray([p.blur_radius], np.float32))
+            chunks.append(np.asarray(p.masks, np.float32).reshape(-1))
+    chunks.append(np.asarray([time], np.float32))
+    return np.concatenate(chunks)
+
+
+def _unpack_layout_params(
+    vec, static_statics: Dict[int, Tuple[LayoutStatic, ...]]
+) -> Dict[int, List[LayoutParams]]:
+    out: Dict[int, List[LayoutParams]] = {}
+    off = 0
+    for nid in sorted(static_statics):
+        lst = []
+        for st in static_statics[nid]:
+            rows = max(st.n_masks, 1)
+            f = vec[off : off + _P_FIXED]
+            off += _P_FIXED
+            masks = vec[off : off + rows * 8].reshape(rows, 8)
+            off += rows * 8
+            lst.append(
+                LayoutParams(
+                    top=f[0], left=f[1], width=f[2], height=f[3],
+                    rotation_degrees=f[4], border_radius=f[5:9],
+                    border_width=f[9], border_color=f[10:14], color=f[14:18],
+                    crop=f[18:22], blur_radius=f[22], masks=masks,
+                )
+            )
+        out[nid] = lst
+    return out
 
 
 @dataclass
@@ -275,6 +506,7 @@ class OutputProgram:
         self.out_format = out_format
         self.shaders = shaders
         self._node_ids: Dict[int, int] = {}
+        self._nodes: Dict[int, Node] = {}
         self._next_id = 0
         self._assign_ids(root)
         self._jit_cache: Dict[tuple, Callable] = {}
@@ -282,12 +514,15 @@ class OutputProgram:
 
         self._compile_lock = _threading.Lock()
         self._compiling: set = set()
+        self._aux_dev: Dict[int, tuple] = {}
+        self._used_frames: Dict[str, Frame] = {}
         # (node_id, layout_index) -> last rect signature; used to detect
         # animating layouts (transitions) and route them to the general path
         self._rect_history: Dict[tuple, tuple] = {}
 
     def _assign_ids(self, node: Node) -> None:
         self._node_ids[id(node)] = self._next_id
+        self._nodes[self._next_id] = node
         self._next_id += 1
         for child in node.children:
             self._assign_ids(child)
@@ -307,8 +542,11 @@ class OutputProgram:
         """Walk the node tree at ``pts``: compute flattened layout params,
         gather aux textures, and build the static structure key."""
         layout_params: Dict[int, List[LayoutParams]] = {}
+        # per layout nid: merged (RenderLayout, source nid) entries, in that
+        # node's canvas coords — consumed by the node's parent for collapse
+        collapsed_entries: Dict[int, List[Tuple[RenderLayout, Optional[int]]]] = {}
         aux: Dict[int, jnp.ndarray] = {}
-        input_planes: Dict[str, object] = {}
+        used_frames: Dict[str, Frame] = {}
         shader_params: Dict[int, object] = {}
         key_parts: List[object] = [
             self.resolution,
@@ -324,9 +562,10 @@ class OutputProgram:
                     key_parts.append((nid, "input", None))
                     return None
                 key_parts.append(
-                    (nid, "input", p.input_id, frame.format, frame.resolution)
+                    (nid, "input", p.input_id, frame.format, frame.resolution,
+                     _is_packable(frame.data))
                 )
-                input_planes[p.input_id] = frame.data
+                used_frames[p.input_id] = frame
                 return frame.resolution
             if isinstance(p, TextNode):
                 rendered = text_renderer.render(p.component)
@@ -361,9 +600,27 @@ class OutputProgram:
                 if self.node_id(self.root) == nid:
                     res = self.resolution
                 flat = nested.flatten(child_res, res)
+                # collapse: splice trivially-placed child LayoutNodes inline
+                merged: List[Tuple[RenderLayout, Optional[int]]] = []
+                for layout in flat:
+                    c = layout.content
+                    if isinstance(c, RenderChildNode):
+                        ch_node = node.children[c.index]
+                        ch_nid = self.node_id(ch_node)
+                        inner = collapsed_entries.get(ch_nid)
+                        if inner is not None and _collapsible(
+                            layout, child_res[c.index], inner
+                        ):
+                            merged.extend(_offset_entries(inner, layout))
+                            continue
+                        merged.append((layout, ch_nid))
+                    else:
+                        merged.append((layout, None))
+                collapsed_entries[nid] = merged
+                source_ids: List[int] = []
                 statics = []
                 params = []
-                for i, layout in enumerate(flat):
+                for i, (layout, src_nid) in enumerate(merged):
                     sig_key = (nid, i)
                     c = layout.content
                     crop_sig = ()
@@ -387,22 +644,45 @@ class OutputProgram:
                     fast = prev is None or prev == sig
                     self._rect_history[sig_key] = sig
                     st, pp = split_layout(layout, fast=fast)
+                    if isinstance(c, RenderChildNode):
+                        from dataclasses import replace as _replace
+
+                        if src_nid not in source_ids:
+                            source_ids.append(src_nid)  # type: ignore[arg-type]
+                        st = _replace(st, source_index=source_ids.index(src_nid))
                     statics.append(st)
                     params.append(pp)
                 layout_params[nid] = params
-                key_parts.append((nid, "layout", tuple(statics), res, tuple(child_res)))
+                key_parts.append(
+                    (nid, "layout", tuple(statics), res, tuple(child_res),
+                     tuple(source_ids))
+                )
                 return res
             raise ValueError(f"unknown node params {type(p)}")
 
         visit(self.root)
+        frame_buf, raw_planes = _pack_frame_buf(used_frames)
         plan = FramePlan(
-            layout_params=layout_params,
-            aux_textures=aux,
-            input_planes=input_planes,
+            frame_buf=frame_buf,
+            raw_planes=raw_planes,
+            packed_params=_pack_layout_params(layout_params, pts),
+            aux_textures={nid: self._dev_aux(nid, a) for nid, a in aux.items()},
             shader_params=shader_params,
             time=pts,
         )
+        self._used_frames = used_frames
         return tuple(key_parts), plan
+
+    def _dev_aux(self, nid: int, arr):
+        """Device-resident cache for aux (text/image) textures: unchanged
+        textures upload once, not every frame (identity-keyed; animated
+        images re-upload on the frame they change)."""
+        ent = self._aux_dev.get(nid)
+        if ent is not None and ent[0] is arr:
+            return ent[1]
+        dev = jax.device_put(arr) if isinstance(arr, np.ndarray) else arr
+        self._aux_dev[nid] = (arr, dev)
+        return dev
 
     # -- compile + run ------------------------------------------------------------
 
@@ -424,11 +704,11 @@ class OutputProgram:
             # to the control path, not a later hot frame
             self._store_program(key, fn)
         return fn(
-            plan.input_planes,
+            plan.frame_buf,
+            plan.raw_planes,
             plan.aux_textures,
-            plan.layout_params,
+            plan.packed_params,
             plan.shader_params,
-            np.float32(plan.time),
         )
 
     # long-running servers see many distinct stable geometries; bound the
@@ -454,11 +734,11 @@ class OutputProgram:
                 fn = self._build(key, plan, input_frames)
                 # actually compile by executing once with the captured args
                 out = fn(
-                    plan.input_planes,
+                    plan.frame_buf,
+                    plan.raw_planes,
                     plan.aux_textures,
-                    plan.layout_params,
+                    plan.packed_params,
                     plan.shader_params,
-                    np.float32(plan.time),
                 )
                 jax.block_until_ready(out)
                 self._store_program(key, fn)
@@ -485,25 +765,43 @@ class OutputProgram:
         input_formats = {
             iid: (f.format, f.resolution) for iid, f in input_frames.items()
         }
+        used = {}
+        for part in key:
+            if (
+                isinstance(part, tuple)
+                and len(part) >= 3
+                and part[1] == "input"
+                and part[2] is not None
+                and part[2] in input_frames
+            ):
+                used[part[2]] = input_frames[part[2]]
+        access = _InputAccess(used)
         static_statics: Dict[int, Tuple[LayoutStatic, ...]] = {}
+        layout_sources: Dict[int, Tuple[int, ...]] = {}
         # statics are re-derived from the structure key captured at plan time
         for part in key:
             if isinstance(part, tuple) and len(part) >= 3 and part[1] == "layout":
                 static_statics[part[0]] = part[2]
+                layout_sources[part[0]] = part[5] if len(part) > 5 else ()
 
         root_nid = node_id(root)
+        nodes = self._nodes
 
         # opaque axis-aligned grid of YUV inputs → YUV-domain program
         # (no RGBA roundtrip, MXU/VPU-friendly; same trick as the flagship
-        # path in parallel/flagship.py — this is the common Tiles/View case)
+        # path in parallel/flagship.py — this is the common Tiles/View case,
+        # reached through Rescaler wrappers thanks to the layout collapse)
         fast = _try_yuv_grid_program(
-            root, root_nid, node_id, static_statics.get(root_nid, ()),
-            resolution, out_format, input_formats,
+            root, root_nid, static_statics.get(root_nid, ()),
+            [nodes[s] for s in layout_sources.get(root_nid, ())],
+            resolution, out_format, input_formats, access,
         )
         if fast is not None:
             return fast
 
-        def traced(input_planes, aux_textures, layout_params, shader_params, time):
+        def traced(frame_buf, raw_planes, aux_textures, packed_params, shader_params):
+            layout_params = _unpack_layout_params(packed_params, static_statics)
+            time = packed_params[-1]
             node_memo: Dict[int, object] = {}
             input_memo: Dict[str, object] = {}
 
@@ -518,12 +816,13 @@ class OutputProgram:
                 p = node.params
                 is_root = nid == root_nid
                 if isinstance(p, InputStreamNode):
-                    if p.input_id not in input_planes:
+                    if p.input_id not in access.specs:
                         return None
                     if p.input_id not in input_memo:
                         fmt, res = input_formats[p.input_id]
                         rgba = cc.convert_to_rgba_f32(
-                            fmt.value, input_planes[p.input_id]
+                            fmt.value,
+                            access.get(p.input_id, frame_buf, raw_planes),
                         )
                         input_memo[p.input_id] = build_mips(rgba, _mip_levels(res))
                     return input_memo[p.input_id]
@@ -555,10 +854,13 @@ class OutputProgram:
                         eval_node(ch)
                     return None
                 if isinstance(p, LayoutNode):
-                    children = [eval_node(ch) for ch in node.children]
-                    sources = [
-                        c if c is not None else [jnp.asarray(_DUMMY)] for c in children
-                    ]
+                    # sources are looked up by node id (collapse may reference
+                    # grandchildren); only referenced nodes are evaluated, so
+                    # collapsed intermediate canvases never materialize
+                    sources = []
+                    for sid in layout_sources[nid]:
+                        r = eval_node(nodes[sid])
+                        sources.append(r if r is not None else [jnp.asarray(_DUMMY)])
                     statics = static_statics[nid]
                     params = layout_params[nid]
                     res = resolution if is_root else _layout_res_from_key(key, nid)
@@ -613,27 +915,29 @@ def _rgb_to_yuv_limited_u8(r: int, g: int, b: int) -> Tuple[int, int, int]:
 def _try_yuv_grid_program(
     root: Node,
     root_nid: int,
-    node_id,
     statics: Tuple[LayoutStatic, ...],
+    source_nodes: List[Node],
     resolution: Resolution,
     out_format: PixelFormat,
     input_formats: Dict[str, tuple],
+    access: "_InputAccess",
 ) -> Optional[Callable]:
     """If this structure is an opaque axis-aligned grid of planar-YUV inputs
     over an opaque background, build the YUV-domain program: per-tile
     separable resizes (MXU matmuls) + static slice placements, chroma at half
-    resolution, no RGBA roundtrip. Returns None when conditions don't hold."""
+    resolution, no RGBA roundtrip. Returns None when conditions don't hold.
+
+    Texture sources must resolve (possibly through collapsed Rescaler/View
+    wrappers) to InputStreamNodes with planar-YUV frames."""
     if out_format != PixelFormat.PLANAR_YUV420 or not statics:
         return None
     if not isinstance(root.params, LayoutNode):
         return None
-    child_inputs = []
-    for ch in root.children:
-        if not isinstance(ch.params, InputStreamNode):
-            return None
-        child_inputs.append(ch.params.input_id)
-    if not child_inputs:
-        return None
+    child_inputs: List[Optional[str]] = []
+    for src in source_nodes:
+        child_inputs.append(
+            src.params.input_id if isinstance(src.params, InputStreamNode) else None
+        )
 
     H, W = resolution.height, resolution.width
     bg = (16, 128, 128)
@@ -677,7 +981,7 @@ def _try_yuv_grid_program(
 
     ch_, cw_ = H // 2, W // 2
 
-    def traced(input_planes, aux_textures, layout_params, shader_params, time):
+    def inner(frame_buf, raw_planes):
         canvas_y = jnp.full((H, W), jnp.uint8(bg[0]))
         canvas_u = jnp.full((ch_, cw_), jnp.uint8(bg[1]))
         canvas_v = jnp.full((ch_, cw_), jnp.uint8(bg[2]))
@@ -686,7 +990,7 @@ def _try_yuv_grid_program(
             return jnp.clip(x.astype(jnp.float32) + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
         for iid, t, l, h, w, (ct, cl, chh, cww) in tiles:
-            y, u, v = input_planes[iid]
+            y, u, v = access.get(iid, frame_buf, raw_planes)
             ys = y[ct : ct + chh, cl : cl + cww]
             us = u[ct // 2 : (ct + chh) // 2, cl // 2 : (cl + cww) // 2]
             vs = v[ct // 2 : (ct + chh) // 2, cl // 2 : (cl + cww) // 2]
@@ -701,4 +1005,11 @@ def _try_yuv_grid_program(
             )
         return canvas_y, canvas_u, canvas_v
 
-    return jax.jit(traced)
+    jitted = jax.jit(inner)
+
+    # params are unused by the grid program — drop them before the jit
+    # boundary so they're never transferred
+    def run(frame_buf, raw_planes, aux_textures, packed_params, shader_params):
+        return jitted(frame_buf, raw_planes)
+
+    return run
