@@ -21,6 +21,7 @@ OBJECT_END = 0x09
 STRICT_ARRAY = 0x0A
 DATE = 0x0B
 LONG_STRING = 0x0C
+AVMPLUS = 0x11  # escape to an AMF3-encoded value (objectEncoding=3 peers)
 
 
 class Amf0Error(ValueError):
@@ -104,6 +105,12 @@ def decode(data: bytes, offset: int = 0) -> Tuple[Any, int]:
     if marker == DATE:
         (ms,) = struct.unpack_from(">d", data, offset)
         return ms, offset + 10  # skip timezone i16
+    if marker == AVMPLUS:
+        from smelter_tpu.io.rtmp import amf3
+
+        dec = amf3.Decoder(data, offset)
+        v = dec.value()
+        return v, dec.pos
     raise Amf0Error(f"unsupported AMF0 marker 0x{marker:02x}")
 
 

@@ -31,11 +31,13 @@ from typing import List, Optional, Tuple
 
 
 from smelter_tpu.core.types import AudioSamples, Frame, PixelFormat, Resolution
-from smelter_tpu.io.rtmp import amf0
+from smelter_tpu.io.rtmp import amf0, amf3
 from smelter_tpu.io.rtmp.chunk import (
     AUDIO,
     COMMAND_AMF0,
+    COMMAND_AMF3,
     DATA_AMF0,
+    DATA_AMF3,
     ChunkReader,
     ChunkWriter,
     RtmpMessage,
@@ -80,6 +82,20 @@ def _client_handshake(conn: socket.socket) -> None:
     s1 = _read_exact(conn, HANDSHAKE_SIZE)
     _read_exact(conn, HANDSHAKE_SIZE)  # S2
     conn.sendall(s1)  # C2 = echo S1
+
+
+def decode_command_message(msg: "RtmpMessage") -> List[object]:
+    """Decode COMMAND_AMF0 or COMMAND_AMF3 message bodies to a value list.
+
+    AMF3 command bodies from real encoders carry a leading 0x00 format byte
+    followed by AMF0 values (which may themselves escape to AMF3 via the
+    avmplus marker); pure-AMF3 bodies are also accepted."""
+    if msg.message_type in (COMMAND_AMF3, DATA_AMF3):
+        body = msg.payload
+        if body[:1] == b"\x00":
+            return amf0.decode_all(body[1:])
+        return amf3.decode_all(body)
+    return amf0.decode_all(msg.payload)
 
 
 def _read_exact(conn: socket.socket, n: int) -> bytes:
@@ -147,6 +163,11 @@ class RtmpInputOptions:
     port: int = 0               # 0 = pick free port
     app: str = ""               # accept any app/stream key when empty
     stream_key: str = ""
+    # RTMPS (extension beyond the reference server, which is plain RTMP):
+    # wrap accepted connections in TLS; self-signed cert when paths omitted
+    tls: bool = False
+    tls_cert_path: str = ""
+    tls_key_path: str = ""
 
 
 class RtmpServerInput(InputSource):
@@ -196,6 +217,14 @@ class RtmpServerInput(InputSource):
             if conn is None:
                 return
             conn.settimeout(10.0)
+            if self.options.tls:
+                from smelter_tpu.io.rtmp.tls import server_context
+
+                tls_ctx = server_context(
+                    self.options.tls_cert_path or None,
+                    self.options.tls_key_path or None,
+                )
+                conn = tls_ctx.wrap_socket(conn, server_side=True)
             _server_handshake(conn)
             self._serve_publisher(conn, ctx)
         except Exception:
@@ -259,18 +288,23 @@ class RtmpServerInput(InputSource):
                 if not data:
                     break
                 for msg in reader.feed(data):
-                    if msg.message_type == COMMAND_AMF0:
-                        vals = amf0.decode_all(msg.payload)
+                    if msg.message_type in (COMMAND_AMF0, COMMAND_AMF3):
+                        vals = decode_command_message(msg)
                         cmd = vals[0] if vals else None
                         tid = vals[1] if len(vals) > 1 else 0
                         if cmd == "connect":
+                            requested_enc = 0.0
+                            if len(vals) > 2 and isinstance(vals[2], dict):
+                                requested_enc = float(
+                                    vals[2].get("objectEncoding", 0.0) or 0.0
+                                )
                             send_command(amf0.encode_all(
                                 "_result", tid,
                                 {"fmsVer": "FMS/3,0,1,123", "capabilities": 31.0},
                                 {"level": "status",
                                  "code": "NetConnection.Connect.Success",
                                  "description": "Connection succeeded.",
-                                 "objectEncoding": 0.0},
+                                 "objectEncoding": requested_enc},
                             ))
                         elif cmd == "createStream":
                             send_command(amf0.encode_all("_result", tid, None, 1.0))
@@ -299,6 +333,14 @@ class RtmpServerInput(InputSource):
                         elif cmd in ("deleteStream", "closeStream"):
                             alive = False
                             break
+                    elif msg.message_type in (DATA_AMF0, DATA_AMF3):
+                        # @setDataFrame/onMetaData — informational only
+                        try:
+                            meta = decode_command_message(msg)
+                        except (amf0.Amf0Error, amf3.Amf3Error):
+                            meta = []
+                        if meta:
+                            logger.debug("rtmp data message: %r", meta[0])
                     elif msg.message_type == VIDEO and v_aus is not None:
                         tag = parse_video_tag(msg.payload)
                         if tag is None:
@@ -423,12 +465,17 @@ class RtmpClientOutput(OutputSink):
     (reference `rtmp/rtmp_output.rs`). Video encoder must keep parameter sets
     inline (global_header=0) OR provide AnnexB extradata; both are handled."""
 
-    def __init__(self, url: str, timeout: float = 10.0) -> None:
+    def __init__(self, url: str, timeout: float = 10.0,
+                 tls_verify: bool = True) -> None:
         parsed = urllib.parse.urlparse(url)
-        if parsed.scheme != "rtmp":
-            raise ValueError(f"unsupported scheme {parsed.scheme!r}")
+        if parsed.scheme not in ("rtmp", "rtmps"):
+            raise ValueError(
+                f'unsupported scheme {parsed.scheme!r}, expected "rtmp" or "rtmps"'
+            )
+        self.use_tls = parsed.scheme == "rtmps"
+        self.tls_verify = tls_verify
         self.host = parsed.hostname or "127.0.0.1"
-        self.port = parsed.port or 1935
+        self.port = parsed.port or (443 if self.use_tls else 1935)
         path_parts = [p for p in (parsed.path or "").split("/") if p]
         self.app = path_parts[0] if path_parts else "live"
         self.stream_key = "/".join(path_parts[1:]) if len(path_parts) > 1 else "stream"
@@ -446,6 +493,12 @@ class RtmpClientOutput(OutputSink):
     def _connect(self, timeout: float) -> None:
         conn = socket.create_connection((self.host, self.port), timeout=timeout)
         conn.settimeout(timeout)
+        if self.use_tls:
+            from smelter_tpu.io.rtmp.tls import client_context
+
+            conn = client_context(insecure=not self.tls_verify).wrap_socket(
+                conn, server_hostname=self.host
+            )
         _client_handshake(conn)
         reader = ChunkReader()
 
@@ -464,8 +517,8 @@ class RtmpClientOutput(OutputSink):
                 if not data:
                     raise ConnectionError(f"peer closed waiting for {what}")
                 for msg in reader.feed(data):
-                    if msg.message_type == COMMAND_AMF0:
-                        vals = amf0.decode_all(msg.payload)
+                    if msg.message_type in (COMMAND_AMF0, COMMAND_AMF3):
+                        vals = decode_command_message(msg)
                         if pred(vals):
                             return vals
             raise TimeoutError(f"timeout waiting for {what}")
@@ -473,7 +526,8 @@ class RtmpClientOutput(OutputSink):
         conn.sendall(self._writer.serialize(
             self._writer.set_chunk_size_message(4096)
         ))
-        tc_url = f"rtmp://{self.host}:{self.port}/{self.app}"
+        scheme = "rtmps" if self.use_tls else "rtmp"
+        tc_url = f"{scheme}://{self.host}:{self.port}/{self.app}"
         send_command(amf0.encode_all(
             "connect", 1.0,
             {"app": self.app, "type": "nonprivate",

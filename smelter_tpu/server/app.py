@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import queue as _queue
 import threading
 import time
@@ -381,7 +382,13 @@ def build_app(state: ApiState) -> web.Application:
                         if spec.audio
                         else None
                     )
-                    sink = RtmpClientOutput(spec.url)
+                    # rtmps:// cert verification is on by default; private
+                    # deployments with self-signed endpoints can opt out
+                    # (same spirit as FFmpeg's tls_verify)
+                    insecure = os.environ.get(
+                        "SMELTER_RTMPS_INSECURE", ""
+                    ).lower() in ("1", "true", "yes")
+                    sink = RtmpClientOutput(spec.url, tls_verify=not insecure)
                     state.pipeline.register_output(output_id, sink, video, audio)
                     state.output_kinds[output_id] = "rtmp"
                     return {}

@@ -305,3 +305,147 @@ def test_rtmp_loopback_our_client_to_our_server(tmp_path):
     assert audio.shape[0] > 60000
     # red content → high V plane
     assert float(np.mean([float(f[2].mean()) for f in frames])) > 180
+
+
+# ---------------------------------------------------------------------------
+# AMF3 + RTMPS
+# ---------------------------------------------------------------------------
+
+
+def test_amf3_roundtrip():
+    from smelter_tpu.io.rtmp import amf3
+
+    values = [
+        None,
+        True,
+        False,
+        42,
+        -7,
+        1 << 20,
+        3.5,
+        "hello",
+        "",
+        b"\x00\x01\x02",
+        [1, 2.5, "x"],
+        {"a": 1, "b": [True, None], "nested": {"k": "v"}},
+    ]
+    data = amf3.encode_all(*values)
+    decoded = amf3.decode_all(data)
+    assert decoded == values
+
+
+def test_amf3_string_references_decode():
+    from smelter_tpu.io.rtmp import amf3
+
+    # two identical strings: second may arrive by reference from real encoders
+    body = amf3.encode("dup")  # inline "dup" -> enters the reference table
+    ref = bytes([amf3.STRING]) + bytes([0x00])  # reference #0
+    vals = amf3.decode_all(body + ref)
+    assert vals == ["dup", "dup"]
+
+
+def test_amf3_u29_boundaries():
+    from smelter_tpu.io.rtmp import amf3
+
+    for v in (0, 127, 128, 16383, 16384, 0x1FFFFF, 0x200000, 0x0FFFFFFF, -1,
+              -0x10000000):
+        assert amf3.decode_all(amf3.encode(v)) == [v]
+
+
+def test_amf3_command_message_both_framings():
+    from smelter_tpu.io.rtmp import amf3
+    from smelter_tpu.io.rtmp.chunk import COMMAND_AMF3
+    from smelter_tpu.io.rtmp.session import decode_command_message
+
+    # real-world framing: leading 0x00 format byte, then AMF0 values
+    body = b"\x00" + amf0.encode_all("connect", 1.0, {"app": "live",
+                                                      "objectEncoding": 3.0})
+    msg = RtmpMessage(COMMAND_AMF3, 0, 0, body)
+    vals = decode_command_message(msg)
+    assert vals[0] == "connect" and vals[2]["objectEncoding"] == 3.0
+
+    # pure AMF3 framing
+    body2 = amf3.encode_all("publish", 5, None, "key")
+    msg2 = RtmpMessage(COMMAND_AMF3, 0, 0, body2)
+    assert decode_command_message(msg2)[0] == "publish"
+
+
+def test_amf0_avmplus_escape_decodes_amf3():
+    from smelter_tpu.io.rtmp import amf3
+
+    data = amf0.encode("before") + bytes([amf0.AVMPLUS]) + amf3.encode(
+        {"x": 1}
+    ) + amf0.encode(2.0)
+    assert amf0.decode_all(data) == ["before", {"x": 1}, 2.0]
+
+
+def test_rtmps_loopback_tls(tmp_path):
+    """RTMPS client output → TLS-wrapped RTMP server input (self-signed)."""
+    src = str(tmp_path / "src.mp4")
+    _make_source_mp4(src, "blue", 440.0)
+    out_path = str(tmp_path / "out.mp4")
+
+    rx = Pipeline(PipelineOptions(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+    ))
+    server = RtmpServerInput(RtmpInputOptions(tls=True))
+    rx.register_input("in", server, RegisterInputOptions(required=True, offset=0.0))
+    rx.register_output(
+        "out", Mp4OutputSink(out_path),
+        video=OutputVideoOptions(
+            resolution=Resolution(320, 240),
+            encoder=VideoEncoderOptions(codec="h264", preset="ultrafast"),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="in")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+        audio=OutputAudioOptions(
+            encoder=AudioEncoderOptions(codec="aac"),
+            initial_mixer_config=AudioMixerConfig(inputs=[AudioMixerInputConfig("in")]),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+    rx.start()
+
+    tx = Pipeline(PipelineOptions(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+    ))
+    tx.register_input(
+        "a", Mp4Input(Mp4InputOptions(path=src)),
+        RegisterInputOptions(required=True, offset=0.0),
+    )
+    sink = RtmpClientOutput(
+        f"rtmps://127.0.0.1:{server.port}/live/key", tls_verify=False
+    )
+    tx.register_output(
+        "rtmp", sink,
+        video=OutputVideoOptions(
+            resolution=Resolution(320, 240),
+            encoder=VideoEncoderOptions(codec="h264", preset="ultrafast"),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="a")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+        audio=OutputAudioOptions(
+            encoder=AudioEncoderOptions(codec="aac"),
+            initial_mixer_config=AudioMixerConfig(inputs=[AudioMixerInputConfig("a")]),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+    tx.start()
+    assert _wait_done(tx, "rtmp", 120), "tx OUTPUT_DONE not observed"
+    assert _wait_done(rx, "out", 120), "rx OUTPUT_DONE not observed"
+    tx.close()
+    rx.close()
+
+    frames, _audio, _infos = _decode_output(out_path)
+    assert len(frames) >= 40, len(frames)
+    # blue content → high U plane
+    assert float(np.mean([float(f[1].mean()) for f in frames])) > 180
+
+
+def test_rtmp_client_rejects_unknown_scheme():
+    with pytest.raises(ValueError):
+        RtmpClientOutput("http://example/live/x")
