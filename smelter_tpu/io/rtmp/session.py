@@ -345,6 +345,8 @@ class RtmpServerInput(InputSource):
                         tag = parse_video_tag(msg.payload)
                         if tag is None:
                             continue
+                        if ctx.video_meter is not None:
+                            ctx.video_meter.add_bytes(len(msg.payload))
                         kind, keyframe, cts, body = tag
                         try:
                             v_aus.send((kind, msg.timestamp + cts, body))
@@ -354,6 +356,8 @@ class RtmpServerInput(InputSource):
                         tag = parse_audio_tag(msg.payload)
                         if tag is None:
                             continue
+                        if ctx.audio_meter is not None:
+                            ctx.audio_meter.add_bytes(len(msg.payload))
                         kind, body = tag
                         try:
                             a_aus.send((kind, msg.timestamp, body))

@@ -141,9 +141,11 @@ class JitterBuffer:
     def __init__(self, window_s: float = 0.050, clock=time.monotonic,
                  adaptive: bool = False, min_window_s: float = 0.005,
                  max_window_s: float = 0.500,
-                 clock_rate: int = VIDEO_CLOCK) -> None:
+                 clock_rate: int = VIDEO_CLOCK,
+                 stats=None) -> None:
         self.window = window_s
         self.clock = clock
+        self.stats = stats  # optional pipeline.stats.RtpTrackStats
         self.adaptive = adaptive
         self.min_window = min_window_s
         self.max_window = max_window_s
@@ -187,8 +189,13 @@ class JitterBuffer:
         if self._next_seq is None:
             self._next_seq = ext
         if ext < self._next_seq:
+            if self.stats is not None:
+                self.stats.on_lost(1)
             return []  # too late
         self._buffer[ext] = (now, pkt)
+        if self.stats is not None:
+            oldest = min(t for t, _ in self._buffer.values())
+            self.stats.on_packet(len(pkt.payload) + 12, now - oldest)
         return self._release()
 
     def _release(self) -> List[RtpPacket]:
@@ -204,7 +211,10 @@ class JitterBuffer:
             # gap: skip only if the oldest buffered packet outlived the window
             oldest = min(t for t, _ in self._buffer.values())
             if now - oldest > self.window:
-                self._next_seq = min(self._buffer.keys())
+                skip_to = min(self._buffer.keys())
+                if self.stats is not None:
+                    self.stats.on_lost(skip_to - self._next_seq)
+                self._next_seq = skip_to
                 continue
             break
         return out
@@ -680,6 +690,8 @@ class RtpInputSource(InputSource):
     def start(self, ctx: InputCtx) -> None:
         video_au: Optional[Channel] = Channel(64) if self.has_video else None
         audio_au: Optional[Channel] = Channel(256) if self.has_audio else None
+        self._video_meter = ctx.video_meter
+        self._audio_meter = ctx.audio_meter
 
         def _guard(fn):
             def run(*args):
@@ -745,10 +757,12 @@ class RtpInputSource(InputSource):
         vd, ad = self._make_depayloaders()
         vjb = JitterBuffer(self.options.jitter_window_s,
                            adaptive=self.options.jitter_adaptive,
-                           clock_rate=VIDEO_CLOCK)
+                           clock_rate=VIDEO_CLOCK,
+                           stats=getattr(self, "_video_meter", None))
         ajb = JitterBuffer(self.options.jitter_window_s,
                            adaptive=self.options.jitter_adaptive,
-                           clock_rate=OPUS_CLOCK)
+                           clock_rate=OPUS_CLOCK,
+                           stats=getattr(self, "_audio_meter", None))
         video_pts = {PT_H264, PT_VP8, PT_VP9}
 
         from smelter_tpu.io import rtcp as rtcp_mod

@@ -106,8 +106,8 @@ class _RtpReceiverBridge:
         self.audio_aus: Optional[Channel] = (
             Channel(512) if neg.audio_pt is not None and ctx.audio_channel else None
         )
-        self._vjb = JitterBuffer()
-        self._ajb = JitterBuffer()
+        self._vjb = JitterBuffer(stats=ctx.video_meter)
+        self._ajb = JitterBuffer(stats=ctx.audio_meter)
         self._vd = (
             H264Depayloader() if neg.video_codec == "h264" else Vp8Depayloader()
         )
@@ -273,11 +273,24 @@ class _RtpSenderBridge(OutputSink):
         self.video_pt = 96
         self.audio_pt = 111
         self.video_codec = "h264"
-        self.on_keyframe_request = None  # set by the pipeline 
+        self.on_keyframe_request = None  # set by the pipeline
         self._vp: Optional[H264Payloader] = None
         self._ap: Optional[OpusPayloader] = None
         self._video_extradata = b""
         self._lock = threading.Lock()
+
+    @property
+    def is_connected(self) -> bool:
+        """True while a transport is attached and DTLS-established
+        (reference WhipOutputStatsReport.is_connected)."""
+        s = self.session
+        return bool(s is not None and s.established.is_set())
+
+    @property
+    def connected_peers(self) -> int:
+        """Subscriber count (reference WhepOutputStatsReport.connected_peers;
+        this implementation is single-subscriber)."""
+        return 1 if self.is_connected else 0
 
     def attach(self, session: WebRtcSession, video_pt: int, audio_pt: int) -> None:
         from smelter_tpu.io import rtcp as rtcp_mod

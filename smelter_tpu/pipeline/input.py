@@ -29,6 +29,10 @@ class InputCtx:
     video_channel: Optional[Channel]   # push Frame; close = EOS
     audio_channel: Optional[Channel]   # push AudioSamples; close = EOS
     mixing_sample_rate: int = 48000
+    # per-track protocol stats meters (pipeline/stats.py TrackStats or
+    # RtpTrackStats); protocol code feeds compressed byte counts when set
+    video_meter: Optional[object] = None
+    audio_meter: Optional[object] = None
 
 
 class InputSource:
@@ -292,13 +296,18 @@ class Mp4Input(InputSource):
                     if pkt is None:
                         break
                     target = None
+                    meter = None
                     if vinfo and vpkts is not None and pkt.stream_index == vinfo.index:
                         target = vpkts
+                        meter = ctx.video_meter
                     elif (
                         ainfo and apkts is not None and pkt.stream_index == ainfo.index
                     ):
                         target = apkts
+                        meter = ctx.audio_meter
                     if target is not None:
+                        if meter is not None:
+                            meter.add_bytes(len(pkt.data))
                         try:
                             target.send(pkt)
                         except Closed:

@@ -38,7 +38,12 @@ from smelter_tpu.pipeline.output import (
     OutputVideoOptions,
     PipelineOutput,
 )
-from smelter_tpu.pipeline.stats import PipelineStats
+from smelter_tpu.pipeline.stats import (
+    PipelineStats,
+    ProtocolReport,
+    RtpTrackStats,
+    TrackStats,
+)
 from smelter_tpu.queue.sync_queue import (
     MonotonicClock,
     Queue,
@@ -123,6 +128,25 @@ class Pipeline:
 
     # ------------------------------------------------------------------ inputs
 
+    # class name → (report type, rtp-family); mirrors the reference's
+    # per-protocol report variants (`stats/input_reports.rs`)
+    _INPUT_STATS_TYPES = {
+        "Mp4Input": ("mp4", False),
+        "HlsInput": ("hls", False),
+        "RtpInputSource": ("rtp", True),
+        "WhipServerInput": ("whip", True),
+        "WhepClientInput": ("whep", True),
+        "RtmpServerInput": ("rtmp", False),
+    }
+    _OUTPUT_STATS_TYPES = {
+        "Mp4OutputSink": "mp4",
+        "HlsOutputSink": "hls",
+        "RtpOutputSink": "rtp",
+        "RtmpClientOutput": "rtmp",
+        "WhipClientOutput": "whip",
+        "WhepServerOutput": "whep",
+    }
+
     def register_input(
         self,
         input_id: str,
@@ -176,11 +200,20 @@ class Pipeline:
                     side_channels.append(asc)
                     audio_channel = TeeChannel(audio_channel, asc.publish)
             self._side_channels[input_id] = side_channels
+            in_report = self._make_input_report(source)
+            if in_report is not None:
+                self.stats.register_input_report(input_id, in_report)
             ctx = InputCtx(
                 input_id=input_id,
                 video_channel=video_channel,
                 audio_channel=audio_channel,
                 mixing_sample_rate=self.options.mixing_sample_rate,
+                video_meter=(
+                    in_report.tracks.get("video") or in_report.tracks.get("video_rtp")
+                ) if in_report else None,
+                audio_meter=(
+                    in_report.tracks.get("audio") or in_report.tracks.get("audio_rtp")
+                ) if in_report else None,
             )
             if source.has_video:
                 self.renderer.register_input(input_id)
@@ -195,12 +228,27 @@ class Pipeline:
             source.start(ctx)
             return source
 
+    def _make_input_report(self, source: InputSource) -> Optional[ProtocolReport]:
+        entry = self._INPUT_STATS_TYPES.get(type(source).__name__)
+        if entry is None:
+            return None
+        kind, is_rtp = entry
+        track_cls = RtpTrackStats if is_rtp else TrackStats
+        suffix = "_rtp" if is_rtp else ""
+        tracks = {}
+        if source.has_video:
+            tracks[f"video{suffix}"] = track_cls()
+        if source.has_audio:
+            tracks[f"audio{suffix}"] = track_cls()
+        return ProtocolReport(type=kind, tracks=tracks)
+
     def unregister_input(self, input_id: str) -> None:
         with self._lock:
             source = self._inputs.pop(input_id, None)
             if source is None:
                 raise KeyError(input_id)
             source.stop()
+            self.stats.unregister_input_report(input_id)
             for sc in self._side_channels.pop(input_id, []):
                 sc.close()
             self.queue.remove_input(input_id)
@@ -291,6 +339,25 @@ class Pipeline:
             # requests into the encoder (reference handle_keyframe_requests)
             if hasattr(sink, "on_keyframe_request"):
                 sink.on_keyframe_request = out.request_keyframe
+            kind = self._OUTPUT_STATS_TYPES.get(type(sink).__name__)
+            if kind is not None:
+                tracks = {}
+                if video is not None:
+                    tracks["video"] = out.video_meter = TrackStats()
+                if audio is not None:
+                    tracks["audio"] = out.audio_meter = TrackStats()
+                extras = None
+                if kind == "whip":
+                    extras = lambda: {  # noqa: E731
+                        "is_connected": bool(getattr(sink, "is_connected", False))
+                    }
+                elif kind == "whep":
+                    extras = lambda: {  # noqa: E731
+                        "connected_peers": int(getattr(sink, "connected_peers", 0))
+                    }
+                self.stats.register_output_report(
+                    output_id, ProtocolReport(type=kind, tracks=tracks, extras=extras)
+                )
             self._outputs[output_id] = out
             out.start()
             return out
@@ -300,6 +367,7 @@ class Pipeline:
             out = self._outputs.pop(output_id, None)
             if out is None:
                 raise KeyError(output_id)
+            self.stats.unregister_output_report(output_id)
             self.renderer.unregister_output(output_id)
             self.audio_mixer.unregister_output(output_id)
             out.send_video_eos()

@@ -178,6 +178,10 @@ class PipelineOutput:
         )
         self._on_done = on_done
         self.encoded_video_packets = 0
+        # per-track byte meters for /stats protocol reports (set by the
+        # pipeline at register time; every sink type shares this boundary)
+        self.video_meter = None
+        self.audio_meter = None
         self._done_lock = threading.Lock()
         self._video_done = video is None
         self._audio_done = audio is None
@@ -291,6 +295,8 @@ class PipelineOutput:
                     if pkt is None or pkt == "eof":
                         break
                     self.encoded_video_packets += 1
+                    if self.video_meter is not None:
+                        self.video_meter.add_bytes(len(pkt.data))
                     self.sink.write_video_packet(pkt)
             if enc is not None:
                 enc.send_eof()
@@ -338,6 +344,8 @@ class PipelineOutput:
                     pkt = enc.receive()
                     if pkt is None or pkt == "eof":
                         break
+                    if self.audio_meter is not None:
+                        self.audio_meter.add_bytes(len(pkt.data))
                     self.sink.write_audio_packet(pkt)
             if enc is not None:
                 enc.send_eof()

@@ -41,6 +41,125 @@ class RollingLatency:
         return {"p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
 
 
+class BitrateWindow:
+    """Sliding-window byte meter: bits/sec over the last 1s and 60s windows
+    (reference `stats/utils.rs` bitrate trackers; every per-protocol report
+    in `stats/{input,output}_reports.rs` carries these two numbers)."""
+
+    def __init__(self) -> None:
+        self._events: deque = deque()  # (monotonic_t, nbytes)
+        self._lock = threading.Lock()
+
+    def add(self, nbytes: int) -> None:
+        now = time.monotonic()
+        with self._lock:
+            self._events.append((now, nbytes))
+            cutoff = now - 60.0
+            while self._events and self._events[0][0] < cutoff:
+                self._events.popleft()
+
+    def report(self) -> Dict[str, int]:
+        now = time.monotonic()
+        with self._lock:
+            cutoff = now - 60.0
+            while self._events and self._events[0][0] < cutoff:
+                self._events.popleft()
+            b1 = sum(n for t, n in self._events if t >= now - 1.0)
+            b60 = sum(n for _, n in self._events)
+        return {
+            "bitrate_1_second": b1 * 8,
+            "bitrate_1_minute": (b60 * 8) // 60,
+        }
+
+
+class TrackStats:
+    """Per-track meter for protocols whose report is just the bitrates
+    (mp4/hls/rtmp tracks in the reference reports)."""
+
+    def __init__(self) -> None:
+        self.bitrate = BitrateWindow()
+
+    def add_bytes(self, nbytes: int) -> None:
+        self.bitrate.add(nbytes)
+
+    def report(self) -> dict:
+        return self.bitrate.report()
+
+
+class RtpTrackStats(TrackStats):
+    """RTP-family track meter (`RtpJitterBufferStatsReport`): packet totals,
+    bitrates, and a 10-second sliding window of jitter-buffer occupancy."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.packets_received = 0
+        self.packets_lost = 0
+        self._window: deque = deque()  # (t, lost_delta, buffer_seconds)
+        self._lock = threading.Lock()
+
+    def on_packet(self, nbytes: int, buffer_seconds: float) -> None:
+        self.bitrate.add(nbytes)
+        now = time.monotonic()
+        with self._lock:
+            self.packets_received += 1
+            self._window.append((now, 0, buffer_seconds))
+            self._prune(now)
+
+    def on_lost(self, count: int = 1) -> None:
+        now = time.monotonic()
+        with self._lock:
+            self.packets_lost += count
+            self._window.append((now, count, None))
+            self._prune(now)
+
+    def _prune(self, now: float) -> None:
+        cutoff = now - 10.0
+        while self._window and self._window[0][0] < cutoff:
+            self._window.popleft()
+
+    def report(self) -> dict:
+        with self._lock:
+            self._prune(time.monotonic())
+            entries = list(self._window)
+            received = self.packets_received
+            lost = self.packets_lost
+        buf = [b for _, _, b in entries if b is not None]
+        win = {
+            "packets_received": sum(1 for _, l, b in entries if b is not None),
+            "packets_lost": sum(l for _, l, _ in entries),
+            "input_buffer_avg_seconds": round(sum(buf) / len(buf), 6) if buf else 0.0,
+            "input_buffer_max_seconds": round(max(buf), 6) if buf else 0.0,
+            "input_buffer_min_seconds": round(min(buf), 6) if buf else 0.0,
+        }
+        return {
+            "packets_received": received,
+            "packets_lost": lost,
+            **self.bitrate.report(),
+            "last_10_seconds": win,
+        }
+
+
+@dataclass
+class ProtocolReport:
+    """Per-input/output protocol stats (reference `InputStatsReport` /
+    `OutputStatsReport` tagged unions): {"type": ..., <track>: {...}}."""
+
+    type: str
+    tracks: Dict[str, TrackStats]
+    extras: Optional[object] = None  # callable returning extra fields
+
+    def snapshot(self) -> dict:
+        out: dict = {"type": self.type}
+        for name, track in self.tracks.items():
+            out[name] = track.report()
+        if callable(self.extras):
+            try:
+                out.update(self.extras())
+            except Exception:
+                pass
+        return out
+
+
 @dataclass
 class PipelineStats:
     started_at: Optional[float] = None
@@ -50,7 +169,25 @@ class PipelineStats:
     render_latency: RollingLatency = field(default_factory=RollingLatency)
     input_frames: Dict[str, int] = field(default_factory=dict)
     output_frames: Dict[str, int] = field(default_factory=dict)
+    input_reports: Dict[str, ProtocolReport] = field(default_factory=dict)
+    output_reports: Dict[str, ProtocolReport] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def register_input_report(self, input_id: str, report: ProtocolReport) -> None:
+        with self._lock:
+            self.input_reports[input_id] = report
+
+    def register_output_report(self, output_id: str, report: ProtocolReport) -> None:
+        with self._lock:
+            self.output_reports[output_id] = report
+
+    def unregister_input_report(self, input_id: str) -> None:
+        with self._lock:
+            self.input_reports.pop(input_id, None)
+
+    def unregister_output_report(self, output_id: str) -> None:
+        with self._lock:
+            self.output_reports.pop(output_id, None)
 
     def on_render(self, seconds: float, n_inputs: int) -> None:
         with self._lock:
@@ -97,4 +234,11 @@ def collect_stats(pipeline) -> dict:
                 for oid, n in stats.output_frames.items()
             },
         }
+        input_reports = dict(stats.input_reports)
+        output_reports = dict(stats.output_reports)
+    # per-protocol reports (reference InputStatsReport / OutputStatsReport)
+    for iid, rep in input_reports.items():
+        report["inputs"].setdefault(iid, {})["stats"] = rep.snapshot()
+    for oid, rep in output_reports.items():
+        report["outputs"].setdefault(oid, {})["stats"] = rep.snapshot()
     return report
