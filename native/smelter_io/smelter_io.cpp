@@ -46,6 +46,7 @@ AVCodecID to_av_codec(int32_t c) {
     switch (c) {
         case SM_CODEC_H264: return AV_CODEC_ID_H264;
         case SM_CODEC_H265: return AV_CODEC_ID_HEVC;
+        case SM_CODEC_AV1: return AV_CODEC_ID_AV1;
         case SM_CODEC_VP8: return AV_CODEC_ID_VP8;
         case SM_CODEC_VP9: return AV_CODEC_ID_VP9;
         case SM_CODEC_AAC: return AV_CODEC_ID_AAC;
@@ -58,6 +59,7 @@ int32_t from_av_codec(AVCodecID id) {
     switch (id) {
         case AV_CODEC_ID_H264: return SM_CODEC_H264;
         case AV_CODEC_ID_HEVC: return SM_CODEC_H265;
+        case AV_CODEC_ID_AV1: return SM_CODEC_AV1;
         case AV_CODEC_ID_VP8: return SM_CODEC_VP8;
         case AV_CODEC_ID_VP9: return SM_CODEC_VP9;
         case AV_CODEC_ID_AAC: return SM_CODEC_AAC;

@@ -55,6 +55,7 @@ enum {
     SM_CODEC_H265 = 2,
     SM_CODEC_VP8 = 3,
     SM_CODEC_VP9 = 4,
+    SM_CODEC_AV1 = 5,
     SM_CODEC_AAC = 10,
     SM_CODEC_OPUS = 11,
 };

@@ -40,6 +40,7 @@ class Codec(enum.IntEnum):
     H265 = 2
     VP8 = 3
     VP9 = 4
+    AV1 = 5
     AAC = 10
     OPUS = 11
 
@@ -51,6 +52,7 @@ class Codec(enum.IntEnum):
             "hevc": cls.H265,
             "vp8": cls.VP8,
             "vp9": cls.VP9,
+            "av1": cls.AV1,
             "aac": cls.AAC,
             "opus": cls.OPUS,
         }[name.lower()]

@@ -113,14 +113,43 @@ def _read_exact(conn: socket.socket, n: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+# enhanced-RTMP (E-RTMP v1) FourCC → codec key used in tag kinds
+_EX_FOURCC = {b"hvc1": "hevc", b"av01": "av1", b"vp09": "vp9"}
+
+
 def parse_video_tag(payload: bytes) -> Optional[Tuple[str, bool, int, bytes]]:
     """FLV VIDEODATA → (kind, keyframe, composition_time_ms, body).
-    kind: 'avc_header' | 'avc_nalu' | 'other'."""
+
+    Legacy AVC tags yield 'avc_header' / 'avc_nalu'. Enhanced-RTMP tags
+    (IsExHeader bit set, 4-byte FourCC: hvc1/av01/vp09) yield
+    '<codec>_header' (sequence start: hvcC/av1C/vpcC config record) and
+    '<codec>_frame' (coded frames; CodedFrames carries a 3-byte CTS for
+    HEVC, CodedFramesX implies CTS 0)."""
     if len(payload) < 5:
         return None
+    if payload[0] & 0x80:  # IsExHeader → enhanced-RTMP
+        frame_type = (payload[0] >> 4) & 0x07
+        packet_type = payload[0] & 0x0F
+        codec = _EX_FOURCC.get(payload[1:5])
+        if codec is None:
+            return ("other", frame_type == 1, 0, payload[5:])
+        body = payload[5:]
+        cts = 0
+        if packet_type == 0:  # SequenceStart: config record
+            return (f"{codec}_header", frame_type == 1, 0, body)
+        if packet_type == 1:  # CodedFrames (HEVC: 3-byte CTS prefix)
+            if codec == "hevc" and len(body) >= 3:
+                cts = int.from_bytes(body[:3], "big", signed=False)
+                if cts & 0x800000:
+                    cts -= 0x1000000
+                body = body[3:]
+            return (f"{codec}_frame", frame_type == 1, cts, body)
+        if packet_type == 3:  # CodedFramesX: no CTS
+            return (f"{codec}_frame", frame_type == 1, 0, body)
+        return ("other", frame_type == 1, 0, body)
     frame_type = payload[0] >> 4
     codec_id = payload[0] & 0x0F
-    if codec_id != 7:  # AVC only
+    if codec_id != 7:  # legacy non-AVC codecs unsupported
         return ("other", frame_type == 1, 0, payload[1:])
     packet_type = payload[1]
     cts = int.from_bytes(payload[2:5], "big", signed=False)
@@ -390,17 +419,20 @@ class RtmpServerInput(InputSource):
                 except Closed:
                     return False
 
+        # 'avc' is the legacy AVCC path; the rest are enhanced-RTMP FourCCs
+        codecs = {"avc": Codec.H264, "hevc": Codec.H265,
+                  "av1": Codec.AV1, "vp9": Codec.VP9}
         try:
             while True:
                 try:
                     kind, ts_ms, body = aus.recv()
                 except Closed:
                     break
-                if kind == "avc_header":
+                if kind.endswith("_header") and kind.split("_")[0] in codecs:
                     if vdec is not None:
                         vdec.close()
-                    vdec = VideoDecoder(Codec.H264, body)
-                elif kind == "avc_nalu" and vdec is not None:
+                    vdec = VideoDecoder(Codec(codecs[kind.split("_")[0]]), body)
+                elif kind.endswith(("_nalu", "_frame")) and vdec is not None:
                     vdec.send(body, ts_ms / 1000.0)
                     if not pump(vdec):
                         return

@@ -449,3 +449,169 @@ def test_rtmps_loopback_tls(tmp_path):
 def test_rtmp_client_rejects_unknown_scheme():
     with pytest.raises(ValueError):
         RtmpClientOutput("http://example/live/x")
+
+
+# ---------------------------------------------------------------------------
+# enhanced-RTMP (hvc1 FourCC)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_video_tag_enhanced_variants():
+    from smelter_tpu.io.rtmp.session import parse_video_tag
+
+    # hvc1 SequenceStart (keyframe, ex-header bit set, packet_type=0)
+    tag = parse_video_tag(bytes([0x90]) + b"hvc1" + b"\x01\x02")
+    assert tag == ("hevc_header", True, 0, b"\x01\x02")
+    # hvc1 CodedFrames with CTS
+    tag = parse_video_tag(bytes([0x91]) + b"hvc1" + b"\x00\x00\x21" + b"DATA")
+    assert tag == ("hevc_frame", True, 0x21, b"DATA")
+    # av01 CodedFramesX (inter frame)
+    tag = parse_video_tag(bytes([0xA3]) + b"av01" + b"OBUS")
+    assert tag == ("av1_frame", False, 0, b"OBUS")
+    # unknown FourCC
+    tag = parse_video_tag(bytes([0x90]) + b"xxxx" + b"zz")
+    assert tag[0] == "other"
+
+
+def test_build_hvcc_record_from_x265_extradata():
+    from smelter_tpu.io.codec import Codec, VideoEncoder
+    from smelter_tpu.io.rtmp.hevc_utils import build_hvcc_record
+
+    enc = VideoEncoder(Codec.H265, 128, 96, 30)
+    rec = build_hvcc_record(enc.extradata())
+    enc.close()
+    assert rec[0] == 1                      # configurationVersion
+    assert (rec[21] & 0x03) == 3            # 4-byte NALU lengths
+    assert rec[22] == 3                     # VPS + SPS + PPS arrays
+
+
+def test_enhanced_rtmp_hevc_publish_end_to_end(tmp_path):
+    """Raw enhanced-RTMP publisher (hvc1 tags) → our server → decode →
+    compose → MP4. Exercises hvcC config + length-prefixed coded frames."""
+    import socket
+
+    from smelter_tpu.io.codec import Codec, VideoEncoder
+    from smelter_tpu.io.rtmp.chunk import VIDEO as MSG_VIDEO
+    from smelter_tpu.io.rtmp.hevc_utils import build_hvcc_record
+    from smelter_tpu.io.rtmp.session import (
+        RtmpInputOptions,
+        RtmpServerInput,
+        _client_handshake,
+        decode_command_message,
+    )
+    from smelter_tpu.io.rtmp.chunk import COMMAND_AMF0, COMMAND_AMF3
+
+    out_path = str(tmp_path / "out.mp4")
+    rx = Pipeline(PipelineOptions(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+    ))
+    server = RtmpServerInput(RtmpInputOptions())
+    rx.register_input("in", server, RegisterInputOptions(required=True, offset=0.0))
+    rx.register_output(
+        "out", Mp4OutputSink(out_path),
+        video=OutputVideoOptions(
+            resolution=Resolution(320, 240),
+            encoder=VideoEncoderOptions(codec="h264", preset="ultrafast"),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="in")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+    rx.start()
+
+    # --- minimal publisher ---------------------------------------------------
+    conn = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+    _client_handshake(conn)
+    writer = ChunkWriter(chunk_size=4096)
+    reader = ChunkReader()
+    conn.sendall(writer.serialize(writer.set_chunk_size_message(4096)))
+
+    def send_cmd(payload, stream_id=0):
+        conn.sendall(writer.serialize(
+            RtmpMessage(20, 0, stream_id, payload, chunk_stream_id=3)))
+
+    def wait_reply(pred):
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            data = conn.recv(65536)
+            if not data:
+                raise ConnectionError("closed")
+            for msg in reader.feed(data):
+                if msg.message_type in (COMMAND_AMF0, COMMAND_AMF3):
+                    vals = decode_command_message(msg)
+                    if pred(vals):
+                        return vals
+        raise TimeoutError
+
+    send_cmd(amf0.encode_all("connect", 1.0, {"app": "live", "tcUrl": "rtmp://x/live"}))
+    wait_reply(lambda v: v and v[0] == "_result")
+    send_cmd(amf0.encode_all("createStream", 2.0, None))
+    wait_reply(lambda v: v and v[0] == "_result")
+    send_cmd(amf0.encode_all("publish", 3.0, None, "key", "live"))
+    wait_reply(lambda v: v and v[0] == "onStatus")
+
+    # HEVC content: solid green frames
+    W2, H2 = 128, 96
+    enc = VideoEncoder(Codec.H265, W2, H2, 30)
+    hvcc = build_hvcc_record(enc.extradata())
+    conn.sendall(writer.serialize(RtmpMessage(
+        MSG_VIDEO, 0, 1, bytes([0x90]) + b"hvc1" + hvcc, chunk_stream_id=4)))
+    y = np.full((H2, W2), 145, np.uint8)      # green-ish in YUV
+    u = np.full((H2 // 2, W2 // 2), 54, np.uint8)
+    v = np.full((H2 // 2, W2 // 2), 34, np.uint8)
+    n_frames = 45
+    pkts = []
+    for i in range(n_frames):
+        enc.send(y, u, v, pts_s=i / 30)
+        while True:
+            p = enc.receive()
+            if p is None or p == "eof":
+                break
+            pkts.append(p)
+    enc.send_eof()
+    while True:
+        p = enc.receive()
+        if p is None or p == "eof":
+            break
+        pkts.append(p)
+    enc.close()
+    assert len(pkts) == n_frames
+    for p in pkts:
+        body = annexb_to_avcc(p.data)
+        first = bytes([0x91 if p.is_keyframe else 0xA1])
+        tag = first + b"hvc1" + b"\x00\x00\x00" + body
+        conn.sendall(writer.serialize(RtmpMessage(
+            MSG_VIDEO, int((p.pts_s or 0) * 1000), 1, tag, chunk_stream_id=4)))
+    send_cmd(amf0.encode_all("deleteStream", 4.0, None, 1.0))
+    conn.close()
+
+    assert _wait_done(rx, "out", 120), "rx OUTPUT_DONE not observed"
+    rx.close()
+    from smelter_tpu.io.codec import Demuxer, VideoDecoder as _VD
+    d = Demuxer(out_path)
+    vs = [s for s in d.streams() if s.media_type == "video"][0]
+    dec = _VD(vs.codec, vs.extradata)
+    frames = []
+    while True:
+        pkt = d.read()
+        if pkt is None:
+            break
+        if pkt.stream_index != vs.index:
+            continue
+        dec.send(pkt.data, pkt.pts_s or 0.0)
+        while True:
+            f = dec.receive()
+            if f is None or f == "eof":
+                break
+            frames.append(f)
+    dec.send_eof()
+    while True:
+        f = dec.receive()
+        if f is None or f == "eof":
+            break
+        frames.append(f)
+    assert len(frames) >= 30, len(frames)
+    # green content → low U, low V
+    assert float(np.mean([float(f[1].mean()) for f in frames])) < 80
+    assert float(np.mean([float(f[2].mean()) for f in frames])) < 80
