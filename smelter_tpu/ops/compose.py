@@ -59,6 +59,9 @@ class LayoutStatic:
     # gather-free 3-shear path (ops/rotate.py) instead of full-canvas
     # inverse sampling. Animated rotations leave this None.
     static_rotation: Optional[float] = None
+    # ANIMATED rotation with stable rect/crop: static quarter-turn bucket
+    # (round(theta/90)); the residual angle is traced through FFT shears
+    traced_rotation_q: Optional[int] = None
 
 
 @jax.tree_util.register_dataclass
@@ -280,24 +283,15 @@ def _render_rect_layout(
     return canvas.at[y0:y1, x0:x1].set(blended)
 
 
-def _render_rotated_rect_layout(
-    static: LayoutStatic,
-    params: LayoutParams,
-    sources: Sequence,
-    canvas: jnp.ndarray,  # (H, W, 4) premultiplied f32
+def _prepare_rect_tile(
+    static: LayoutStatic, params: LayoutParams, sources: Sequence
 ) -> jnp.ndarray:
-    """Stable-rotation fast path: resize the source crop upright (MXU
-    matmuls), apply edge/border SDF alpha in the rect's LOCAL axis-aligned
-    frame, rotate the premultiplied tile with the gather-free 3-shear
-    decomposition (static angle), and blend the rotated bbox region into the
-    canvas with a static slice update."""
+    """Resize the source crop upright (MXU matmuls) and apply edge/border
+    SDF alpha in the rect's LOCAL axis-aligned frame. Shared by both
+    rotation fast paths."""
     from smelter_tpu.ops.resample import resize_matmul
-    from smelter_tpu.ops.rotate import rotate_static, rotated_bbox
 
-    H, W = canvas.shape[0], canvas.shape[1]
     top, left, h, w = static.static_rect  # type: ignore[misc]
-    theta = float(static.static_rotation)  # type: ignore[arg-type]
-
     mips = sources[static.source_index]
     img = mips[0] if isinstance(mips, (list, tuple)) else mips
     ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
@@ -305,7 +299,6 @@ def _render_rotated_rect_layout(
     tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w)
     tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
 
-    # SDF alpha in the local (unrotated) frame — rect centered, axis-aligned
     rw, rh = params.width, params.height
     ly = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] - h * 0.5
     lx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] - w * 0.5
@@ -322,21 +315,63 @@ def _render_rotated_rect_layout(
         tile = jnp.where((edge > bw * 0.5)[..., None], inner, outer)
     else:
         tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+    return tile
 
-    bh, bw_ = rotated_bbox(theta, h, w)
-    rotated = rotate_static(tile, theta, bh, bw_)
 
-    # bbox shares the rect center: integer origin
-    otop = top + (h - bh) // 2
-    oleft = left + (w - bw_) // 2
+def _blend_region(canvas, layer, otop: int, oleft: int) -> jnp.ndarray:
+    """OVER-blend a premultiplied layer at an integer origin, clipped."""
+    H, W = canvas.shape[0], canvas.shape[1]
+    bh, bw_ = layer.shape[0], layer.shape[1]
     y0, y1 = max(otop, 0), min(otop + bh, H)
     x0, x1 = max(oleft, 0), min(oleft + bw_, W)
     if y0 >= y1 or x0 >= x1:
         return canvas
-    layer = rotated[y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
+    vis = layer[y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
     region = canvas[y0:y1, x0:x1]
-    blended = layer + region * (1.0 - layer[..., 3:4])
+    blended = vis + region * (1.0 - vis[..., 3:4])
     return canvas.at[y0:y1, x0:x1].set(blended)
+
+
+def _render_rotated_rect_layout(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    canvas: jnp.ndarray,  # (H, W, 4) premultiplied f32
+) -> jnp.ndarray:
+    """Stable-rotation fast path: upright tile + gather-free 3-shear
+    rotation (static angle, banded slices) blended region-locally."""
+    from smelter_tpu.ops.rotate import rotate_static, rotated_bbox
+
+    top, left, h, w = static.static_rect  # type: ignore[misc]
+    theta = float(static.static_rotation)  # type: ignore[arg-type]
+    tile = _prepare_rect_tile(static, params, sources)
+    bh, bw_ = rotated_bbox(theta, h, w)
+    rotated = rotate_static(tile, theta, bh, bw_)
+    return _blend_region(canvas, rotated, top + (h - bh) // 2,
+                         left + (w - bw_) // 2)
+
+
+def _render_rotated_rect_layout_traced(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    canvas: jnp.ndarray,
+) -> jnp.ndarray:
+    """ANIMATED-rotation fast path: the rect/crop are planner-stable but the
+    angle changes per frame, so the rotation runs with a TRACED angle via
+    FFT phase-shift shears (ops/rotate.py rotate_traced) over a static
+    bounding-circle square — no gathers, no per-frame recompile. The static
+    quarter-turn bucket keeps the traced residual in [-45, 45]."""
+    from smelter_tpu.ops.rotate import rotate_traced, traced_work_size
+
+    top, left, h, w = static.static_rect  # type: ignore[misc]
+    tile = _prepare_rect_tile(static, params, sources)
+    rotated = rotate_traced(
+        tile, params.rotation_degrees, static.traced_rotation_q  # type: ignore[arg-type]
+    )
+    S = traced_work_size(h, w)
+    return _blend_region(canvas, rotated, top + (h - S) // 2,
+                         left + (w - S) // 2)
 
 
 def compose_layouts(
@@ -374,6 +409,15 @@ def compose_layouts(
             and st.n_masks == 0
         ):
             canvas = _render_rotated_rect_layout(st, p, sources, canvas)
+            i += 1
+            continue
+        if (
+            st.static_rect is not None
+            and st.traced_rotation_q is not None
+            and st.content == "texture"
+            and st.n_masks == 0
+        ):
+            canvas = _render_rotated_rect_layout_traced(st, p, sources, canvas)
             i += 1
             continue
         # collect a run of full-canvas non-texture layers → fused Pallas

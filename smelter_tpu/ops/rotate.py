@@ -97,6 +97,72 @@ def _shear_y(img: jnp.ndarray, k: float) -> jnp.ndarray:
     return jnp.swapaxes(_shear_x(jnp.swapaxes(img, 0, 1), k), 0, 1)
 
 
+def _shear_x_fft(x: jnp.ndarray, k, cy: float) -> jnp.ndarray:
+    """Shift row r horizontally by k*(r + 0.5 - cy) — k TRACED — via an FFT
+    phase ramp. Exact sinc interpolation for band-limited content; hard
+    edges ring slightly (Gibbs), which the caller clips. Zero gathers, and
+    the angle animates without recompiling. Requires even (TPU: composite
+    radix) widths; callers pad to a multiple of 16."""
+    h, w = x.shape[0], x.shape[1]
+    F = jnp.fft.rfft(x, axis=1)
+    freqs = jnp.fft.rfftfreq(w).astype(jnp.float32)
+    delta = k * (jnp.arange(h, dtype=jnp.float32) + 0.5 - cy)
+    phase = jnp.exp(
+        (-2j * jnp.pi) * (freqs[None, :] * delta[:, None]).astype(jnp.complex64)
+    )
+    # raised-cosine roll-off on the top of the band: sinc interpolation of
+    # hard (alpha) edges rings; tapering 0.35..0.5 cycles/px suppresses the
+    # fringes at an imperceptible blur cost (the path only runs while the
+    # angle is animating)
+    t = jnp.clip((freqs - 0.35) / 0.15, 0.0, 1.0)
+    taper = (0.5 * (1.0 + jnp.cos(jnp.pi * t))).astype(jnp.complex64)
+    phase = phase * taper[None, :]
+    shaped = phase.reshape(phase.shape + (1,) * (x.ndim - 2))
+    return jnp.fft.irfft(F * shaped, n=w, axis=1)
+
+
+def _shear_y_fft(x: jnp.ndarray, k, cx: float) -> jnp.ndarray:
+    return jnp.swapaxes(_shear_x_fft(jnp.swapaxes(x, 0, 1), k, cx), 0, 1)
+
+
+def traced_work_size(h: int, w: int) -> int:
+    """Working square side for rotate_traced: covers every angle (bounding
+    circle) and satisfies the TPU FFT size constraint."""
+    s = int(math.ceil(math.hypot(h, w))) + 4
+    return (s + 15) // 16 * 16
+
+
+def rotate_traced(
+    tile: jnp.ndarray, theta_deg, quarter_turns: int
+) -> jnp.ndarray:
+    """Rotate (h, w, C) f32 premultiplied content by a TRACED angle about
+    the tile center; returns an (S, S, C) square (S = traced_work_size)
+    centered on the same point. ``quarter_turns`` is the static
+    round(theta/90) bucket chosen by the planner (so the traced residual
+    psi stays in [-45, 45] where the 3-shear decomposition is stable);
+    crossing a bucket recompiles once, animation within it does not."""
+    q = quarter_turns % 4
+    if q:
+        tile = jnp.rot90(tile, k=-q, axes=(0, 1))
+    h, w = tile.shape[0], tile.shape[1]
+    S = traced_work_size(tile.shape[1], tile.shape[0])
+    py = (S - h) // 2
+    px = (S - w) // 2
+    work = jnp.pad(tile, [(py, py + (S - h) % 2), (px, px + (S - w) % 2)]
+                   + [(0, 0)] * (tile.ndim - 2))
+    cy = py + h / 2.0
+    cx = px + w / 2.0
+    psi = (theta_deg % 360.0) - 90.0 * quarter_turns
+    rad = psi * (jnp.pi / 180.0)
+    a = -jnp.tan(rad / 2.0)
+    b = jnp.sin(rad)
+    work = _shear_x_fft(work, a, cy)
+    work = _shear_y_fft(work, b, cx)
+    work = _shear_x_fft(work, a, cy)
+    # clip FFT ringing out of the premultiplied range
+    return jnp.clip(work, 0.0, 1.0)
+
+
 def rotate_static(
     tile: jnp.ndarray, theta_deg: float, out_h: int, out_w: int
 ) -> jnp.ndarray:

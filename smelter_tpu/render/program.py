@@ -67,7 +67,7 @@ def _mip_levels(res: Resolution) -> int:
 
 
 def split_layout(
-    layout: RenderLayout, fast: bool = False
+    layout: RenderLayout, fast: bool = False, rot_traced: bool = False
 ) -> Tuple[LayoutStatic, LayoutParams]:
     """``fast=True`` bakes the (non-animating) rect/crop into the static part
     so the compose op can use the region-local MXU path instead of
@@ -82,6 +82,30 @@ def split_layout(
     no_radius = all(r <= 1e-6 for r in layout.border_radius.as_tuple())
     static_color = None
     static_rotation = None
+    traced_q = None
+    if (
+        rot_traced
+        and not fast
+        and isinstance(c, RenderChildNode)
+        and n_masks == 0
+    ):
+        # rect/crop stable but the angle animates: static quarter-turn
+        # bucket + traced residual through the FFT-shear rotation
+        rect = (
+            int(round(layout.top)),
+            int(round(layout.left)),
+            int(round(layout.height)),
+            int(round(layout.width)),
+        )
+        if rect[2] > 0 and rect[3] > 0:
+            static_rect = rect
+            traced_q = int(round((layout.rotation_degrees % 360.0) / 90.0))
+            static_crop = (
+                int(round(c.crop.top)),
+                int(round(c.crop.left)),
+                max(int(round(c.crop.height)), 1),
+                max(int(round(c.crop.width)), 1),
+            )
     if fast and isinstance(c, RenderColor):
         col = c.color
         static_color = (col.r, col.g, col.b, col.a)
@@ -163,6 +187,7 @@ def split_layout(
             static_crop=static_crop,
             no_radius=no_radius,
             static_rotation=static_rotation,
+            traced_rotation_q=traced_q,
         )
         params = LayoutParams(
             **common,
@@ -640,10 +665,17 @@ class OutputProgram:
                         tuple(round(r, 2) for r in layout.border_radius.as_tuple()),
                     )
                     prev = self._rect_history.get(sig_key)
-                    # fast on first sight or when stable; general while moving
+                    # fast on first sight or when stable; general while moving;
+                    # rect-stable + angle-moving → traced-rotation fast path
                     fast = prev is None or prev == sig
+                    rot_traced = (
+                        not fast
+                        and prev is not None
+                        and prev[:4] == sig[:4]
+                        and prev[5:] == sig[5:]
+                    )
                     self._rect_history[sig_key] = sig
-                    st, pp = split_layout(layout, fast=fast)
+                    st, pp = split_layout(layout, fast=fast, rot_traced=rot_traced)
                     if isinstance(c, RenderChildNode):
                         from dataclasses import replace as _replace
 

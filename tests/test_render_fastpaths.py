@@ -148,7 +148,8 @@ def test_stable_rotation_matches_general_path(theta, monkeypatch):
     fast = np.asarray(_render(scene(), PixelFormat.RGBA, n_inputs=1))
     orig = prog.split_layout
     monkeypatch.setattr(
-        prog, "split_layout", lambda layout, fast=False: orig(layout, fast=False)
+        prog, "split_layout",
+        lambda layout, fast=False, rot_traced=False: orig(layout, fast=False),
     )
     gen = np.asarray(_render(scene(), PixelFormat.RGBA, n_inputs=1))
     d = np.abs(fast.astype(np.int16) - gen.astype(np.int16))
@@ -198,3 +199,61 @@ def test_rotate_static_matches_inverse_sampling():
         b = ground_truth(theta, oh, ow)
         d = np.abs(a[3:-3, 3:-3] - b[3:-3, 3:-3])
         assert d.mean() < 0.02, theta
+
+
+def test_animated_rotation_uses_traced_path_and_matches_general(monkeypatch):
+    """Rect-stable angle animation must route to the traced FFT-shear path
+    (no per-frame recompiles beyond quarter buckets) and match the general
+    sampled path within ringing/resample tolerance."""
+    def scene(theta, trans=None):
+        return comp.View(
+            background_color=RGBAColor(20, 20, 40),
+            children=[
+                comp.Rescaler(
+                    id="spin", child=comp.InputStream(input_id="cam_0"),
+                    position=comp.AbsolutePosition(
+                        width=300.0, height=170.0, top=60.0, left=120.0,
+                        rotation_degrees=theta,
+                    ),
+                    transition=trans,
+                ),
+            ],
+        )
+
+    used_traced = []
+    orig_split = prog.split_layout
+
+    def spy(layout, fast=False, rot_traced=False):
+        st, pp = orig_split(layout, fast=fast, rot_traced=rot_traced)
+        if st.content == "texture":
+            used_traced.append(st.traced_rotation_q is not None)
+        return st, pp
+
+    def run(force_general):
+        r = Renderer()
+        r.register_input("cam_0")
+        frames = {"cam_0": _yuv_frame(0)}
+        r.update_scene("out", scene(0.0), Resolution(640, 360), PixelFormat.RGBA)
+        r.render(FrameSet(pts=0.0, frames=frames))
+        r.update_scene(
+            "out", scene(170.0, comp.Transition(duration=2.0)),
+            Resolution(640, 360), PixelFormat.RGBA,
+        )
+        outs = []
+        for i in range(1, 9):
+            out = r.render(FrameSet(pts=i * 0.25, frames=frames)).frames["out"]
+            outs.append(np.asarray(out.data))
+        return outs
+
+    monkeypatch.setattr(prog, "split_layout", spy)
+    a = run(False)
+    assert sum(used_traced) >= 6, used_traced  # most frames on the traced path
+    monkeypatch.setattr(
+        prog, "split_layout",
+        lambda layout, fast=False, rot_traced=False: orig_split(layout, fast=False),
+    )
+    b = run(True)
+    for fa, fb in zip(a, b):
+        d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
+        assert d.mean() < 1.5
+        assert (d > 25).mean() < 0.01
