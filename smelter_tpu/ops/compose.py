@@ -62,6 +62,10 @@ class LayoutStatic:
     # ANIMATED rotation with stable rect/crop: static quarter-turn bucket
     # (round(theta/90)); the residual angle is traced through FFT shears
     traced_rotation_q: Optional[int] = None
+    # ANIMATED position with stable size/crop (slide transitions): the tile
+    # renders at static size and is placed with traced-index dynamic slices
+    # (static_rect holds (0, 0, h, w) in this mode)
+    traced_position: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -374,6 +378,41 @@ def _render_rotated_rect_layout_traced(
                          left + (w - S) // 2)
 
 
+def _render_moving_rect_layout(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    canvas: jnp.ndarray,
+) -> jnp.ndarray:
+    """ANIMATED-position fast path (slide transitions): size and crop are
+    planner-stable, so the tile is prepared at a static size (MXU resize +
+    local SDF) and placed at a TRACED integer position with
+    `lax.dynamic_update_slice` into a zero layer padded by the tile size
+    (padding absorbs the clamp semantics at canvas edges), then blended
+    full-canvas. No gathers, no per-frame recompile; sub-pixel motion
+    rounds to the nearest pixel while animating."""
+    import jax.lax as lax
+
+    H, W = canvas.shape[0], canvas.shape[1]
+    _, _, h, w = static.static_rect  # type: ignore[misc]
+    tile = _prepare_rect_tile(static, params, sources)
+    ty = jnp.clip(jnp.round(params.top).astype(jnp.int32), -h, H)
+    tx = jnp.clip(jnp.round(params.left).astype(jnp.int32), -w, W)
+    # dynamic_slice clamps starts into bounds; compensate by shifting the
+    # tile inside a zero-padded copy by the clamp delta, so partially
+    # off-canvas positions stay correct. Traffic is O(tile + region), not
+    # O(canvas + tile-sized halo).
+    sy = jnp.clip(ty, 0, max(H - h, 0))
+    sx = jnp.clip(tx, 0, max(W - w, 0))
+    padded_tile = jnp.pad(tile, [(h, h), (w, w), (0, 0)])
+    shifted = lax.dynamic_slice(
+        padded_tile, (h - (ty - sy), w - (tx - sx), jnp.int32(0)), (h, w, 4)
+    )
+    region = lax.dynamic_slice(canvas, (sy, sx, jnp.int32(0)), (h, w, 4))
+    blended = shifted + region * (1.0 - shifted[..., 3:4])
+    return lax.dynamic_update_slice(canvas, blended, (sy, sx, jnp.int32(0)))
+
+
 def compose_layouts(
     resolution: Tuple[int, int],  # (width, height)
     statics: Sequence[LayoutStatic],
@@ -398,7 +437,20 @@ def compose_layouts(
     i = 0
     while i < len(items):
         st, p = items[i]
-        if st.static_rect is not None and not st.has_rotation:
+        if (
+            st.traced_position
+            and st.static_rect is not None
+            and st.static_rect[2] <= h
+            and st.static_rect[3] <= w
+        ):
+            canvas = _render_moving_rect_layout(st, p, sources, canvas)
+            i += 1
+            continue
+        if (
+            st.static_rect is not None
+            and not st.has_rotation
+            and not st.traced_position
+        ):
             canvas = _render_rect_layout(st, p, sources, canvas)
             i += 1
             continue

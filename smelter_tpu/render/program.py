@@ -67,7 +67,8 @@ def _mip_levels(res: Resolution) -> int:
 
 
 def split_layout(
-    layout: RenderLayout, fast: bool = False, rot_traced: bool = False
+    layout: RenderLayout, fast: bool = False, rot_traced: bool = False,
+    moving: bool = False,
 ) -> Tuple[LayoutStatic, LayoutParams]:
     """``fast=True`` bakes the (non-animating) rect/crop into the static part
     so the compose op can use the region-local MXU path instead of
@@ -83,6 +84,26 @@ def split_layout(
     static_color = None
     static_rotation = None
     traced_q = None
+    traced_position = False
+    if (
+        moving
+        and not fast
+        and abs(layout.rotation_degrees) <= 1e-9
+        and isinstance(c, RenderChildNode)
+        and n_masks == 0
+    ):
+        # position animating, size/crop stable: static-size tile placed with
+        # traced-index dynamic slices (slide transitions)
+        h_i, w_i = int(round(layout.height)), int(round(layout.width))
+        if h_i > 0 and w_i > 0:
+            static_rect = (0, 0, h_i, w_i)
+            traced_position = True
+            static_crop = (
+                int(round(c.crop.top)),
+                int(round(c.crop.left)),
+                max(int(round(c.crop.height)), 1),
+                max(int(round(c.crop.width)), 1),
+            )
     if (
         rot_traced
         and not fast
@@ -188,6 +209,7 @@ def split_layout(
             no_radius=no_radius,
             static_rotation=static_rotation,
             traced_rotation_q=traced_q,
+            traced_position=traced_position,
         )
         params = LayoutParams(
             **common,
@@ -674,8 +696,18 @@ class OutputProgram:
                         and prev[:4] == sig[:4]
                         and prev[5:] == sig[5:]
                     )
+                    # position moving, everything else (incl. size) stable
+                    moving = (
+                        not fast
+                        and not rot_traced
+                        and prev is not None
+                        and prev[2:4] == sig[2:4]
+                        and prev[4:] == sig[4:]
+                    )
                     self._rect_history[sig_key] = sig
-                    st, pp = split_layout(layout, fast=fast, rot_traced=rot_traced)
+                    st, pp = split_layout(
+                        layout, fast=fast, rot_traced=rot_traced, moving=moving
+                    )
                     if isinstance(c, RenderChildNode):
                         from dataclasses import replace as _replace
 
@@ -981,6 +1013,7 @@ def _try_yuv_grid_program(
             or st.n_masks
             or not st.no_radius
             or st.static_rect is None
+            or st.traced_position
         ):
             return None
         if st.content == "color":

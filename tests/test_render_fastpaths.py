@@ -149,7 +149,7 @@ def test_stable_rotation_matches_general_path(theta, monkeypatch):
     orig = prog.split_layout
     monkeypatch.setattr(
         prog, "split_layout",
-        lambda layout, fast=False, rot_traced=False: orig(layout, fast=False),
+        lambda layout, fast=False, **kw: orig(layout, fast=False),
     )
     gen = np.asarray(_render(scene(), PixelFormat.RGBA, n_inputs=1))
     d = np.abs(fast.astype(np.int16) - gen.astype(np.int16))
@@ -223,8 +223,8 @@ def test_animated_rotation_uses_traced_path_and_matches_general(monkeypatch):
     used_traced = []
     orig_split = prog.split_layout
 
-    def spy(layout, fast=False, rot_traced=False):
-        st, pp = orig_split(layout, fast=fast, rot_traced=rot_traced)
+    def spy(layout, fast=False, **kw):
+        st, pp = orig_split(layout, fast=fast, **kw)
         if st.content == "texture":
             used_traced.append(st.traced_rotation_q is not None)
         return st, pp
@@ -250,10 +250,71 @@ def test_animated_rotation_uses_traced_path_and_matches_general(monkeypatch):
     assert sum(used_traced) >= 6, used_traced  # most frames on the traced path
     monkeypatch.setattr(
         prog, "split_layout",
-        lambda layout, fast=False, rot_traced=False: orig_split(layout, fast=False),
+        lambda layout, fast=False, **kw: orig_split(layout, fast=False),
     )
     b = run(True)
     for fa, fb in zip(a, b):
         d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
         assert d.mean() < 1.5
         assert (d > 25).mean() < 0.01
+
+
+def test_moving_rect_uses_traced_position_and_matches_general(monkeypatch):
+    """Slide transitions (size/crop stable, position animating) must route to
+    the traced-position dynamic-slice path — including partially off-canvas
+    positions — and match the general path within sub-pixel tolerance."""
+    def scene(left, trans=None):
+        return comp.View(
+            background_color=RGBAColor(20, 20, 40),
+            children=[
+                comp.Rescaler(
+                    id="mv", child=comp.InputStream(input_id="cam_0"),
+                    position=comp.AbsolutePosition(
+                        width=300.0, height=170.0, top=60.0, left=left,
+                    ),
+                    transition=trans,
+                ),
+            ],
+        )
+
+    used_moving = []
+    orig_split = prog.split_layout
+
+    def spy(layout, fast=False, **kw):
+        st, pp = orig_split(layout, fast=fast, **kw)
+        if st.content == "texture":
+            used_moving.append(st.traced_position)
+        return st, pp
+
+    def run():
+        r = Renderer()
+        r.register_input("cam_0")
+        frames = {"cam_0": _yuv_frame(0)}
+        r.update_scene("out", scene(300.0), Resolution(640, 360), PixelFormat.RGBA)
+        r.render(FrameSet(pts=0.0, frames=frames))
+        # slides mostly off-canvas to exercise the clamp compensation
+        r.update_scene(
+            "out", scene(-251.0, comp.Transition(duration=2.0)),
+            Resolution(640, 360), PixelFormat.RGBA,
+        )
+        outs = []
+        for i in range(1, 8):
+            out = r.render(FrameSet(pts=i * 0.23, frames=frames)).frames["out"]
+            outs.append(np.asarray(out.data))
+        return outs
+
+    monkeypatch.setattr(prog, "split_layout", spy)
+    a = run()
+    # frames whose rect is clipped by the root View's overflow (crossing the
+    # canvas edge) change size per frame and legitimately fall back to the
+    # general path; fully-on-canvas slide frames must use the traced path
+    assert sum(used_moving) >= 3, used_moving
+    monkeypatch.setattr(
+        prog, "split_layout",
+        lambda layout, fast=False, **kw: orig_split(layout, fast=False),
+    )
+    b = run()
+    for fa, fb in zip(a, b):
+        d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
+        assert d.mean() < 1.0
+        assert (d > 12).mean() < 0.01
