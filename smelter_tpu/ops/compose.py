@@ -66,6 +66,9 @@ class LayoutStatic:
     # renders at static size and is placed with traced-index dynamic slices
     # (static_rect holds (0, 0, h, w) in this mode)
     traced_position: bool = False
+    # ANIMATED size (zoom transitions): static buffer dims; the resize and
+    # SDF extents are traced (ops/resample.resize_matmul_traced)
+    traced_size_buf: Optional[Tuple[int, int]] = None
 
 
 @jax.tree_util.register_dataclass
@@ -391,17 +394,22 @@ def _render_moving_rect_layout(
     (padding absorbs the clamp semantics at canvas edges), then blended
     full-canvas. No gathers, no per-frame recompile; sub-pixel motion
     rounds to the nearest pixel while animating."""
+    tile = _prepare_rect_tile(static, params, sources)
+    return _place_tile_traced(canvas, tile, params.top, params.left)
+
+
+def _place_tile_traced(canvas, tile, top, left) -> jnp.ndarray:
+    """OVER-blend a premultiplied tile at a TRACED (rounded-to-pixel)
+    position. dynamic_slice clamps starts into bounds; the clamp delta is
+    compensated by shifting the tile inside a zero-padded copy, so partially
+    off-canvas positions stay correct. Traffic is O(tile + region), not
+    O(canvas + tile-sized halo)."""
     import jax.lax as lax
 
     H, W = canvas.shape[0], canvas.shape[1]
-    _, _, h, w = static.static_rect  # type: ignore[misc]
-    tile = _prepare_rect_tile(static, params, sources)
-    ty = jnp.clip(jnp.round(params.top).astype(jnp.int32), -h, H)
-    tx = jnp.clip(jnp.round(params.left).astype(jnp.int32), -w, W)
-    # dynamic_slice clamps starts into bounds; compensate by shifting the
-    # tile inside a zero-padded copy by the clamp delta, so partially
-    # off-canvas positions stay correct. Traffic is O(tile + region), not
-    # O(canvas + tile-sized halo).
+    h, w = tile.shape[0], tile.shape[1]
+    ty = jnp.clip(jnp.round(top).astype(jnp.int32), -h, H)
+    tx = jnp.clip(jnp.round(left).astype(jnp.int32), -w, W)
     sy = jnp.clip(ty, 0, max(H - h, 0))
     sx = jnp.clip(tx, 0, max(W - w, 0))
     padded_tile = jnp.pad(tile, [(h, h), (w, w), (0, 0)])
@@ -411,6 +419,50 @@ def _render_moving_rect_layout(
     region = lax.dynamic_slice(canvas, (sy, sx, jnp.int32(0)), (h, w, 4))
     blended = shifted + region * (1.0 - shifted[..., 3:4])
     return lax.dynamic_update_slice(canvas, blended, (sy, sx, jnp.int32(0)))
+
+
+def _render_scaling_rect_layout(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    canvas: jnp.ndarray,
+) -> jnp.ndarray:
+    """ANIMATED-size fast path (zoom transitions): the tile resizes to a
+    TRACED size inside a statically-bucketed buffer — the resize weight
+    matrices are computed in-graph from the traced scale
+    (ops/resample.resize_matmul_traced), so size animation neither gathers
+    nor recompiles within a bucket. Edge AA/border/radius run in the local
+    frame with traced extents (which also masks the unused buffer region),
+    then the tile places via the traced-position machinery."""
+    from smelter_tpu.ops.resample import resize_matmul_traced
+
+    bh, bw_ = static.traced_size_buf  # type: ignore[misc]
+    mips = sources[static.source_index]
+    img = mips[0] if isinstance(mips, (list, tuple)) else mips
+    ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
+    src = img[ct : ct + chh, cl : cl + cww]
+    tile = resize_matmul_traced(
+        jnp.moveaxis(src, -1, 0), bh, bw_, params.height, params.width
+    )
+    tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+
+    rw, rh = params.width, params.height
+    dy = (jnp.arange(bh, dtype=jnp.float32) + 0.5)[:, None] - rh * 0.5
+    dx = (jnp.arange(bw_, dtype=jnp.float32) + 0.5)[None, :] - rw * 0.5
+    dy = jnp.broadcast_to(dy, (bh, bw_))
+    dx = jnp.broadcast_to(dx, (bh, bw_))
+    edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
+    if static.has_border:
+        bwidth = params.border_width
+        border_color = _premultiply(params.border_color)[None, None, :]
+        border_alpha = smoothstep(bwidth - 0.5, bwidth + 0.5, edge)
+        inner = border_color + (tile - border_color) * border_alpha[..., None]
+        content_alpha = smoothstep(-0.5, 0.5, edge)
+        outer = border_color * content_alpha[..., None]
+        tile = jnp.where((edge > bwidth * 0.5)[..., None], inner, outer)
+    else:
+        tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+    return _place_tile_traced(canvas, tile, params.top, params.left)
 
 
 def compose_layouts(
@@ -444,6 +496,16 @@ def compose_layouts(
             and st.static_rect[3] <= w
         ):
             canvas = _render_moving_rect_layout(st, p, sources, canvas)
+            i += 1
+            continue
+        if (
+            st.traced_size_buf is not None
+            and st.content == "texture"
+            and st.n_masks == 0
+            and st.traced_size_buf[0] <= h
+            and st.traced_size_buf[1] <= w
+        ):
+            canvas = _render_scaling_rect_layout(st, p, sources, canvas)
             i += 1
             continue
         if (

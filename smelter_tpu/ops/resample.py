@@ -166,6 +166,43 @@ def resize_matmul(
     return x
 
 
+def resize_matmul_traced(
+    img: jnp.ndarray,
+    buf_h: int,
+    buf_w: int,
+    out_h,
+    out_w,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Separable resize to a TRACED output size inside a static (buf_h,
+    buf_w) buffer: the dense per-axis weight matrices are computed in-graph
+    from the traced scale (anti-aliased triangle kernel, width max(1,
+    in/out) so downscales average), then applied as two MXU matmuls — the
+    traced analogue of `resize_matmul` for size-animating layouts. Rows and
+    columns at or beyond the traced size come out zero."""
+    in_h, in_w = img.shape[-2], img.shape[-1]
+
+    def axis_weights(in_size: int, buf: int, out_sz) -> jnp.ndarray:
+        out_sz = jnp.maximum(out_sz.astype(jnp.float32), 1.0)
+        o = (jnp.arange(buf, dtype=jnp.float32) + 0.5)[:, None]
+        i = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+        scale = in_size / out_sz
+        pos = o * scale - 0.5
+        width = jnp.maximum(scale, 1.0)
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pos - i) / width)
+        wgt = wgt * (o - 0.5 < out_sz)
+        norm = jnp.maximum(wgt.sum(axis=1, keepdims=True), 1e-6)
+        return (wgt / norm).astype(compute_dtype)
+
+    Wh = axis_weights(in_h, buf_h, jnp.asarray(out_h))
+    Ww = axis_weights(in_w, buf_w, jnp.asarray(out_w))
+    x = img.astype(compute_dtype)
+    x = jnp.einsum(
+        "oh,...hw->...ow", Wh, x, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)
+    return jnp.einsum("ow,...hw->...ho", Ww, x, preferred_element_type=jnp.float32)
+
+
 def resize_matmul_u8(
     img: jnp.ndarray, out_h: int, out_w: int, kind: str = "lanczos3"
 ) -> jnp.ndarray:

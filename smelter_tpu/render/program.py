@@ -68,7 +68,7 @@ def _mip_levels(res: Resolution) -> int:
 
 def split_layout(
     layout: RenderLayout, fast: bool = False, rot_traced: bool = False,
-    moving: bool = False,
+    moving: bool = False, scaling: bool = False,
 ) -> Tuple[LayoutStatic, LayoutParams]:
     """``fast=True`` bakes the (non-animating) rect/crop into the static part
     so the compose op can use the region-local MXU path instead of
@@ -85,6 +85,25 @@ def split_layout(
     static_rotation = None
     traced_q = None
     traced_position = False
+    traced_size_buf = None
+    if (
+        scaling
+        and not fast
+        and abs(layout.rotation_degrees) <= 1e-9
+        and isinstance(c, RenderChildNode)
+        and n_masks == 0
+    ):
+        # size (and possibly position) animating: traced-size resize into a
+        # 64px-bucketed buffer + traced placement (zoom transitions)
+        bh = max(64, int(math.ceil(max(layout.height, 1.0) / 64.0)) * 64)
+        bw = max(64, int(math.ceil(max(layout.width, 1.0) / 64.0)) * 64)
+        traced_size_buf = (bh, bw)
+        static_crop = (
+            int(round(c.crop.top)),
+            int(round(c.crop.left)),
+            max(int(round(c.crop.height)), 1),
+            max(int(round(c.crop.width)), 1),
+        )
     if (
         moving
         and not fast
@@ -210,6 +229,7 @@ def split_layout(
             static_rotation=static_rotation,
             traced_rotation_q=traced_q,
             traced_position=traced_position,
+            traced_size_buf=traced_size_buf,
         )
         params = LayoutParams(
             **common,
@@ -704,9 +724,19 @@ class OutputProgram:
                         and prev[2:4] == sig[2:4]
                         and prev[4:] == sig[4:]
                     )
+                    # size (and maybe position) animating; rotation zero and
+                    # crop/color/radius stable (zoom transitions)
+                    scaling = (
+                        not fast
+                        and not rot_traced
+                        and not moving
+                        and prev is not None
+                        and prev[4:] == sig[4:]
+                    )
                     self._rect_history[sig_key] = sig
                     st, pp = split_layout(
-                        layout, fast=fast, rot_traced=rot_traced, moving=moving
+                        layout, fast=fast, rot_traced=rot_traced, moving=moving,
+                        scaling=scaling,
                     )
                     if isinstance(c, RenderChildNode):
                         from dataclasses import replace as _replace

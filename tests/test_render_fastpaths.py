@@ -318,3 +318,61 @@ def test_moving_rect_uses_traced_position_and_matches_general(monkeypatch):
         d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
         assert d.mean() < 1.0
         assert (d > 12).mean() < 0.01
+
+
+def test_zoom_uses_traced_size_and_matches_general(monkeypatch):
+    """Size-animating transitions route to the traced-size resize path
+    (in-graph weight matrices, 64px-bucketed buffer) and match the general
+    sampled path closely."""
+    def scene(w, h, trans=None):
+        return comp.View(
+            background_color=RGBAColor(20, 20, 40),
+            children=[
+                comp.Rescaler(
+                    id="z", child=comp.InputStream(input_id="cam_0"),
+                    position=comp.AbsolutePosition(
+                        width=w, height=h, top=40.0, left=60.0,
+                    ),
+                    transition=trans,
+                ),
+            ],
+        )
+
+    used_scaling = []
+    orig_split = prog.split_layout
+
+    def spy(layout, fast=False, **kw):
+        st, pp = orig_split(layout, fast=fast, **kw)
+        if st.content == "texture":
+            used_scaling.append(st.traced_size_buf is not None)
+        return st, pp
+
+    def run():
+        r = Renderer()
+        r.register_input("cam_0")
+        frames = {"cam_0": _yuv_frame(0)}
+        r.update_scene("out", scene(160.0, 90.0), Resolution(640, 360),
+                       PixelFormat.RGBA)
+        r.render(FrameSet(pts=0.0, frames=frames))
+        r.update_scene(
+            "out", scene(480.0, 270.0, comp.Transition(duration=2.0)),
+            Resolution(640, 360), PixelFormat.RGBA,
+        )
+        outs = []
+        for i in range(1, 8):
+            out = r.render(FrameSet(pts=i * 0.22, frames=frames)).frames["out"]
+            outs.append(np.asarray(out.data))
+        return outs
+
+    monkeypatch.setattr(prog, "split_layout", spy)
+    a = run()
+    assert sum(used_scaling) >= 4, used_scaling
+    monkeypatch.setattr(
+        prog, "split_layout",
+        lambda layout, fast=False, **kw: orig_split(layout, fast=False),
+    )
+    b = run()
+    for fa, fb in zip(a, b):
+        d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
+        assert d.mean() < 1.0
+        assert (d > 16).mean() < 0.005
