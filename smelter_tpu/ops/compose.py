@@ -395,7 +395,23 @@ def _render_moving_rect_layout(
     full-canvas. No gathers, no per-frame recompile; sub-pixel motion
     rounds to the nearest pixel while animating."""
     tile = _prepare_rect_tile(static, params, sources)
+    tile = _apply_masks_local(tile, static, params)
     return _place_tile_traced(canvas, tile, params.top, params.left)
+
+
+def _apply_masks_local(tile, static: LayoutStatic, params: LayoutParams):
+    """Apply parent masks to a tile in canvas-space coordinates derived from
+    the traced position (masks animate freely — e.g. the clip rect a
+    fill-mode Rescaler emits while zooming)."""
+    if not static.n_masks:
+        return tile
+    h, w = tile.shape[0], tile.shape[1]
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] + params.top
+    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] + params.left
+    py = jnp.broadcast_to(py, (h, w))
+    px = jnp.broadcast_to(px, (h, w))
+    alpha = _mask_alpha(px, py, params, static.n_masks)
+    return tile * alpha[..., None]
 
 
 def _place_tile_traced(canvas, tile, top, left) -> jnp.ndarray:
@@ -439,10 +455,11 @@ def _render_scaling_rect_layout(
     bh, bw_ = static.traced_size_buf  # type: ignore[misc]
     mips = sources[static.source_index]
     img = mips[0] if isinstance(mips, (list, tuple)) else mips
-    ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
-    src = img[ct : ct + chh, cl : cl + cww]
+    # crop is traced (folded into the resize weights), so fill-mode zooms
+    # and crop animations share this path
     tile = resize_matmul_traced(
-        jnp.moveaxis(src, -1, 0), bh, bw_, params.height, params.width
+        jnp.moveaxis(img, -1, 0), bh, bw_, params.height, params.width,
+        crop=(params.crop[0], params.crop[1], params.crop[2], params.crop[3]),
     )
     tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
 
@@ -462,6 +479,7 @@ def _render_scaling_rect_layout(
         tile = jnp.where((edge > bwidth * 0.5)[..., None], inner, outer)
     else:
         tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+    tile = _apply_masks_local(tile, static, params)
     return _place_tile_traced(canvas, tile, params.top, params.left)
 
 
@@ -501,7 +519,6 @@ def compose_layouts(
         if (
             st.traced_size_buf is not None
             and st.content == "texture"
-            and st.n_masks == 0
             and st.traced_size_buf[0] <= h
             and st.traced_size_buf[1] <= w
         ):

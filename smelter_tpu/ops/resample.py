@@ -172,6 +172,7 @@ def resize_matmul_traced(
     buf_w: int,
     out_h,
     out_w,
+    crop=None,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Separable resize to a TRACED output size inside a static (buf_h,
@@ -179,23 +180,32 @@ def resize_matmul_traced(
     from the traced scale (anti-aliased triangle kernel, width max(1,
     in/out) so downscales average), then applied as two MXU matmuls — the
     traced analogue of `resize_matmul` for size-animating layouts. Rows and
-    columns at or beyond the traced size come out zero."""
+    columns at or beyond the traced size come out zero.
+
+    ``crop``: optional traced (top, left, width, height) source window —
+    folded into the weight matrices, so crop animations (fill-mode zooms)
+    stay gather-free too."""
     in_h, in_w = img.shape[-2], img.shape[-1]
 
-    def axis_weights(in_size: int, buf: int, out_sz) -> jnp.ndarray:
+    def axis_weights(in_size: int, buf: int, out_sz, c0, c_len) -> jnp.ndarray:
         out_sz = jnp.maximum(out_sz.astype(jnp.float32), 1.0)
         o = (jnp.arange(buf, dtype=jnp.float32) + 0.5)[:, None]
         i = jnp.arange(in_size, dtype=jnp.float32)[None, :]
-        scale = in_size / out_sz
-        pos = o * scale - 0.5
+        scale = c_len / out_sz
+        pos = c0 + o * scale - 0.5
         width = jnp.maximum(scale, 1.0)
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pos - i) / width)
         wgt = wgt * (o - 0.5 < out_sz)
         norm = jnp.maximum(wgt.sum(axis=1, keepdims=True), 1e-6)
         return (wgt / norm).astype(compute_dtype)
 
-    Wh = axis_weights(in_h, buf_h, jnp.asarray(out_h))
-    Ww = axis_weights(in_w, buf_w, jnp.asarray(out_w))
+    if crop is None:
+        ct, cl = jnp.float32(0.0), jnp.float32(0.0)
+        cw, chh = jnp.float32(in_w), jnp.float32(in_h)
+    else:
+        ct, cl, cw, chh = (jnp.asarray(v, jnp.float32) for v in crop)
+    Wh = axis_weights(in_h, buf_h, jnp.asarray(out_h), ct, chh)
+    Ww = axis_weights(in_w, buf_w, jnp.asarray(out_w), cl, cw)
     x = img.astype(compute_dtype)
     x = jnp.einsum(
         "oh,...hw->...ow", Wh, x, preferred_element_type=jnp.float32

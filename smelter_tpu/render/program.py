@@ -91,25 +91,18 @@ def split_layout(
         and not fast
         and abs(layout.rotation_degrees) <= 1e-9
         and isinstance(c, RenderChildNode)
-        and n_masks == 0
     ):
-        # size (and possibly position) animating: traced-size resize into a
-        # 64px-bucketed buffer + traced placement (zoom transitions)
+        # size/crop (and possibly position) animating: traced-size resize
+        # into a 64px-bucketed buffer + traced placement (zoom transitions;
+        # the crop is traced too, so fill-mode zooms qualify)
         bh = max(64, int(math.ceil(max(layout.height, 1.0) / 64.0)) * 64)
         bw = max(64, int(math.ceil(max(layout.width, 1.0) / 64.0)) * 64)
         traced_size_buf = (bh, bw)
-        static_crop = (
-            int(round(c.crop.top)),
-            int(round(c.crop.left)),
-            max(int(round(c.crop.height)), 1),
-            max(int(round(c.crop.width)), 1),
-        )
     if (
         moving
         and not fast
         and abs(layout.rotation_degrees) <= 1e-9
         and isinstance(c, RenderChildNode)
-        and n_masks == 0
     ):
         # position animating, size/crop stable: static-size tile placed with
         # traced-index dynamic slices (slide transitions)
@@ -724,14 +717,15 @@ class OutputProgram:
                         and prev[2:4] == sig[2:4]
                         and prev[4:] == sig[4:]
                     )
-                    # size (and maybe position) animating; rotation zero and
-                    # crop/color/radius stable (zoom transitions)
+                    # size/crop (and maybe position) animating; rotation and
+                    # color/radius stable (zoom transitions incl. fill mode)
                     scaling = (
                         not fast
                         and not rot_traced
                         and not moving
                         and prev is not None
-                        and prev[4:] == sig[4:]
+                        and prev[4] == sig[4]
+                        and prev[6:] == sig[6:]
                     )
                     self._rect_history[sig_key] = sig
                     st, pp = split_layout(
