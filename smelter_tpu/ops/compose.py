@@ -426,6 +426,14 @@ def _place_tile_traced(canvas, tile, top, left) -> jnp.ndarray:
     h, w = tile.shape[0], tile.shape[1]
     ty = jnp.clip(jnp.round(top).astype(jnp.int32), -h, H)
     tx = jnp.clip(jnp.round(left).astype(jnp.int32), -w, W)
+    if h > H or w > W:
+        # tile larger than the canvas (e.g. a roto-zoom bounding square on a
+        # short canvas): write into a halo-padded zero layer, slice the
+        # canvas window statically, blend full-canvas
+        layer = jnp.zeros((H + 2 * h, W + 2 * w, 4), jnp.float32)
+        layer = lax.dynamic_update_slice(layer, tile, (ty + h, tx + w, jnp.int32(0)))
+        layer = layer[h : h + H, w : w + W]
+        return layer + canvas * (1.0 - layer[..., 3:4])
     sy = jnp.clip(ty, 0, max(H - h, 0))
     sx = jnp.clip(tx, 0, max(W - w, 0))
     padded_tile = jnp.pad(tile, [(h, h), (w, w), (0, 0)])
@@ -483,6 +491,63 @@ def _render_scaling_rect_layout(
     return _place_tile_traced(canvas, tile, params.top, params.left)
 
 
+def _render_rotozoom_layout(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    canvas: jnp.ndarray,
+) -> jnp.ndarray:
+    """Simultaneous rotation+size(+position+crop) animation: traced centered
+    resize into the bucketed buffer, local SDF with traced extents, traced
+    FFT-shear rotation about the buffer center (static quarter bucket), then
+    axis-aligned masks in canvas space and traced placement. Completes the
+    gather-free coverage of every transition type."""
+    from smelter_tpu.ops.resample import resize_matmul_traced
+    from smelter_tpu.ops.rotate import rotate_traced, traced_work_size
+
+    bh, bw_ = static.traced_size_buf  # type: ignore[misc]
+    mips = sources[static.source_index]
+    img = mips[0] if isinstance(mips, (list, tuple)) else mips
+    tile = resize_matmul_traced(
+        jnp.moveaxis(img, -1, 0), bh, bw_, params.height, params.width,
+        crop=(params.crop[0], params.crop[1], params.crop[2], params.crop[3]),
+        centered=True,
+    )
+    tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+
+    rw, rh = params.width, params.height
+    dy = (jnp.arange(bh, dtype=jnp.float32) + 0.5)[:, None] - bh * 0.5
+    dx = (jnp.arange(bw_, dtype=jnp.float32) + 0.5)[None, :] - bw_ * 0.5
+    dy = jnp.broadcast_to(dy, (bh, bw_))
+    dx = jnp.broadcast_to(dx, (bh, bw_))
+    edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
+    if static.has_border:
+        bwidth = params.border_width
+        border_color = _premultiply(params.border_color)[None, None, :]
+        border_alpha = smoothstep(bwidth - 0.5, bwidth + 0.5, edge)
+        inner = border_color + (tile - border_color) * border_alpha[..., None]
+        content_alpha = smoothstep(-0.5, 0.5, edge)
+        outer = border_color * content_alpha[..., None]
+        tile = jnp.where((edge > bwidth * 0.5)[..., None], inner, outer)
+    else:
+        tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+
+    rotated = rotate_traced(
+        tile, params.rotation_degrees, static.traced_rotation_q  # type: ignore[arg-type]
+    )
+    S = traced_work_size(bh, bw_)
+    cy = params.top + rh * 0.5
+    cx = params.left + rw * 0.5
+    if static.n_masks:
+        # masks are canvas-axis-aligned → apply AFTER rotation
+        my = (jnp.arange(S, dtype=jnp.float32) + 0.5)[:, None] - S * 0.5 + cy
+        mx = (jnp.arange(S, dtype=jnp.float32) + 0.5)[None, :] - S * 0.5 + cx
+        my = jnp.broadcast_to(my, (S, S))
+        mx = jnp.broadcast_to(mx, (S, S))
+        rotated = rotated * _mask_alpha(mx, my, params, static.n_masks)[..., None]
+    return _place_tile_traced(canvas, rotated, cy - S * 0.5, cx - S * 0.5)
+
+
 def compose_layouts(
     resolution: Tuple[int, int],  # (width, height)
     statics: Sequence[LayoutStatic],
@@ -518,9 +583,16 @@ def compose_layouts(
             continue
         if (
             st.traced_size_buf is not None
+            and st.traced_rotation_q is not None
             and st.content == "texture"
-            and st.traced_size_buf[0] <= h
-            and st.traced_size_buf[1] <= w
+        ):
+            canvas = _render_rotozoom_layout(st, p, sources, canvas)
+            i += 1
+            continue
+        if (
+            st.traced_size_buf is not None
+            and st.traced_rotation_q is None
+            and st.content == "texture"
         ):
             canvas = _render_scaling_rect_layout(st, p, sources, canvas)
             i += 1

@@ -173,6 +173,7 @@ def resize_matmul_traced(
     out_h,
     out_w,
     crop=None,
+    centered: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Separable resize to a TRACED output size inside a static (buf_h,
@@ -184,7 +185,9 @@ def resize_matmul_traced(
 
     ``crop``: optional traced (top, left, width, height) source window —
     folded into the weight matrices, so crop animations (fill-mode zooms)
-    stay gather-free too."""
+    stay gather-free too. ``centered=True`` writes the content centered in
+    the buffer instead of top-left (needed when a rotation about the buffer
+    center follows)."""
     in_h, in_w = img.shape[-2], img.shape[-1]
 
     def axis_weights(in_size: int, buf: int, out_sz, c0, c_len) -> jnp.ndarray:
@@ -192,10 +195,11 @@ def resize_matmul_traced(
         o = (jnp.arange(buf, dtype=jnp.float32) + 0.5)[:, None]
         i = jnp.arange(in_size, dtype=jnp.float32)[None, :]
         scale = c_len / out_sz
-        pos = c0 + o * scale - 0.5
+        off = (buf - out_sz) * 0.5 if centered else 0.0
+        pos = c0 + (o - off) * scale - 0.5
         width = jnp.maximum(scale, 1.0)
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pos - i) / width)
-        wgt = wgt * (o - 0.5 < out_sz)
+        wgt = wgt * ((o - 0.5 >= off) & (o - 0.5 < off + out_sz))
         norm = jnp.maximum(wgt.sum(axis=1, keepdims=True), 1e-6)
         return (wgt / norm).astype(compute_dtype)
 

@@ -86,18 +86,16 @@ def split_layout(
     traced_q = None
     traced_position = False
     traced_size_buf = None
-    if (
-        scaling
-        and not fast
-        and abs(layout.rotation_degrees) <= 1e-9
-        and isinstance(c, RenderChildNode)
-    ):
-        # size/crop (and possibly position) animating: traced-size resize
-        # into a 64px-bucketed buffer + traced placement (zoom transitions;
-        # the crop is traced too, so fill-mode zooms qualify)
+    if scaling and not fast and isinstance(c, RenderChildNode):
+        # size/crop (and possibly position/rotation) animating: traced-size
+        # resize into a 64px-bucketed buffer + traced placement (zoom
+        # transitions; the crop is traced too, so fill-mode zooms qualify).
+        # A nonzero angle adds the traced FFT rotation (roto-zoom).
         bh = max(64, int(math.ceil(max(layout.height, 1.0) / 64.0)) * 64)
         bw = max(64, int(math.ceil(max(layout.width, 1.0) / 64.0)) * 64)
         traced_size_buf = (bh, bw)
+        if abs(layout.rotation_degrees) > 1e-9:
+            traced_q = int(round((layout.rotation_degrees % 360.0) / 90.0))
     if (
         moving
         and not fast
@@ -717,14 +715,13 @@ class OutputProgram:
                         and prev[2:4] == sig[2:4]
                         and prev[4:] == sig[4:]
                     )
-                    # size/crop (and maybe position) animating; rotation and
-                    # color/radius stable (zoom transitions incl. fill mode)
+                    # size/crop/position/rotation animating in any mix;
+                    # color/radius stable (zoom + roto-zoom transitions)
                     scaling = (
                         not fast
                         and not rot_traced
                         and not moving
                         and prev is not None
-                        and prev[4] == sig[4]
                         and prev[6:] == sig[6:]
                     )
                     self._rect_history[sig_key] = sig

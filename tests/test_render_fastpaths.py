@@ -376,3 +376,66 @@ def test_zoom_uses_traced_size_and_matches_general(monkeypatch):
         d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
         assert d.mean() < 1.0
         assert (d > 16).mean() < 0.005
+
+
+def test_rotozoom_combo_matches_general(monkeypatch):
+    """Simultaneous move+grow+spin transitions route to the roto-zoom path
+    (traced centered resize + traced FFT rotation) and match the sampled
+    path within tolerance — including bounding squares larger than the
+    canvas height."""
+    def scene(left, w, h, theta, trans=None):
+        return comp.View(
+            background_color=RGBAColor(20, 20, 40),
+            children=[
+                comp.Rescaler(
+                    id="rz", child=comp.InputStream(input_id="cam_0"),
+                    position=comp.AbsolutePosition(
+                        width=w, height=h, top=60.0, left=left,
+                        rotation_degrees=theta,
+                    ),
+                    transition=trans,
+                ),
+            ],
+        )
+
+    used = []
+    orig_split = prog.split_layout
+
+    def spy(layout, fast=False, **kw):
+        st, pp = orig_split(layout, fast=fast, **kw)
+        if st.content == "texture":
+            used.append(
+                st.traced_size_buf is not None
+                and st.traced_rotation_q is not None
+            )
+        return st, pp
+
+    def run():
+        r = Renderer()
+        r.register_input("cam_0")
+        frames = {"cam_0": _yuv_frame(0)}
+        r.update_scene("out", scene(80.0, 160.0, 90.0, 0.0),
+                       Resolution(640, 360), PixelFormat.RGBA)
+        r.render(FrameSet(pts=0.0, frames=frames))
+        r.update_scene(
+            "out", scene(260.0, 380.0, 214.0, 65.0, comp.Transition(duration=2.0)),
+            Resolution(640, 360), PixelFormat.RGBA,
+        )
+        return [
+            np.asarray(r.render(FrameSet(pts=i * 0.22, frames=frames))
+                       .frames["out"].data)
+            for i in range(1, 9)
+        ]
+
+    monkeypatch.setattr(prog, "split_layout", spy)
+    a = run()
+    assert sum(used) >= 5, used
+    monkeypatch.setattr(
+        prog, "split_layout",
+        lambda layout, fast=False, **kw: orig_split(layout, fast=False),
+    )
+    b = run()
+    for fa, fb in zip(a, b):
+        d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
+        assert d.mean() < 1.5
+        assert (d > 16).mean() < 0.02
