@@ -88,6 +88,11 @@ def _shear_x(img: jnp.ndarray, k: float) -> jnp.ndarray:
         # sample at c - (i + f): lerp of columns (c - i) and (c - i - 1)
         s0 = padded[r0:r1, max_shift - i : max_shift - i + W]
         s1 = padded[r0:r1, max_shift - i - 1 : max_shift - i - 1 + W]
+        if s0.shape[0] != len(f):  # pragma: no cover - diagnostic
+            raise AssertionError(
+                f"shear band mismatch: H={H} W={W} img={img.shape} "
+                f"band=({r0},{r1},{i}) f={len(f)} slice={s0.shape} k={k}"
+            )
         fb = jnp.asarray(f).reshape((-1,) + (1,) * (img.ndim - 1))
         parts.append(s0 * (1.0 - fb) + s1 * fb)
     return jnp.concatenate(parts, axis=0)
