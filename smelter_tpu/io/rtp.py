@@ -189,8 +189,11 @@ class JitterBuffer:
         if self._next_seq is None:
             self._next_seq = ext
         if ext < self._next_seq:
+            # already skipped past: the gap was counted as lost when skip_to
+            # advanced _next_seq — count the late arrival separately instead
+            # of inflating the loss figure a second time
             if self.stats is not None:
-                self.stats.on_lost(1)
+                self.stats.on_discarded(1)
             return []  # too late
         self._buffer[ext] = (now, pkt)
         if self.stats is not None:

@@ -65,14 +65,24 @@ class SrtpSession:
         """Estimate ROC for an incoming seq (RFC 3711 §3.3.1, simplified)."""
         roc = self._roc.get(ssrc, 0)
         last = self._last_seq.get(ssrc)
-        if last is not None:
-            if seq < 0x1000 and last > 0xF000:
-                roc += 1
-                self._roc[ssrc] = roc
-            elif seq > 0xF000 and last < 0x1000 and roc > 0:
-                roc -= 1  # late pre-rollover packet
+        if last is None:
+            self._last_seq[ssrc] = seq
+            self._roc.setdefault(ssrc, roc)
+            return roc
+        if seq < last and last - seq > 0x8000:
+            # wrapped forward into the next era (same test as _tx_roc)
+            roc += 1
+            self._roc[ssrc] = roc
+            self._last_seq[ssrc] = seq
+            return roc
+        if seq > last and seq - last > 0x8000 and roc > 0:
+            # Late pre-rollover packet delivered after the wrap: decrypt under
+            # the previous ROC, but do NOT regress the tracked seq — storing
+            # the old high seq here would make the next in-order packet
+            # re-trigger the rollover test, double-incrementing ROC and
+            # permanently failing auth from then on (RFC 3711 §3.3.1).
+            return roc - 1
         self._last_seq[ssrc] = seq
-        self._roc.setdefault(ssrc, roc)
         return roc
 
     def _tx_roc(self, ssrc: int, seq: int) -> int:

@@ -260,11 +260,7 @@ def _render_rect_layout(
             ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
             src = img[ct : ct + chh, cl : cl + cww]
             # (h', w', 4) resize via MXU; channel axis moves through einsum
-            tile = resize_matmul(
-                jnp.moveaxis(src, -1, 0),
-                max(top + h, y1) - top if False else h,
-                w,
-            )
+            tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w)
             tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
             # visible slice of the resized tile
             content = tile[y0 - top : y0 - top + vh, x0 - left : x0 - left + vw]

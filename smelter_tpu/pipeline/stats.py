@@ -94,6 +94,7 @@ class RtpTrackStats(TrackStats):
         super().__init__()
         self.packets_received = 0
         self.packets_lost = 0
+        self.packets_discarded = 0
         self._window: deque = deque()  # (t, lost_delta, buffer_seconds)
         self._lock = threading.Lock()
 
@@ -111,6 +112,13 @@ class RtpTrackStats(TrackStats):
             self.packets_lost += count
             self._window.append((now, count, None))
             self._prune(now)
+
+    def on_discarded(self, count: int = 1) -> None:
+        """A packet arrived too late to play (already skipped past). The gap
+        was counted as a loss when the buffer skipped it; count the late
+        arrival separately so /stats loss figures aren't double-inflated."""
+        with self._lock:
+            self.packets_discarded += count
 
     def _prune(self, now: float) -> None:
         cutoff = now - 10.0
@@ -134,6 +142,7 @@ class RtpTrackStats(TrackStats):
         return {
             "packets_received": received,
             "packets_lost": lost,
+            "packets_discarded": self.packets_discarded,
             **self.bitrate.report(),
             "last_10_seconds": win,
         }

@@ -101,6 +101,14 @@ class Renderer:
                 text_measurer=lambda t: self.text.measure(t),
                 image_store=lambda i: self.images.natural_size(i),
             )
+            prev = self._programs.get(output_id)
+            if prev is not None and (
+                prev.resolution != resolution
+                or self._output_formats.get(output_id) != output_format
+            ):
+                # freeze-frame fallback must never emit a stale frame with the
+                # wrong resolution/format to the encoder
+                self._last_outputs.pop(output_id, None)
             self._programs[output_id] = OutputProgram(
                 node.node, resolution, output_format, self.shaders
             )
@@ -111,6 +119,10 @@ class Renderer:
             self.scene.unregister_output(output_id)
             self._programs.pop(output_id, None)
             self._output_formats.pop(output_id, None)
+            # Drop the cached last frame: a re-registered output reusing this
+            # id must not freeze-frame the OLD output's content (possibly a
+            # different resolution/format) while its first program compiles.
+            self._last_outputs.pop(output_id, None)
 
     def _validate_components(self, root: comp.Component) -> None:
         def visit(c: comp.Component):

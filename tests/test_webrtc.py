@@ -56,6 +56,24 @@ def test_srtp_rtp_roundtrip():
         rx.unprotect_rtp(bytes(wire))
 
 
+def test_srtp_reordered_rollover():
+    """A late pre-rollover packet delivered after the 16-bit wrap must not
+    regress the ROC high-water mark — with the old bug the next in-order
+    packet double-incremented ROC and every later packet failed auth."""
+    key, salt = os.urandom(16), os.urandom(14)
+    tx = SrtpSession(key, salt)
+    rx = SrtpSession(key, salt)
+    from smelter_tpu.io.rtp import RtpPacket
+
+    wires = {}
+    for seq in [65520, 65530, 10, 20, 30]:  # tx protects in send order
+        pkt = RtpPacket(96, seq, seq * 3000, 0x5678, bytes([seq & 0xFF]) * 64)
+        wires[seq] = tx.protect_rtp(pkt.serialize())
+    for seq in [65520, 10, 65530, 20, 30]:  # network reorders across the wrap
+        plain = rx.unprotect_rtp(wires[seq])
+        assert RtpPacket.parse(plain).sequence_number == seq
+
+
 def test_srtcp_roundtrip():
     key, salt = os.urandom(16), os.urandom(14)
     tx = SrtpSession(key, salt)
