@@ -11,9 +11,14 @@ bytes included via device_put each iteration, overlapping dispatch), measured
 steady-state after compilation.
 """
 
+import glob
+import gzip
 import json
+import os
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 import jax
@@ -25,6 +30,59 @@ IN_W, IN_H = 1920, 1080
 OUT_W, OUT_H = 3840, 2160
 WARMUP = 5
 ITERS = 60
+
+
+def _profiled_device_ms(run, sync, iters: int, fn_name: str):
+    """True per-frame device latency: execute `run(i)` iters times under a
+    jax.profiler trace and read per-invocation durations of the XLA module
+    off the device's "XLA Modules" track. This is wall-independent device
+    time — tunnel RTT and host dispatch never enter it."""
+    tracedir = tempfile.mkdtemp(prefix="smelter_bench_trace_")
+    try:
+        with jax.profiler.trace(tracedir):
+            out = None
+            for i in range(iters):
+                out = run(i)
+            sync(out)
+        files = glob.glob(
+            os.path.join(tracedir, "**", "*.trace.json.gz"), recursive=True
+        )
+        if not files:
+            return None
+        events = json.loads(gzip.open(files[0]).read())["traceEvents"]
+        device_pids = {
+            e["pid"]
+            for e in events
+            if e.get("ph") == "M"
+            and e.get("name") == "process_name"
+            and "TPU" in e.get("args", {}).get("name", "")
+        }
+        module_tids = {
+            (e["pid"], e["tid"])
+            for e in events
+            if e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e.get("args", {}).get("name") == "XLA Modules"
+            and e["pid"] in device_pids
+        }
+        if not module_tids:  # cpu fallback: any "XLA Modules" track
+            module_tids = {
+                (e["pid"], e["tid"])
+                for e in events
+                if e.get("ph") == "M"
+                and e.get("name") == "thread_name"
+                and e.get("args", {}).get("name") == "XLA Modules"
+            }
+        durs = [
+            e["dur"] / 1000.0
+            for e in events
+            if e.get("ph") == "X"
+            and (e.get("pid"), e.get("tid")) in module_tids
+            and str(e.get("name", "")).startswith(f"jit_{fn_name}(")
+        ]
+        return sorted(durs) if durs else None
+    finally:
+        shutil.rmtree(tracedir, ignore_errors=True)
 
 
 def main() -> None:
@@ -87,6 +145,17 @@ def main() -> None:
         p50 = pipe_ms
         p95 = max(p95, pipe_ms)
     throughput_fps = 1000.0 / pipe_ms
+
+    # True per-frame device latency from a profiler trace (BASELINE.md's
+    # p95 < 8 ms target is a device-latency bound; the blocked numbers above
+    # are dominated by tunnel RTT on remote devices).
+    device_durs = _profiled_device_ms(
+        run=lambda i: jfn(*dev_frames[i % 2]),
+        sync=sync,
+        iters=ITERS,
+        fn_name=fn.__name__,
+    )
+
     fps = throughput_fps
     result = {
         "metric": "compose_fps_16x1080p_to_4k_1chip",
@@ -100,6 +169,12 @@ def main() -> None:
         "n_inputs": N_INPUTS,
         "device": str(jax.devices()[0]),
     }
+    if device_durs:
+        result["device_p50_ms"] = round(statistics.median(device_durs), 3)
+        result["device_p95_ms"] = round(
+            device_durs[max(0, int(len(device_durs) * 0.95) - 1)], 3
+        )
+        result["device_frames_profiled"] = len(device_durs)
     print(json.dumps(result))
 
 
