@@ -20,6 +20,7 @@ extern "C" {
 
 #include <cstring>
 #include <cstdio>
+#include <atomic>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -108,11 +109,19 @@ int64_t s_to_ts(double s, AVRational tb) {
 struct Demux {
     AVFormatContext *fmt = nullptr;
     AVPacket *pkt = nullptr;
+    /* heap-allocated so its address is stable for the AVIO interrupt
+     * callback even while the Demux lives in a unique_ptr table slot */
+    std::shared_ptr<std::atomic<int>> interrupted =
+        std::make_shared<std::atomic<int>>(0);
     ~Demux() {
         if (pkt) av_packet_free(&pkt);
         if (fmt) avformat_close_input(&fmt);
     }
 };
+
+static int demux_interrupt_cb(void *opaque) {
+    return ((std::atomic<int> *)opaque)->load(std::memory_order_relaxed);
+}
 
 Table<Demux> g_demux;
 
@@ -240,14 +249,55 @@ uint32_t sm_caps(void) {
 
 /* ---------------- demuxer ---------------- */
 
-int sm_demux_open(const char *url) {
+static int demux_open_impl(const char *url, const char *options) {
     auto d = std::make_unique<Demux>();
-    int err = avformat_open_input(&d->fmt, url, nullptr, nullptr);
-    if (err < 0) return fail_av("avformat_open_input", err);
+    /* interrupt callback must be armed before open so a stuck network
+     * handshake is abortable (reference hls_input.rs:583-605) */
+    d->fmt = avformat_alloc_context();
+    if (!d->fmt) return fail("avformat_alloc_context");
+    d->fmt->interrupt_callback.callback = demux_interrupt_cb;
+    d->fmt->interrupt_callback.opaque = d->interrupted.get();
+    AVDictionary *opts = nullptr;
+    if (options && *options) {
+        std::string s(options);
+        size_t pos = 0;
+        while (pos < s.size()) {
+            size_t nl = s.find('\n', pos);
+            if (nl == std::string::npos) nl = s.size();
+            std::string kv = s.substr(pos, nl - pos);
+            size_t eq = kv.find('=');
+            if (eq != std::string::npos)
+                av_dict_set(&opts, kv.substr(0, eq).c_str(),
+                            kv.substr(eq + 1).c_str(), 0);
+            pos = nl + 1;
+        }
+    }
+    int err = avformat_open_input(&d->fmt, url, nullptr, &opts);
+    av_dict_free(&opts);
+    if (err < 0) { d->fmt = nullptr; return fail_av("avformat_open_input", err); }
     err = avformat_find_stream_info(d->fmt, nullptr);
     if (err < 0) return fail_av("find_stream_info", err);
     d->pkt = av_packet_alloc();
     return g_demux.put(std::move(d));
+}
+
+int sm_demux_open(const char *url) { return demux_open_impl(url, nullptr); }
+
+int sm_demux_open2(const char *url, const char *options) {
+    return demux_open_impl(url, options);
+}
+
+int sm_demux_interrupt(int h) {
+    Demux *d = g_demux.get(h);
+    if (!d) return fail("bad demux handle");
+    d->interrupted->store(1, std::memory_order_relaxed);
+    return 0;
+}
+
+int sm_demux_is_live(int h) {
+    Demux *d = g_demux.get(h);
+    if (!d) return fail("bad demux handle");
+    return d->fmt->duration <= 0 ? 1 : 0;
 }
 
 int sm_demux_nb_streams(int h) {
@@ -300,7 +350,8 @@ int sm_demux_read(int h, int32_t *stream_index, double *pts_s, double *dts_s,
     *stream_index = d->pkt->stream_index;
     *pts_s = ts_to_s(d->pkt->pts, s->time_base);
     *dts_s = ts_to_s(d->pkt->dts, s->time_base);
-    *flags = (d->pkt->flags & AV_PKT_FLAG_KEY) ? SM_PKT_KEYFRAME : 0;
+    *flags = ((d->pkt->flags & AV_PKT_FLAG_KEY) ? SM_PKT_KEYFRAME : 0)
+           | ((d->pkt->flags & AV_PKT_FLAG_CORRUPT) ? SM_PKT_CORRUPT : 0);
     int size = d->pkt->size;
     if (size > cap) {
         av_packet_unref(d->pkt);

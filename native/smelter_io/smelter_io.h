@@ -60,9 +60,18 @@ enum {
     SM_CODEC_OPUS = 11,
 };
 
-enum { SM_PKT_KEYFRAME = 1 };
+enum { SM_PKT_KEYFRAME = 1, SM_PKT_CORRUPT = 2 };
 
 int sm_demux_open(const char *url);
+/* Open with an AVDictionary of protocol options (newline-separated "k=v"
+ * pairs, may be NULL) and an interrupt callback armed (sm_demux_interrupt
+ * aborts blocking network reads — the reference combines
+ * input_with_interrupt + input_with_dictionary, hls_input.rs:583-605). */
+int sm_demux_open2(const char *url, const char *options);
+/* Request abort of any blocking I/O on this demuxer (thread-safe). */
+int sm_demux_interrupt(int h);
+/* 1 if the container reports no duration (live playlist), else 0. */
+int sm_demux_is_live(int h);
 int sm_demux_nb_streams(int h);
 int sm_demux_stream_info(int h, int stream, sm_stream_info *out);
 int sm_demux_extradata(int h, int stream, uint8_t *buf, int32_t cap);

@@ -49,6 +49,33 @@ def _to_stereo(samples: np.ndarray) -> np.ndarray:
     return samples[:, :2]
 
 
+# Windowed-sinc interpolator geometry: 16 taps (8 each side), Kaiser beta 8.
+# Matches the reference's rubato `SincFixedOut`-class quality
+# (`audio_mixer/input/resampler.rs:21-70`) without a per-input native context.
+_SINC_HALF = 8
+_SINC_TAPS = 2 * _SINC_HALF
+_KAISER_BETA = 8.0
+_KAISER_I0_BETA = float(np.i0(_KAISER_BETA))
+
+
+def _sinc_weights(frac: np.ndarray, step: float) -> np.ndarray:
+    """(n,) fractional positions -> (n, taps) Kaiser-windowed sinc weights.
+
+    ``step`` is input frames consumed per output frame; when > 1
+    (downsampling) the sinc cutoff scales to the output Nyquist so imaging
+    folds below the passband instead of aliasing into it."""
+    k = np.arange(-_SINC_HALF + 1, _SINC_HALF + 1, dtype=np.float64)
+    x = k[None, :] - frac[:, None]  # offset of each tap from the sample point
+    cutoff = min(1.0, 1.0 / step) * 0.945
+    h = cutoff * np.sinc(cutoff * x)
+    t = x / _SINC_HALF
+    inside = np.abs(t) < 1.0
+    w = np.where(inside, np.i0(_KAISER_BETA * np.sqrt(np.clip(1.0 - t * t, 0.0, 1.0))), 0.0)
+    h = h * (w / _KAISER_I0_BETA)
+    # unity DC gain per output sample (kills sub-LSB passband ripple)
+    return h / h.sum(axis=1, keepdims=True)
+
+
 class InputResampler:
     """Drift-corrected per-input resampler.
 
@@ -56,9 +83,9 @@ class InputResampler:
     call compares where the next output sample *should* land vs where the
     buffered input actually starts and picks one of the reference's five
     branches (gap-fill / stretch / on-time / squash / drop). Resampling uses
-    linear interpolation at a dynamically adjusted ratio (the C++ host
-    service offers the high-quality sinc path).
-    """
+    Kaiser-windowed sinc interpolation at a dynamically adjusted ratio with
+    phase continuity across chunks (reference quality anchor: rubato sinc,
+    `audio_mixer/input/resampler.rs`)."""
 
     def __init__(self, input_rate: int, output_rate: int) -> None:
         self.input_rate = input_rate
@@ -66,6 +93,10 @@ class InputResampler:
         self.buffer = np.zeros((0, 2), np.float64)
         self.buffer_end_pts: Optional[float] = None
         self.started = False
+        # last taps input frames already consumed (left context for the sinc
+        # kernel) + fractional read position carried across chunks
+        self._hist = np.zeros((_SINC_TAPS, 2), np.float64)
+        self._phase = 0.0
 
     def write_batch(self, batch: AudioSamples, input_rate: int) -> None:
         if input_rate != self.input_rate:
@@ -73,6 +104,8 @@ class InputResampler:
             self.input_rate = input_rate
             self.buffer = np.zeros((0, 2), np.float64)
             self.buffer_end_pts = None
+            self._hist = np.zeros((_SINC_TAPS, 2), np.float64)
+            self._phase = 0.0
         samples = _to_stereo(np.asarray(batch.samples, np.float64))
         start = batch.start_pts
         dur = len(samples) / self.input_rate
@@ -128,25 +161,40 @@ class InputResampler:
             # slightly ahead: squash (consume more input per output frame)
             ratio = 1.0 - min(-drift * 10.0, MAX_STRETCH_RATIO)
 
-        # consume input: need n_out output frames at (output_rate * ratio)
-        n_in = int(math.ceil(n_out * self.input_rate / (self.output_rate * ratio)))
-        chunk = self.buffer[:n_in]
-        pad = n_in - len(chunk)
-        if pad > 0:
-            chunk = np.concatenate([chunk, np.zeros((pad, 2), np.float64)])
-        self.buffer = self.buffer[n_in:]
-        if self.input_rate == self.output_rate and abs(ratio - 1.0) < 1e-9:
-            out = chunk[:n_out]
-            if len(out) < n_out:
-                out = np.concatenate(
-                    [out, np.zeros((n_out - len(out), 2), np.float64)]
+        # input frames consumed per output frame
+        step = self.input_rate / (self.output_rate * ratio)
+        if abs(step - 1.0) < 1e-12 and self._phase < 1e-9:
+            # bit-exact pass-through (common case: on-time, same rate)
+            chunk = self.buffer[:n_out]
+            self.buffer = self.buffer[n_out:]
+            if len(chunk) < n_out:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((n_out - len(chunk), 2), np.float64)]
                 )
-            return out
-        src_pos = np.arange(n_out) * (self.input_rate / (self.output_rate * ratio))
-        i0 = np.clip(np.floor(src_pos).astype(np.int64), 0, len(chunk) - 1)
-        i1 = np.clip(i0 + 1, 0, len(chunk) - 1)
-        frac = (src_pos - np.floor(src_pos))[:, None]
-        return chunk[i0] * (1.0 - frac) + chunk[i1] * frac
+            self._hist = np.concatenate([self._hist, chunk])[-_SINC_TAPS:]
+            return chunk
+
+        # windowed-sinc interpolation with phase carried across chunks
+        src_pos = self._phase + np.arange(n_out, dtype=np.float64) * step
+        base = np.floor(src_pos).astype(np.int64)
+        n_need = int(base[-1]) + _SINC_HALF + 1
+        chunk = self.buffer[:n_need]
+        if len(chunk) < n_need:
+            chunk = np.concatenate(
+                [chunk, np.zeros((n_need - len(chunk), 2), np.float64)]
+            )
+        full = np.concatenate([self._hist, chunk])
+        k = np.arange(-_SINC_HALF + 1, _SINC_HALF + 1, dtype=np.int64)
+        idx = base[:, None] + k[None, :] + _SINC_TAPS  # (n_out, taps), >= 0
+        weights = _sinc_weights(src_pos - base, step)
+        out = (full[idx] * weights[..., None]).sum(axis=1)
+
+        end_pos = self._phase + n_out * step
+        consumed = int(math.floor(end_pos))
+        self._phase = end_pos - consumed
+        self._hist = full[consumed : consumed + _SINC_TAPS]
+        self.buffer = self.buffer[consumed:]
+        return out
 
 
 class SampleMixer:

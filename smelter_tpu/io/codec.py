@@ -59,6 +59,7 @@ class Codec(enum.IntEnum):
 
 
 PKT_KEYFRAME = 1
+PKT_CORRUPT = 2
 
 
 class _StreamInfoC(ctypes.Structure):
@@ -97,6 +98,7 @@ class Packet:
     pts_s: Optional[float]
     dts_s: Optional[float]
     is_keyframe: bool
+    is_corrupt: bool = False
 
 
 def _build_lib() -> None:
@@ -121,6 +123,9 @@ def _load() -> ctypes.CDLL:
         lib.sm_last_error.restype = ctypes.c_char_p
         lib.sm_caps.restype = ctypes.c_uint32
         lib.sm_demux_open.argtypes = [ctypes.c_char_p]
+        lib.sm_demux_open2.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.sm_demux_interrupt.argtypes = [ctypes.c_int]
+        lib.sm_demux_is_live.argtypes = [ctypes.c_int]
         lib.sm_demux_read.argtypes = [
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
@@ -245,12 +250,31 @@ class Demuxer:
     Mirrors the read side of the reference's `mp4/reader.rs` / `hls_input.rs`.
     """
 
-    def __init__(self, url: str) -> None:
+    def __init__(self, url: str, options: Optional[Dict[str, str]] = None) -> None:
+        """``options`` is an FFmpeg protocol-options dictionary (the
+        reference passes protocol_whitelist etc. for HLS, hls_input.rs:557);
+        passing any options also arms the interrupt callback."""
         self._lib = _load()
-        self._h = _check(self._lib.sm_demux_open(url.encode()), self._lib)
+        if options:
+            opts = "\n".join(f"{k}={v}" for k, v in options.items())
+            self._h = _check(
+                self._lib.sm_demux_open2(url.encode(), opts.encode()), self._lib
+            )
+        else:
+            self._h = _check(self._lib.sm_demux_open(url.encode()), self._lib)
         if self._h < 0:
             raise CodecError(self._lib.sm_last_error().decode())
         self._buf = ctypes.create_string_buffer(_PKT_CAP)
+
+    def interrupt(self) -> None:
+        """Abort any blocking network read (thread-safe; the reference's
+        interrupt callback, hls_input.rs:583-605). Subsequent reads EOF."""
+        if self._h >= 0:
+            self._lib.sm_demux_interrupt(self._h)
+
+    def is_live(self) -> bool:
+        """True when the container reports no duration (live playlist)."""
+        return self._h >= 0 and self._lib.sm_demux_is_live(self._h) == 1
 
     def streams(self) -> List[StreamInfo]:
         n = _check(self._lib.sm_demux_nb_streams(self._h), self._lib)
@@ -301,6 +325,7 @@ class Demuxer:
             pts_s=_opt_pts(pts.value),
             dts_s=_opt_pts(dts.value),
             is_keyframe=bool(flags.value & PKT_KEYFRAME),
+            is_corrupt=bool(flags.value & PKT_CORRUPT),
         )
 
     def seek(self, pts_s: float) -> None:

@@ -1,0 +1,149 @@
+"""QUIC v1 packet protection (RFC 9001): initial secrets, HKDF-Expand-Label,
+AEAD payload protection, AES-ECB header protection."""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from cryptography.hazmat.primitives import hashes, hmac
+from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+# RFC 9001 §5.2
+INITIAL_SALT_V1 = bytes.fromhex("38762cf7f55934b34d179ae6a4c80cadccbb7f0a")
+
+
+def hkdf_extract(salt: bytes, ikm: bytes) -> bytes:
+    h = hmac.HMAC(salt, hashes.SHA256())
+    h.update(ikm)
+    return h.finalize()
+
+
+def hkdf_expand(prk: bytes, info: bytes, length: int) -> bytes:
+    out = b""
+    t = b""
+    i = 1
+    while len(out) < length:
+        h = hmac.HMAC(prk, hashes.SHA256())
+        h.update(t + info + bytes([i]))
+        t = h.finalize()
+        out += t
+        i += 1
+    return out[:length]
+
+
+def hkdf_expand_label(secret: bytes, label: str, context: bytes, length: int) -> bytes:
+    full = b"tls13 " + label.encode()
+    info = struct.pack("!H", length) + bytes([len(full)]) + full \
+        + bytes([len(context)]) + context
+    return hkdf_expand(secret, info, length)
+
+
+@dataclass
+class DirectionKeys:
+    key: bytes
+    iv: bytes
+    hp: bytes
+
+    @classmethod
+    def from_secret(cls, secret: bytes) -> "DirectionKeys":
+        return cls(
+            key=hkdf_expand_label(secret, "quic key", b"", 16),
+            iv=hkdf_expand_label(secret, "quic iv", b"", 12),
+            hp=hkdf_expand_label(secret, "quic hp", b"", 16),
+        )
+
+
+def initial_secrets(dcid: bytes, is_client: bool) -> Tuple[bytes, bytes]:
+    """-> (tx_secret, rx_secret) for this endpoint."""
+    initial = hkdf_extract(INITIAL_SALT_V1, dcid)
+    client = hkdf_expand_label(initial, "client in", b"", 32)
+    server = hkdf_expand_label(initial, "server in", b"", 32)
+    return (client, server) if is_client else (server, client)
+
+
+class PacketProtection:
+    """Seals/opens packets for one direction pair in one packet-number
+    space. AEAD = AES-128-GCM, HP = AES-128-ECB (TLS_AES_128_GCM_SHA256)."""
+
+    def __init__(self, tx_secret: Optional[bytes] = None,
+                 rx_secret: Optional[bytes] = None) -> None:
+        self.tx: Optional[DirectionKeys] = None
+        self.rx: Optional[DirectionKeys] = None
+        self._tx_aead: Optional[AESGCM] = None
+        self._rx_aead: Optional[AESGCM] = None
+        if tx_secret:
+            self.set_tx(tx_secret)
+        if rx_secret:
+            self.set_rx(rx_secret)
+
+    def set_tx(self, secret: bytes) -> None:
+        self.tx = DirectionKeys.from_secret(secret)
+        self._tx_aead = AESGCM(self.tx.key)
+
+    def set_rx(self, secret: bytes) -> None:
+        self.rx = DirectionKeys.from_secret(secret)
+        self._rx_aead = AESGCM(self.rx.key)
+
+    @property
+    def ready(self) -> bool:
+        return self.tx is not None and self.rx is not None
+
+    @staticmethod
+    def _nonce(iv: bytes, pn: int) -> bytes:
+        return (int.from_bytes(iv, "big") ^ pn).to_bytes(12, "big")
+
+    @staticmethod
+    def _hp_mask(hp_key: bytes, sample: bytes) -> bytes:
+        enc = Cipher(algorithms.AES(hp_key), modes.ECB()).encryptor()
+        return enc.update(sample) + enc.finalize()
+
+    # -- seal ---------------------------------------------------------------
+
+    def seal(self, header_prefix: bytes, pn: int, pn_bytes: bytes,
+             payload: bytes) -> bytes:
+        """header_prefix excludes the pn field; returns the full protected
+        packet (header + encrypted pn + ciphertext)."""
+        assert self.tx is not None and self._tx_aead is not None
+        header = header_prefix + pn_bytes
+        ct = self._tx_aead.encrypt(self._nonce(self.tx.iv, pn), payload, header)
+        pn_offset = len(header_prefix)
+        sample = ct[4 - len(pn_bytes) : 20 - len(pn_bytes)]
+        mask = self._hp_mask(self.tx.hp, sample)
+        out = bytearray(header + ct)
+        if out[0] & 0x80:  # long header: low 4 bits protected
+            out[0] ^= mask[0] & 0x0F
+        else:              # short header: low 5 bits
+            out[0] ^= mask[0] & 0x1F
+        for i in range(len(pn_bytes)):
+            out[pn_offset + i] ^= mask[1 + i]
+        return bytes(out)
+
+    # -- open ---------------------------------------------------------------
+
+    def open(self, packet: bytes, pn_offset: int, largest_pn: int,
+             short_header: bool = False) -> Tuple[int, bytes]:
+        """Removes header protection + AEAD. packet is the FULL datagram
+        slice for this packet. -> (packet_number, plaintext)."""
+        assert self.rx is not None and self._rx_aead is not None
+        sample = packet[pn_offset + 4 : pn_offset + 20]
+        if len(sample) < 16:
+            raise ValueError("packet too short for HP sample")
+        mask = self._hp_mask(self.rx.hp, sample)
+        first = packet[0] ^ (mask[0] & (0x1F if short_header else 0x0F))
+        pn_len = (first & 0x03) + 1
+        pn_trunc = 0
+        pn_bytes = bytearray()
+        for i in range(pn_len):
+            b = packet[pn_offset + i] ^ mask[1 + i]
+            pn_bytes.append(b)
+            pn_trunc = (pn_trunc << 8) | b
+        from smelter_tpu.io.quic.packet import decode_packet_number
+
+        pn = decode_packet_number(pn_trunc, pn_len * 8, largest_pn)
+        header = bytes([first]) + packet[1:pn_offset] + bytes(pn_bytes)
+        ct = packet[pn_offset + pn_len :]
+        pt = self._rx_aead.decrypt(self._nonce(self.rx.iv, pn), ct, header)
+        return pn, pt

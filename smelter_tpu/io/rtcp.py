@@ -63,6 +63,16 @@ class Bye:
     ssrcs: List[int]
 
 
+@dataclass
+class Nack:
+    """RTCP Generic NACK (RFC 4585 §6.2.1, RTPFB FMT=1) — the WebRTC
+    retransmission-request feedback (reference `webrtc/` NACK handling)."""
+
+    sender_ssrc: int
+    media_ssrc: int
+    lost_seqs: List[int]  # 16-bit sequence numbers
+
+
 def build_sender_report(sr: SenderReport) -> bytes:
     return struct.pack(
         "!BBHIIIIII",
@@ -75,6 +85,27 @@ def build_sender_report(sr: SenderReport) -> bytes:
 def build_pli(sender_ssrc: int, media_ssrc: int) -> bytes:
     # PSFB, FMT=1 (PLI)
     return struct.pack("!BBHII", 0x81, PT_PSFB, 2, sender_ssrc, media_ssrc)
+
+
+def build_nack(sender_ssrc: int, media_ssrc: int, lost_seqs: List[int]) -> bytes:
+    """Pack lost 16-bit seqs into (PID, BLP) FCI pairs."""
+    fci = []
+    seqs = sorted(set(s & 0xFFFF for s in lost_seqs))
+    i = 0
+    while i < len(seqs):
+        pid = seqs[i]
+        blp = 0
+        j = i + 1
+        while j < len(seqs) and 0 < ((seqs[j] - pid) & 0xFFFF) <= 16:
+            blp |= 1 << (((seqs[j] - pid) & 0xFFFF) - 1)
+            j += 1
+        fci.append((pid, blp))
+        i = j
+    length = 2 + len(fci)
+    out = struct.pack("!BBHII", 0x81, PT_RTPFB, length, sender_ssrc, media_ssrc)
+    for pid, blp in fci:
+        out += struct.pack("!HH", pid, blp)
+    return out
 
 
 def build_bye(ssrcs: List[int]) -> bytes:
@@ -102,6 +133,16 @@ def parse_compound(data: bytes) -> List[object]:
         elif pt == PT_PSFB and (b0 & 0x1F) == 1 and len(body) >= 12:
             sender, media = struct.unpack("!II", body[4:12])
             out.append(Pli(sender, media))
+        elif pt == PT_RTPFB and (b0 & 0x1F) == 1 and len(body) >= 12:
+            sender, media = struct.unpack("!II", body[4:12])
+            lost: List[int] = []
+            for off in range(12, len(body) - 3, 4):
+                pid, blp = struct.unpack("!HH", body[off : off + 4])
+                lost.append(pid)
+                for bit in range(16):
+                    if blp & (1 << bit):
+                        lost.append((pid + bit + 1) & 0xFFFF)
+            out.append(Nack(sender, media, lost))
         elif pt == PT_BYE:
             n = b0 & 0x1F
             ssrcs = list(struct.unpack(f"!{n}I", body[4 : 4 + 4 * n])) if n else []

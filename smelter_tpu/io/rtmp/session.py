@@ -177,6 +177,62 @@ def video_tag(avcc_nalus: bytes, keyframe: bool, cts_ms: int = 0,
     return bytes([first, ptype]) + int(cts_ms).to_bytes(3, "big", signed=False) + avcc_nalus
 
 
+def ex_video_tag(fourcc: bytes, body: bytes, keyframe: bool,
+                 packet_type: int, cts_ms: int = 0) -> bytes:
+    """Enhanced-RTMP (E-RTMP v1) ExVideoTagHeader: IsExHeader bit + frame
+    type + VideoPacketType, then the 4-byte FourCC (reference
+    `rtmp/src/flv/` ExVideo tags). CodedFrames (1) carries a 3-byte signed
+    CTS for HEVC; CodedFramesX (3) implies CTS 0."""
+    assert len(fourcc) == 4
+    first = 0x80 | ((1 if keyframe else 2) << 4) | (packet_type & 0x0F)
+    out = bytes([first]) + fourcc
+    if packet_type == 1 and fourcc == b"hvc1":
+        out += (int(cts_ms) & 0xFFFFFF).to_bytes(3, "big")
+    return out + body
+
+
+def extract_av1_sequence_header(data: bytes) -> Optional[bytes]:
+    """First OBU_SEQUENCE_HEADER in a low-overhead AV1 bitstream (used as
+    the av01 SequenceStart config when the encoder gives no extradata)."""
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b & 0x80:  # forbidden bit
+            return None
+        obu_type = (b >> 3) & 0x0F
+        ext = (b >> 2) & 1
+        has_size = (b >> 1) & 1
+        j = i + 1 + ext
+        if has_size:
+            size = 0
+            shift = 0
+            while j < n:
+                c = data[j]
+                j += 1
+                size |= (c & 0x7F) << shift
+                if not (c & 0x80):
+                    break
+                shift += 7
+        else:
+            size = n - j
+        if j + size > n:
+            return None
+        if obu_type == 1:  # OBU_SEQUENCE_HEADER
+            return data[i : j + size]
+        i = j + size
+    return None
+
+
+def build_vpcc_record(profile: int = 0, level: int = 10, bit_depth: int = 8,
+                      chroma_subsampling: int = 1, full_range: bool = False) -> bytes:
+    """Minimal VPCodecConfigurationRecord (vpcC box payload) for a vp09
+    SequenceStart tag: version, flags, profile, level, packed depth/
+    subsampling/range, BT.709 colour triple, no init data."""
+    packed = (bit_depth << 4) | (chroma_subsampling << 1) | (1 if full_range else 0)
+    return bytes([1, 0, 0, 0, profile, level, packed, 1, 1, 1, 0, 0])
+
+
 def audio_tag(body: bytes, is_header: bool = False) -> bytes:
     # SoundFormat=10 (AAC), 44kHz flag, 16-bit, stereo → 0xAF
     return bytes([0xAF, 0 if is_header else 1]) + body
@@ -602,13 +658,22 @@ class RtmpClientOutput(OutputSink):
 
     def setup_video(self, opts, extradata, fps_num, fps_den) -> None:
         self._video_extradata = extradata
+        enc = getattr(opts, "encoder", None)
+        self._video_codec = (getattr(enc, "codec", None) or "h264").lower()
 
     def setup_audio(self, opts, extradata) -> None:
         if extradata:
             self._send_media(AUDIO, audio_tag(extradata, is_header=True), 0)
             self._audio_header_sent = True
 
+    # enhanced-RTMP publish FourCCs (reference rtmp/src/flv/ ExVideo tags)
+    _PUBLISH_FOURCC = {"h265": b"hvc1", "hevc": b"hvc1",
+                       "av1": b"av01", "vp9": b"vp09"}
+
     def write_video_packet(self, pkt) -> None:
+        codec = getattr(self, "_video_codec", "h264")
+        if codec in self._PUBLISH_FOURCC:
+            return self._write_ex_video_packet(pkt, self._PUBLISH_FOURCC[codec])
         # two encoder modes: GLOBAL_HEADER on → avcC extradata + AVCC packets;
         # global_header=0 → AnnexB packets with inline parameter sets
         avcc_mode = self._video_extradata.startswith(b"\x01")
@@ -642,6 +707,39 @@ class RtmpClientOutput(OutputSink):
             video_tag(body, keyframe=pkt.is_keyframe, cts_ms=cts),
             dts,
         )
+
+    def _write_ex_video_packet(self, pkt, fourcc: bytes) -> None:
+        """Enhanced-RTMP publish (reference rtmp/src/flv/ ExVideo):
+        SequenceStart once (hvcC for hvc1, sequence-header OBU for av01,
+        vpcC for vp09), then CodedFrames (HEVC, with CTS) / CodedFramesX."""
+        if not self._video_header_sent:
+            config = b""
+            if fourcc == b"hvc1":
+                from smelter_tpu.io.rtmp.hevc_utils import build_hvcc_record
+
+                src = self._video_extradata or (pkt.data if pkt.is_keyframe else b"")
+                try:
+                    config = build_hvcc_record(src) if src else b""
+                except Exception:
+                    config = b""
+            elif fourcc == b"av01":
+                config = self._video_extradata
+                if not config and pkt.is_keyframe:
+                    config = extract_av1_sequence_header(pkt.data) or b""
+            elif fourcc == b"vp09":
+                config = build_vpcc_record()
+            if not config:
+                return  # wait for a keyframe carrying the config
+            self._send_media(VIDEO, ex_video_tag(fourcc, config, True, 0), 0)
+            self._video_header_sent = True
+        ts = int(round((pkt.pts_s or 0.0) * 1000.0))
+        dts = int(round((pkt.dts_s if pkt.dts_s is not None else pkt.pts_s or 0.0) * 1000.0))
+        if fourcc == b"hvc1":
+            body = annexb_to_avcc(pkt.data)
+            tag = ex_video_tag(fourcc, body, pkt.is_keyframe, 1, cts_ms=ts - dts)
+        else:
+            tag = ex_video_tag(fourcc, pkt.data, pkt.is_keyframe, 3)
+        self._send_media(VIDEO, tag, dts)
 
     def write_audio_packet(self, pkt) -> None:
         if not self._audio_header_sent:

@@ -227,6 +227,37 @@ class JitterBuffer:
         self._buffer.clear()
         return out
 
+    # NACK retry budget per missing seq (reference webrtc NACK behavior:
+    # request a few times, then give up and let the window skip)
+    MAX_NACK_RETRIES = 4
+
+    def nack_candidates(self, limit: int = 16) -> List[int]:
+        """Missing 16-bit seqs in the current reorder gap, for an RTCP
+        Generic NACK. Each seq is reported at most MAX_NACK_RETRIES times
+        across calls; call on every push and throttle at the transport."""
+        if self._next_seq is None or not self._buffer:
+            return []
+        if not hasattr(self, "_nack_counts"):
+            self._nack_counts: Dict[int, int] = {}
+        top = max(self._buffer.keys())
+        out: List[int] = []
+        for ext in range(self._next_seq, top):
+            if ext in self._buffer:
+                continue
+            n = self._nack_counts.get(ext, 0)
+            if n >= self.MAX_NACK_RETRIES:
+                continue
+            self._nack_counts[ext] = n + 1
+            out.append(ext & 0xFFFF)
+            if len(out) >= limit:
+                break
+        # drop bookkeeping for seqs already released/skipped
+        if len(self._nack_counts) > 1024:
+            self._nack_counts = {
+                k: v for k, v in self._nack_counts.items() if k >= self._next_seq
+            }
+        return out
+
 
 # ---------------------------------------------------------------------------
 # depayloaders (RTP payload → encoded access units)

@@ -98,6 +98,26 @@ def parse(sdp: str) -> SessionDescription:
     return desc
 
 
+def parse_candidate_fragment(text: str) -> List[Tuple[str, int]]:
+    """Candidates from a trickle-ICE SDP fragment
+    (application/trickle-ice-sdpfrag, RFC 8840 — the WHIP/WHEP PATCH body;
+    reference `webrtc/trickle_ice_utils.rs`). Tolerates bare
+    ``candidate:`` lines as some clients send them."""
+    out: List[Tuple[str, int]] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line.startswith("a="):
+            line = line[2:]
+        if not line.startswith("candidate:"):
+            continue
+        parts = line.split()
+        if len(parts) >= 6 and parts[2].lower() == "udp":
+            cand = (parts[4], int(parts[5]))
+            if cand not in out:
+                out.append(cand)
+    return out
+
+
 def _media_block(
     m: MediaDescription,
     direction: str,
@@ -173,6 +193,11 @@ def default_offer_media(video_codec: str = "h264") -> List[MediaDescription]:
         video = MediaDescription(
             kind="video", mid="1", payload_types=[97],
             rtpmap={97: "VP8/90000"}, fmtp={},
+        )
+    elif video_codec == "vp9":
+        video = MediaDescription(
+            kind="video", mid="1", payload_types=[98],
+            rtpmap={98: "VP9/90000"}, fmtp={98: "profile-id=0"},
         )
     else:
         video = MediaDescription(

@@ -75,6 +75,16 @@ class WebRtcSession:
         self.remote_pwd = desc.ice_pwd
         self.remote_candidates = list(desc.candidates)
 
+    def add_remote_candidates(self, candidates: list) -> None:
+        """Trickle ICE (reference `webrtc/trickle_ice_utils.rs`): remote
+        candidates arriving after the answer (WHIP/WHEP PATCH). The offerer
+        ICE loop re-reads the list every round, so late candidates get
+        connectivity checks; the ICE-lite answerer learns the peer from
+        inbound checks but records them for completeness."""
+        for cand in candidates:
+            if cand not in self.remote_candidates:
+                self.remote_candidates.append(cand)
+
     @property
     def candidate(self) -> Tuple[str, int]:
         return (self.ip, self.port)

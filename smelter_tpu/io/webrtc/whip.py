@@ -26,11 +26,13 @@ from smelter_tpu.io.rtp import (
     H264Depayloader,
     H264Payloader,
     Vp8Payloader,
+    Vp9Payloader,
     JitterBuffer,
     OpusDepayloader,
     OpusPayloader,
     RtpPacket,
     Vp8Depayloader,
+    Vp9Depayloader,
     run_audio_decode,
     run_video_decode,
     _has_sps,
@@ -47,12 +49,15 @@ logger = logging.getLogger("smelter.whip")
 @dataclass
 class NegotiatedMedia:
     video_pt: Optional[int]
-    video_codec: Optional[str]   # "h264" | "vp8"
+    video_codec: Optional[str]   # "h264" | "vp8" | "vp9"
     audio_pt: Optional[int]      # opus
 
 
 def negotiate(offer: sdp_mod.SessionDescription) -> NegotiatedMedia:
-    video = offer.find_codec("video", ["h264", "vp8"])
+    """Codec selection in the reference's preference order
+    (`webrtc/negotiated_codecs.rs` / `offer_codec_filter.rs`): H264 first,
+    then VP8, then VP9."""
+    video = offer.find_codec("video", ["h264", "vp8", "vp9"])
     audio = offer.find_codec("audio", ["opus"])
     return NegotiatedMedia(
         video_pt=video[0] if video else None,
@@ -108,9 +113,12 @@ class _RtpReceiverBridge:
         )
         self._vjb = JitterBuffer(stats=ctx.video_meter)
         self._ajb = JitterBuffer(stats=ctx.audio_meter)
-        self._vd = (
-            H264Depayloader() if neg.video_codec == "h264" else Vp8Depayloader()
-        )
+        self._vd = {
+            "h264": H264Depayloader,
+            "vp8": Vp8Depayloader,
+            "vp9": Vp9Depayloader,
+        }.get(neg.video_codec or "h264", H264Depayloader)()
+        self._last_nack = 0.0
         self._ad = OpusDepayloader()
         self._threads = []
         if self.video_aus is not None:
@@ -141,6 +149,7 @@ class _RtpReceiverBridge:
                         self.video_aus.send(au)
                     except Closed:
                         pass
+            self._maybe_nack(pkt.ssrc)
         elif pkt.payload_type == self.neg.audio_pt and self.audio_aus is not None:
             for ordered in self._ajb.push(pkt):
                 for au in self._ad.push(ordered):
@@ -148,6 +157,30 @@ class _RtpReceiverBridge:
                         self.audio_aus.send(au)
                     except Closed:
                         pass
+
+    # at most one NACK burst per 20 ms (standard libwebrtc pacing)
+    _NACK_INTERVAL_S = 0.020
+
+    def _maybe_nack(self, media_ssrc: int) -> None:
+        """Request retransmission of missing video packets (RFC 4585
+        Generic NACK — reference webrtc NACK/RTX receive hardening)."""
+        import time as _time
+
+        now = _time.monotonic()
+        if now - self._last_nack < self._NACK_INTERVAL_S:
+            return
+        lost = self._vjb.nack_candidates()
+        if not lost:
+            return
+        self._last_nack = now
+        from smelter_tpu.io import rtcp as rtcp_mod
+
+        try:
+            self.session.send_rtcp(
+                rtcp_mod.build_nack(0x534D4C54, media_ssrc, lost)
+            )
+        except Exception:
+            logger.debug("NACK send failed", exc_info=True)
 
     def close(self) -> None:
         for ch in (self.video_aus, self.audio_aus):
@@ -292,6 +325,10 @@ class _RtpSenderBridge(OutputSink):
         this implementation is single-subscriber)."""
         return 1 if self.is_connected else 0
 
+    # retransmission cache depth (seq ring; ~0.5-2 s of video at typical
+    # packet rates — matches libwebrtc's history sizing order of magnitude)
+    RETRANSMIT_CACHE = 512
+
     def attach(self, session: WebRtcSession, video_pt: int, audio_pt: int) -> None:
         from smelter_tpu.io import rtcp as rtcp_mod
 
@@ -299,18 +336,34 @@ class _RtpSenderBridge(OutputSink):
             for item in rtcp_mod.parse_compound(data):
                 if isinstance(item, rtcp_mod.Pli) and self.on_keyframe_request:
                     self.on_keyframe_request()
+                elif isinstance(item, rtcp_mod.Nack):
+                    self._retransmit(item.lost_seqs)
 
         session.on_rtcp = on_rtcp
         with self._lock:
             self.session = session
             self.video_pt = video_pt
             self.audio_pt = audio_pt
-            self._vp = (
-                Vp8Payloader(ssrc=0x574950, payload_type=video_pt, mtu=1200)
-                if self.video_codec == "vp8"
-                else H264Payloader(ssrc=0x574950, payload_type=video_pt, mtu=1200)
-            )
+            payloader = {
+                "vp8": Vp8Payloader,
+                "vp9": Vp9Payloader,
+            }.get(self.video_codec, H264Payloader)
+            self._vp = payloader(ssrc=0x574950, payload_type=video_pt, mtu=1200)
             self._ap = OpusPayloader(ssrc=0x574941, payload_type=audio_pt)
+            self._sent_cache: dict = {}
+
+    def _retransmit(self, lost_seqs) -> None:
+        """Answer a Generic NACK by resending cached packets verbatim
+        (plain retransmission; RTX ssrc-multiplexing is not negotiated)."""
+        with self._lock:
+            session = self.session
+            cache = getattr(self, "_sent_cache", None)
+        if session is None or not cache:
+            return
+        for seq in lost_seqs:
+            data = cache.get(seq & 0xFFFF)
+            if data is not None:
+                session.send_rtp(data)
 
     def detach(self) -> None:
         with self._lock:
@@ -332,10 +385,17 @@ class _RtpSenderBridge(OutputSink):
         if session is None or vp is None or not session.established.is_set():
             return
         data = pkt.data
-        if pkt.is_keyframe and self._video_extradata and not _has_sps(data):
+        if (pkt.is_keyframe and self._video_extradata
+                and self.video_codec == "h264" and not _has_sps(data)):
             data = self._video_extradata + data
         for rtp_pkt in vp.payload(data, pkt.pts_s or 0.0):
-            session.send_rtp(rtp_pkt.serialize())
+            wire = rtp_pkt.serialize()
+            # NACK retransmit cache (bounded ring by 16-bit seq)
+            cache = self._sent_cache
+            cache[rtp_pkt.sequence_number & 0xFFFF] = wire
+            if len(cache) > self.RETRANSMIT_CACHE:
+                cache.pop(next(iter(cache)))
+            session.send_rtp(wire)
 
     def write_audio_packet(self, pkt) -> None:
         with self._lock:

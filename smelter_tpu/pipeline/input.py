@@ -83,18 +83,24 @@ class Mp4Input(InputSource):
     on each pass so the timeline is continuous) and seek (restarts the
     reader against a fresh queue track — reference mp4_input.rs:39-70)."""
 
+    # subclasses (HlsInput) keep the probe demuxer open for reuse: a live
+    # playlist re-open means re-fetching segments
+    _keep_probe_open = False
+
     def __init__(self, options: Mp4InputOptions) -> None:
         self.options = options
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._seek_to: Optional[float] = None
+        self._probe_demux = None
         # probe streams up front so has_video/has_audio are correct before
         # the queue track is created
-        from smelter_tpu.io.codec import Demuxer
-
-        demux = Demuxer(self.options.path)
+        demux = self._open_demuxer()
         infos = demux.streams()
-        demux.close()
+        if self._keep_probe_open:
+            self._probe_demux = demux
+        else:
+            demux.close()
         self._video_info = next(
             (s for s in infos if s.media_type == "video" and s.codec != 0), None
         )
@@ -105,6 +111,24 @@ class Mp4Input(InputSource):
         self.has_audio = self._audio_info is not None
         if not self.has_video and not self.has_audio:
             raise ValueError(f"no decodable streams in {self.options.path}")
+
+    def _open_demuxer(self):
+        from smelter_tpu.io.codec import Demuxer
+
+        return Demuxer(self.options.path)
+
+    def _acquire_demuxer(self):
+        """First pass reuses the probe demuxer when kept open."""
+        d, self._probe_demux = self._probe_demux, None
+        if d is None:
+            d = self._open_demuxer()
+        self._active_demux = d
+        return d
+
+    def _filter_packet(self, pkt):
+        """Hook: adjust or drop (return None) a demuxed packet before it is
+        fanned out to the decoder threads."""
+        return pkt
 
     def start(self, ctx: InputCtx) -> None:
         self._thread = threading.Thread(
@@ -276,7 +300,7 @@ class Mp4Input(InputSource):
             seek_to = self._seek_to
             self._seek_to = None
             while not self._stop.is_set():
-                demux = Demuxer(self.options.path)
+                demux = self._acquire_demuxer()
                 if seek_to:
                     try:
                         demux.seek(seek_to)
@@ -295,6 +319,9 @@ class Mp4Input(InputSource):
                     pkt = demux.read()
                     if pkt is None:
                         break
+                    pkt = self._filter_packet(pkt)
+                    if pkt is None:
+                        continue
                     target = None
                     meter = None
                     if vinfo and vpkts is not None and pkt.stream_index == vinfo.index:
@@ -327,3 +354,90 @@ class Mp4Input(InputSource):
         finally:
             for _t, ch in workers:
                 ch.close()
+
+
+@dataclass
+class HlsInputOptions:
+    url: str = ""
+
+
+class HlsInput(Mp4Input):
+    """HLS playlist input (reference `hls/hls_input.rs`).
+
+    Differences from the generic URL demuxer that justify a dedicated
+    input (hls_input.rs:554-605):
+
+    - the FFmpeg context opens with a ``protocol_whitelist`` options
+      dictionary AND an armed interrupt callback, so ``stop()`` aborts a
+      blocking segment fetch instead of hanging the demux thread;
+    - live playlists (no container duration) re-anchor raw PTS (which is
+      wall-clock-ish) against the first received packet;
+    - packets flagged corrupt by the demuxer are dropped, and decode
+      resumes at the next keyframe (hls_input.rs:318-326);
+    - a PTS jump beyond 10 s (hls_input.rs:500 DISCONTINUITY_THRESHOLD)
+      marks an ``#EXT-X-DISCONTINUITY``; the timeline re-anchors so output
+      stays continuous.
+    """
+
+    DISCONTINUITY_THRESHOLD_S = 10.0
+    # reference hls_input.rs:557
+    FFMPEG_OPTIONS = {"protocol_whitelist": "tcp,hls,http,https,file,tls"}
+
+    _keep_probe_open = True
+
+    def __init__(self, options: HlsInputOptions) -> None:
+        self.hls_options = options
+        self._pts_offset: Optional[float] = None
+        self._last_pts: dict = {}
+        self._wait_keyframe = False
+        self._live = False
+        super().__init__(Mp4InputOptions(path=options.url, loop=False))
+        if self._probe_demux is not None:
+            self._live = self._probe_demux.is_live()
+
+    def _open_demuxer(self):
+        from smelter_tpu.io.codec import Demuxer
+
+        return Demuxer(self.options.path, options=dict(self.FFMPEG_OPTIONS))
+
+    def stop(self) -> None:
+        super().stop()
+        for d in (getattr(self, "_active_demux", None), self._probe_demux):
+            if d is not None:
+                try:
+                    d.interrupt()
+                except Exception:
+                    pass
+
+    def _filter_packet(self, pkt):
+        if pkt.is_corrupt:
+            logger.warning("hls: dropping corrupted packet")
+            self._wait_keyframe = True
+            return None
+        if self._wait_keyframe:
+            if not pkt.is_keyframe:
+                return None
+            self._wait_keyframe = False
+        raw = pkt.pts_s if pkt.pts_s is not None else pkt.dts_s
+        if raw is None:
+            return pkt
+        if self._pts_offset is None:
+            # live playlists start at an arbitrary (wall-clock) PTS
+            self._pts_offset = raw if self._live else 0.0
+        last = self._last_pts.get(pkt.stream_index)
+        if last is not None and abs(raw - self._pts_offset - last) > self.DISCONTINUITY_THRESHOLD_S:
+            # #EXT-X-DISCONTINUITY: re-anchor so the output timeline stays
+            # continuous (reference restarts tracks, hls_input.rs:396-420)
+            logger.warning(
+                "hls: discontinuity (raw=%.3f last=%.3f), re-anchoring", raw, last
+            )
+            self._pts_offset = raw - (last + 0.033)
+            self._wait_keyframe = True
+            if not pkt.is_keyframe:
+                return None
+        self._last_pts[pkt.stream_index] = raw - self._pts_offset
+        if pkt.pts_s is not None:
+            pkt.pts_s -= self._pts_offset
+        if pkt.dts_s is not None:
+            pkt.dts_s -= self._pts_offset
+        return pkt

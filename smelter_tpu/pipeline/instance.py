@@ -458,13 +458,17 @@ class Pipeline:
                 pass
             self._profiling = False
         self._closed.set()
-        self.queue.close()
+        # close the render/mixer channels BEFORE joining the queue thread:
+        # in AOT mode the queue sends without a deadline, so a stopped
+        # renderer would otherwise leave it blocked forever
         if self._video_channel is not None:
             self._video_channel.close()
         if self._audio_channel is not None:
             self._audio_channel.close()
+        self.queue.close()
         with self._lock:
-            for src in self._inputs.values():
+            inputs = list(self._inputs.values())
+            for src in inputs:
                 src.stop()
             for scs in self._side_channels.values():
                 for sc in scs:
@@ -473,6 +477,17 @@ class Pipeline:
             outs = list(self._outputs.values())
         for out in outs:
             out.close()
+        # Join every stage so short-lived scripts exit cleanly: daemon
+        # threads killed mid-codec-call at interpreter exit abort noisily
+        # (the reference tears stages down via ownership drop; here an
+        # explicit join-all plays that role).
+        for src in inputs:
+            join = getattr(src, "join", None)
+            if join is not None:
+                join(timeout=5.0)
+        for t in self._threads:
+            t.join(timeout=5.0)
+        self._threads.clear()
 
     def wait_for_outputs_done(self, timeout: Optional[float] = None) -> None:
         with self._lock:

@@ -581,8 +581,18 @@ class Queue:
 
     def close(self) -> None:
         self._should_close.set()
+        # unblock any producer stuck on a bounded per-track channel (AOT
+        # mode sends without deadline), otherwise decode threads outlive
+        # the pipeline and short scripts abort noisily at interpreter exit
+        with self._lock:
+            inputs = list(self.inputs.values())
+        for qi in inputs:
+            for track in list(getattr(qi, "_tracks", ())):
+                for recv in (track.video, track.audio):
+                    if recv is not None:
+                        recv.channel.close()
         if self._thread:
-            self._thread.join(timeout=2.0)
+            self._thread.join(timeout=5.0)
 
     def _run(self) -> None:
         while not self._should_close.is_set():

@@ -548,6 +548,18 @@ class ShaderRegistry:
 
 _DUMMY = np.zeros((2, 2, 4), np.float32)
 
+# Process-wide trace serialization. A rare (~1-in-3 live soaks) trace-time
+# shape corruption was observed in the banded-shear rotation when two
+# background compiles traced concurrently (never single-threaded; see
+# ops/rotate.py diagnostic assert). The program code itself shares no
+# mutable state across traces, which points at JAX-internal global state
+# under concurrent tracing; serializing trace+first-call removes the race
+# class. Cost: concurrent background compiles queue — off the 60 Hz hot
+# path by construction (outputs freeze-frame until their program is ready).
+import threading as _threading_mod
+
+_TRACE_LOCK = _threading_mod.RLock()
+
 
 class OutputProgram:
     """Holds the compiled render fn cache for one output's node tree."""
@@ -784,10 +796,19 @@ class OutputProgram:
             if allow_async_compile:
                 self._compile_async(key, plan, input_frames)
                 return None
-            fn = self._build(key, plan, input_frames)
-            # warm: the first call compiles; do it here so timing is charged
-            # to the control path, not a later hot frame
-            self._store_program(key, fn)
+            # build + first call (which traces/compiles) under the process
+            # trace lock; timing is charged to the control path
+            with _TRACE_LOCK:
+                fn = self._build(key, plan, input_frames)
+                out = fn(
+                    plan.frame_buf,
+                    plan.raw_planes,
+                    plan.aux_textures,
+                    plan.packed_params,
+                    plan.shader_params,
+                )
+                self._store_program(key, fn)
+            return out
         return fn(
             plan.frame_buf,
             plan.raw_planes,
@@ -816,16 +837,18 @@ class OutputProgram:
 
         def work() -> None:
             try:
-                fn = self._build(key, plan, input_frames)
-                # actually compile by executing once with the captured args
-                out = fn(
-                    plan.frame_buf,
-                    plan.raw_planes,
-                    plan.aux_textures,
-                    plan.packed_params,
-                    plan.shader_params,
-                )
-                jax.block_until_ready(out)
+                # trace + compile serialized process-wide (see _TRACE_LOCK)
+                with _TRACE_LOCK:
+                    fn = self._build(key, plan, input_frames)
+                    # actually compile by executing once with the captured args
+                    out = fn(
+                        plan.frame_buf,
+                        plan.raw_planes,
+                        plan.aux_textures,
+                        plan.packed_params,
+                        plan.shader_params,
+                    )
+                    jax.block_until_ready(out)
                 self._store_program(key, fn)
             except Exception:  # pragma: no cover - surfaced via logs
                 import logging

@@ -139,11 +139,11 @@ def build_app(state: ApiState) -> web.Application:
                         "audio_duration_ms": int(ad * 1000) if ad else None,
                     }
                 if isinstance(spec, api.HlsInput):
-                    from smelter_tpu.pipeline.input import Mp4Input as _FfInput
-                    from smelter_tpu.pipeline.input import Mp4InputOptions
+                    from smelter_tpu.pipeline.input import HlsInput as _HlsInput
+                    from smelter_tpu.pipeline.input import HlsInputOptions
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
-                    source = _FfInput(Mp4InputOptions(path=spec.url))
+                    source = _HlsInput(HlsInputOptions(url=spec.url))
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -694,7 +694,15 @@ def build_app(state: ApiState) -> web.Application:
         if request.method == "DELETE":
             await _run_blocking(source.disconnect)
             return web.Response(status=200)
-        return web.Response(status=204)  # trickle-ICE PATCH: full answer sent
+        # trickle-ICE PATCH (RFC 8840 sdpfrag): feed late remote candidates
+        # to the live session (reference webrtc/trickle_ice_utils.rs)
+        from smelter_tpu.io.webrtc import sdp as _sdp
+
+        body = (await request.read()).decode(errors="replace")
+        cands = _sdp.parse_candidate_fragment(body)
+        if cands and source.session is not None:
+            source.session.add_remote_candidates(cands)
+        return web.Response(status=204)
 
     async def whep_endpoint(request: web.Request) -> web.Response:
         output_id = request.match_info["id"]
@@ -736,6 +744,12 @@ def build_app(state: ApiState) -> web.Application:
         if request.method == "DELETE":
             await _run_blocking(sink.detach)
             return web.Response(status=200)
+        from smelter_tpu.io.webrtc import sdp as _sdp
+
+        body = (await request.read()).decode(errors="replace")
+        cands = _sdp.parse_candidate_fragment(body)
+        if cands and sink.session is not None:
+            sink.session.add_remote_candidates(cands)
         return web.Response(status=204)
 
     app.router.add_post("/whip/{id}", whip_endpoint)

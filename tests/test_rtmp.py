@@ -615,3 +615,113 @@ def test_enhanced_rtmp_hevc_publish_end_to_end(tmp_path):
     # green content → low U, low V
     assert float(np.mean([float(f[1].mean()) for f in frames])) < 80
     assert float(np.mean([float(f[2].mean()) for f in frames])) < 80
+
+
+def test_ex_video_tag_roundtrips_through_parser():
+    from smelter_tpu.io.rtmp.session import (
+        build_vpcc_record,
+        ex_video_tag,
+        extract_av1_sequence_header,
+        parse_video_tag,
+    )
+
+    # hvc1 CodedFrames with CTS
+    tag = ex_video_tag(b"hvc1", b"\x00\x00\x00\x02ab", True, 1, cts_ms=40)
+    kind, key, cts, body = parse_video_tag(tag)
+    assert (kind, key, cts, body) == ("hevc_frame", True, 40, b"\x00\x00\x00\x02ab")
+    # av01 CodedFramesX (no CTS)
+    tag = ex_video_tag(b"av01", b"\x12\x00", False, 3)
+    kind, key, cts, body = parse_video_tag(tag)
+    assert (kind, key, cts, body) == ("av1_frame", False, 0, b"\x12\x00")
+    # vp09 SequenceStart carries a vpcC record
+    rec = build_vpcc_record()
+    tag = ex_video_tag(b"vp09", rec, True, 0)
+    kind, key, cts, body = parse_video_tag(tag)
+    assert (kind, body) == ("vp9_header", rec)
+    # AV1 seq-header OBU extraction: temporal delimiter then seq header
+    data = bytes([0x12, 0x00]) + bytes([0x0A, 0x03, 1, 2, 3]) + bytes([0x32, 0x01, 0xFF])
+    assert extract_av1_sequence_header(data) == bytes([0x0A, 0x03, 1, 2, 3])
+
+
+@pytest.mark.parametrize("codec,fourcc_kind", [("h265", "hevc"), ("vp9", "vp9")])
+def test_enhanced_rtmp_client_publish_loopback(tmp_path, codec, fourcc_kind):
+    """OUR client output publishing enhanced-RTMP (FourCC ExVideo tags,
+    reference rtmp/src/flv/) → OUR server input → decode → MP4."""
+    from smelter_tpu.pipeline.input import Mp4Input, Mp4InputOptions
+    from tests.test_pipeline import _make_source_mp4
+
+    src = str(tmp_path / "src.mp4")
+    _make_source_mp4(src, "red", 440.0)
+    out_path = str(tmp_path / "out.mp4")
+
+    rx = Pipeline(PipelineOptions(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+    ))
+    server = RtmpServerInput(RtmpInputOptions())
+    rx.register_input("in", server, RegisterInputOptions(required=True, offset=0.0))
+    rx.register_output(
+        "out", Mp4OutputSink(out_path),
+        video=OutputVideoOptions(
+            resolution=Resolution(320, 240),
+            encoder=VideoEncoderOptions(codec="h264", preset="ultrafast"),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="in")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+    rx.start()
+
+    tx = Pipeline(PipelineOptions(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+    ))
+    tx.register_input(
+        "a", Mp4Input(Mp4InputOptions(path=src)),
+        RegisterInputOptions(required=True, offset=0.0),
+    )
+    sink = RtmpClientOutput(f"rtmp://127.0.0.1:{server.port}/live/key")
+    tx.register_output(
+        "rtmp", sink,
+        video=OutputVideoOptions(
+            resolution=Resolution(320, 240),
+            encoder=VideoEncoderOptions(codec=codec),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="a")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+    tx.start()
+    assert _wait_done(tx, "rtmp", 180), "tx OUTPUT_DONE not observed"
+    assert _wait_done(rx, "out", 180), "rx OUTPUT_DONE not observed"
+    tx.close()
+    rx.close()
+
+    from smelter_tpu.io.codec import Demuxer, VideoDecoder
+
+    d = Demuxer(out_path)
+    vinfo = next(s for s in d.streams() if s.media_type == "video")
+    vdec = VideoDecoder(vinfo.codec, vinfo.extradata)
+    frames = []
+
+    def _pump():
+        while True:
+            f = vdec.receive()
+            if f is None or f == "eof":
+                return
+            frames.append(f)
+
+    while True:
+        pkt = d.read()
+        if pkt is None:
+            break
+        if pkt.stream_index == vinfo.index:
+            vdec.send(pkt.data, pkt.pts_s or 0.0)
+            _pump()
+    vdec.send_eof()
+    _pump()
+    d.close()
+    vdec.close()
+    assert len(frames) >= 40, len(frames)
+    # red content survives the h265/vp9 → h264 transcode: high V plane
+    assert float(np.mean([float(f[2].mean()) for f in frames])) > 170

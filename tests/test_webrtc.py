@@ -406,3 +406,186 @@ def test_whep_subscribe_end_to_end(tmp_path):
             rx.close()
         s.state.pipeline.close()
         s.stop()
+
+
+def test_rtcp_nack_build_parse_roundtrip():
+    from smelter_tpu.io import rtcp
+
+    seqs = [100, 101, 105, 116, 117, 300]
+    data = rtcp.build_nack(0x11, 0x22, seqs)
+    items = rtcp.parse_compound(data)
+    assert len(items) == 1
+    nack = items[0]
+    assert isinstance(nack, rtcp.Nack)
+    assert (nack.sender_ssrc, nack.media_ssrc) == (0x11, 0x22)
+    assert sorted(nack.lost_seqs) == seqs
+    # seq-wrap packing: 65535 and 3 are 4 apart mod 2^16 → one FCI pair
+    data = rtcp.build_nack(1, 2, [65535, 3])
+    nack = rtcp.parse_compound(data)[0]
+    assert sorted(nack.lost_seqs) == [3, 65535]
+
+
+def test_jitter_buffer_nack_candidates():
+    from smelter_tpu.io.rtp import JitterBuffer, RtpPacket
+
+    jb = JitterBuffer(window_s=10.0)  # big window: gaps stay pending
+    jb.push(RtpPacket(96, 10, 0, 1, b"a"))
+    jb.push(RtpPacket(96, 14, 0, 1, b"b"))  # 11,12,13 missing
+    assert jb.nack_candidates() == [11, 12, 13]
+    # retry budget: each seq reported at most MAX_NACK_RETRIES times
+    for _ in range(JitterBuffer.MAX_NACK_RETRIES - 1):
+        assert jb.nack_candidates() == [11, 12, 13]
+    assert jb.nack_candidates() == []
+    # a filled gap stops being a candidate
+    jb2 = JitterBuffer(window_s=10.0)
+    jb2.push(RtpPacket(96, 1, 0, 1, b"a"))
+    jb2.push(RtpPacket(96, 3, 0, 1, b"b"))
+    assert jb2.nack_candidates() == [2]
+    jb2.push(RtpPacket(96, 2, 0, 1, b"c"))
+    assert jb2.nack_candidates() == []
+
+
+def test_trickle_ice_fragment_parsing():
+    frag = (
+        "a=ice-ufrag:abcd\r\n"
+        "a=ice-pwd:efgh\r\n"
+        "m=audio 9 UDP/TLS/RTP/SAVPF 111\r\n"
+        "a=mid:0\r\n"
+        "a=candidate:1 1 udp 2130706431 192.0.2.10 5000 typ host\r\n"
+        "candidate:2 1 udp 1694498815 203.0.113.5 6000 typ srflx\r\n"
+        "a=candidate:3 1 tcp 2105458943 192.0.2.10 9 typ host\r\n"  # tcp: skip
+        "a=end-of-candidates\r\n"
+    )
+    assert sdp_mod.parse_candidate_fragment(frag) == [
+        ("192.0.2.10", 5000), ("203.0.113.5", 6000),
+    ]
+
+
+def test_session_add_remote_candidates_dedup():
+    s = WebRtcSession(is_offerer=True)
+    s.remote_candidates = [("10.0.0.1", 1000)]
+    s.add_remote_candidates([("10.0.0.1", 1000), ("10.0.0.2", 2000)])
+    assert s.remote_candidates == [("10.0.0.1", 1000), ("10.0.0.2", 2000)]
+    s.close()
+
+
+def test_vp9_negotiation_and_loss_recovery_loopback():
+    """VP9 offer negotiates (reference negotiated_codecs.rs breadth) and a
+    dropped media packet is recovered via Generic NACK retransmission: the
+    receiver's jitter buffer NACKs the gap, the sender's retransmit cache
+    answers, and the access unit still decodes in order."""
+    import numpy as np
+
+    from smelter_tpu.io.rtp import RtpPacket
+    from smelter_tpu.io.webrtc.whip import (
+        NegotiatedMedia,
+        _RtpReceiverBridge,
+        _RtpSenderBridge,
+        negotiate,
+    )
+    from smelter_tpu.pipeline.input import InputCtx
+    from smelter_tpu.utils.channels import Channel
+
+    # --- negotiation: VP9-only offer picks vp9
+    offer = sdp_mod.parse(sdp_mod.build(
+        "uf", "pw", "AA:BB", setup="actpass",
+        media=sdp_mod.default_offer_media("vp9"),
+        directions=["sendrecv", "sendrecv"], candidate=("127.0.0.1", 9),
+    ))
+    neg = negotiate(offer)
+    assert neg.video_codec == "vp9" and neg.video_pt == 98
+
+    # --- transport pair
+    answerer = WebRtcSession(is_offerer=False)
+    offerer = WebRtcSession(is_offerer=True)
+    offer_desc = sdp_mod.parse(sdp_mod.build(
+        offerer.local_ufrag, offerer.local_pwd, offerer.fingerprint(),
+        setup="actpass", media=sdp_mod.default_offer_media("vp9"),
+        directions=["sendrecv", "sendrecv"], candidate=offerer.candidate,
+    ))
+    answer_desc = sdp_mod.parse(sdp_mod.build(
+        answerer.local_ufrag, answerer.local_pwd, answerer.fingerprint(),
+        setup="passive", media=sdp_mod.default_offer_media("vp9"),
+        directions=["sendrecv", "sendrecv"], candidate=answerer.candidate,
+        ice_lite=True,
+    ))
+    answerer.set_remote(offer_desc)
+    offerer.set_remote(answer_desc)
+
+    # receiver side: bridge with a VP9 depayloader + decode thread
+    vch = Channel(64)
+    ctx = InputCtx(input_id="v", video_channel=vch, audio_channel=None)
+    bridge = _RtpReceiverBridge(answerer, ctx, neg)
+
+    # sender side: VP9 payloader + NACK retransmit cache
+    sender = _RtpSenderBridge()
+    sender.video_codec = "vp9"
+    sender.attach(offerer, 98, 111)
+
+    answerer.start()
+    offerer.start()
+    assert offerer.established.wait(timeout=15)
+    assert answerer.established.wait(timeout=15)
+
+    # encode a few real VP9 frames
+    from smelter_tpu.io.codec import Codec, VideoEncoder
+
+    enc = VideoEncoder(Codec.VP9, 128, 96, 30)
+    y = np.full((96, 128), 120, np.uint8)
+    u = np.full((48, 64), 128, np.uint8)
+    v = np.full((48, 64), 128, np.uint8)
+    pkts = []
+    for i in range(10):
+        enc.send(y, u, v, i / 30.0)
+        while True:
+            p = enc.receive()
+            if p is None or p == "eof":
+                break
+            pkts.append(p)
+    enc.send_eof()
+    while True:
+        p = enc.receive()
+        if p is None or p == "eof":
+            break
+        pkts.append(p)
+    enc.close()
+    assert len(pkts) >= 8
+
+    # send through the bridge, dropping one mid-stream RTP packet at the
+    # transport (monkeypatch send_rtp once) to force a NACK round trip
+    real_send = offerer.send_rtp
+    dropped = {"n": 0}
+
+    def lossy_send(data):
+        pkt = RtpPacket.parse(data)
+        if pkt is not None and pkt.sequence_number == 5 and dropped["n"] == 0:
+            dropped["n"] = 1
+            return  # drop exactly once; the retransmit must heal it
+        real_send(data)
+
+    offerer.send_rtp = lossy_send
+
+    class _Pkt:
+        def __init__(self, p):
+            self.data, self.pts_s, self.is_keyframe = p.data, p.pts_s, p.is_keyframe
+
+    for p in pkts:
+        sender.write_video_packet(_Pkt(p))
+        time.sleep(0.01)
+
+    # collect decoded frames; NACK recovery should deliver all 10
+    frames = []
+    deadline = time.time() + 20
+    while time.time() < deadline and len(frames) < 10:
+        try:
+            frames.append(vch.recv(timeout=1))
+        except TimeoutError:
+            continue
+        except Exception:
+            break
+    bridge.close()
+    sender.detach()
+    answerer.close()
+    offerer.close()
+    assert dropped["n"] == 1, "the loss injection never triggered"
+    assert len(frames) >= 9, len(frames)
