@@ -1,0 +1,227 @@
+"""Threaded UDP endpoints driving QuicConnection state machines.
+
+Server demuxes datagrams to connections by destination CID (our 8-byte
+scid) and accepts new connections on unknown-DCID Initials; the client
+drives a single connection. Both run one receive thread with a short
+socket timeout that doubles as the timer pump. The application reads
+ordered stream events from a thread-safe queue per connection.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import socket
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+from smelter_tpu.io.quic import packet as pkt
+from smelter_tpu.io.quic.connection import QuicConnection, QuicStreamEvent
+
+logger = logging.getLogger("smelter.quic")
+
+
+class QuicConnectionHandle:
+    """Thread-safe facade over one QuicConnection."""
+
+    def __init__(self, conn: QuicConnection, endpoint: "_EndpointBase",
+                 addr: Tuple[str, int]) -> None:
+        self._conn = conn
+        self._endpoint = endpoint
+        self.addr = addr
+        self.events: "queue.Queue[QuicStreamEvent]" = queue.Queue()
+        self.established = threading.Event()
+        self.closed = threading.Event()
+        conn.on_established = self.established.set
+
+    @property
+    def alpn(self) -> Optional[str]:
+        return self._conn.tls.negotiated_alpn
+
+    def open_stream(self, bidi: bool = True) -> int:
+        with self._endpoint._lock:
+            return self._conn.open_stream(bidi)
+
+    def send_stream(self, stream_id: int, data: bytes, fin: bool = False) -> None:
+        with self._endpoint._lock:
+            self._conn.send_stream_data(stream_id, data, fin)
+        self._endpoint.wake()
+
+    def send_datagram(self, data: bytes) -> None:
+        with self._endpoint._lock:
+            self._conn.send_datagram(data)
+        self._endpoint.wake()
+
+    def close(self, error_code: int = 0, reason: bytes = b"") -> None:
+        with self._endpoint._lock:
+            self._conn.close(error_code, reason)
+        self._endpoint.wake()
+
+    def recv_event(self, timeout: Optional[float] = None) -> Optional[QuicStreamEvent]:
+        try:
+            return self.events.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+
+class _EndpointBase:
+    def __init__(self, sock: socket.socket) -> None:
+        self.sock = sock
+        self.sock.settimeout(0.01)
+        self._lock = threading.RLock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def wake(self) -> None:
+        # the loop's 10 ms socket timeout doubles as the send pump; a
+        # dedicated wakeup socket isn't worth it at media frame rates
+        pass
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, name="quic-endpoint",
+                                        daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    # subclass interface
+    def _run(self) -> None:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def _sendto(self, data: bytes, addr: Tuple[str, int]) -> None:
+        """Single egress point (tests inject loss here)."""
+        try:
+            self.sock.sendto(data, addr)
+        except OSError:
+            pass
+
+    def _pump_connection(self, handle: QuicConnectionHandle, now: float) -> None:
+        conn = handle._conn
+        timer = conn.next_timer()
+        if timer is not None and now >= timer:
+            conn.handle_timer(now)
+        for dgram in conn.datagrams_to_send(now):
+            self._sendto(dgram, handle.addr)
+        while True:
+            ev = conn.poll_event()
+            if ev is None:
+                break
+            handle.events.put(ev)
+        if conn.closed and not handle.closed.is_set():
+            handle.closed.set()
+
+
+class QuicClient(_EndpointBase):
+    """One outbound QUIC connection."""
+
+    def __init__(self, host: str, port: int, alpn: List[str],
+                 server_name: Optional[str] = None) -> None:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind(("0.0.0.0", 0))
+        super().__init__(sock)
+        addr = (socket.gethostbyname(host), port)
+        self.conn = QuicConnection(
+            is_client=True, alpn=alpn, server_name=server_name or host
+        )
+        self.handle = QuicConnectionHandle(self.conn, self, addr)
+
+    def connect(self, timeout: float = 10.0) -> QuicConnectionHandle:
+        self.start()
+        if not self.handle.established.wait(timeout=timeout):
+            self.close()
+            raise ConnectionError("QUIC handshake timed out")
+        return self.handle
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            now = time.monotonic()
+            with self._lock:
+                self._pump_connection(self.handle, now)
+                if self.conn.closed:
+                    self.handle.closed.set()
+                    break
+            try:
+                data, addr = self.sock.recvfrom(65535)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            with self._lock:
+                self.conn.receive_datagram(data, time.monotonic())
+
+
+class QuicServer(_EndpointBase):
+    """Accepts QUIC connections; hands each to `on_connection`."""
+
+    def __init__(self, port: int, cert_der: bytes, key_pem: bytes,
+                 alpn: List[str],
+                 on_connection: Callable[[QuicConnectionHandle], None]) -> None:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind(("0.0.0.0", port))
+        super().__init__(sock)
+        self.port = sock.getsockname()[1]
+        self.cert_der = cert_der
+        self.key_pem = key_pem
+        self.alpn = alpn
+        self.on_connection = on_connection
+        self._by_scid: Dict[bytes, QuicConnectionHandle] = {}
+        self._by_addr: Dict[Tuple[str, int], QuicConnectionHandle] = {}
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            now = time.monotonic()
+            with self._lock:
+                dead = []
+                for scid, handle in self._by_scid.items():
+                    self._pump_connection(handle, now)
+                    if handle._conn.closed:
+                        handle.closed.set()
+                        dead.append((scid, handle.addr))
+                for scid, addr in dead:
+                    self._by_scid.pop(scid, None)
+                    self._by_addr.pop(addr, None)
+            try:
+                data, addr = self.sock.recvfrom(65535)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            with self._lock:
+                self._dispatch(data, addr, time.monotonic())
+
+    def _dispatch(self, data: bytes, addr: Tuple[str, int], now: float) -> None:
+        handle: Optional[QuicConnectionHandle] = None
+        if data and (data[0] & 0x80):
+            try:
+                hdr, _ = pkt.parse_long_header_prefix(data)
+            except ValueError:
+                return
+            handle = self._by_scid.get(hdr.dcid) or self._by_addr.get(addr)
+            if handle is None and hdr.packet_type == pkt.PKT_INITIAL \
+                    and hdr.version == pkt.QUIC_V1 and len(data) >= 1200:
+                conn = QuicConnection(
+                    is_client=False, odcid=hdr.dcid, alpn=self.alpn,
+                    cert_der=self.cert_der, key_pem=self.key_pem,
+                )
+                handle = QuicConnectionHandle(conn, self, addr)
+                self._by_scid[conn.scid] = handle
+                self._by_addr[addr] = handle
+                try:
+                    self.on_connection(handle)
+                except Exception:
+                    logger.exception("on_connection callback failed")
+        else:
+            # short header: dcid is the first 8 bytes after the flags
+            handle = self._by_scid.get(data[1:9]) or self._by_addr.get(addr)
+        if handle is None:
+            return
+        handle.addr = addr
+        handle._conn.receive_datagram(data, now)

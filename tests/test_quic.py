@@ -1,0 +1,174 @@
+"""From-scratch QUIC v1 stack (io/quic): wire format units + live
+client/server handshake, streams, flow control, datagrams, loss recovery.
+
+Reference context: smelter consumes QUIC through quinn (moq-native);
+this stack replaces it for the MoQ protocol family (SURVEY §2.2 MoQ I/O).
+"""
+
+import random
+import threading
+import time
+
+import pytest
+
+from smelter_tpu.io.quic import QuicClient, QuicServer
+from smelter_tpu.io.quic import packet as pkt
+from smelter_tpu.io.quic.crypto import PacketProtection, initial_secrets
+from smelter_tpu.io.quic.tls import generate_self_signed
+
+
+def test_varint_roundtrip():
+    for v in (0, 1, 63, 64, 16383, 16384, 2**30 - 1, 2**30, 2**62 - 1):
+        enc = pkt.encode_varint(v)
+        dec, pos = pkt.decode_varint(enc, 0)
+        assert dec == v and pos == len(enc)
+
+
+def test_packet_number_codec():
+    # RFC 9000 A.2/A.3 worked example
+    assert pkt.decode_packet_number(0x9B32, 16, 0xA82F30EA) == 0xA82F9B32
+    pn_bytes = pkt.encode_packet_number(0xAC5C02, 0xABE8B3)
+    assert len(pn_bytes) == 2 or len(pn_bytes) == 3  # must disambiguate
+
+
+def test_frame_codec_roundtrip():
+    frames = (
+        pkt.encode_crypto(10, b"abc")
+        + pkt.encode_stream(4, 100, b"payload", True)
+        + pkt.encode_datagram(b"dg")
+        + pkt.encode_ack(pkt.AckFrame(9, 80, [(7, 9), (1, 3)]), 3)
+        + pkt.encode_connection_close(3, None, b"bye")
+    )
+    out = pkt.decode_frames(frames)
+    kinds = [type(f).__name__ for f in out]
+    assert kinds == ["CryptoFrame", "StreamFrame", "DatagramFrame",
+                     "AckFrame", "ConnectionCloseFrame"]
+    ack = out[3]
+    assert ack.largest == 9 and sorted(ack.ranges) == [(1, 3), (7, 9)]
+    st = out[1]
+    assert (st.stream_id, st.offset, st.data, st.fin) == (4, 100, b"payload", True)
+
+
+def test_initial_keys_rfc9001_vectors():
+    """RFC 9001 §A.1: client initial secret for the documented DCID."""
+    dcid = bytes.fromhex("8394c8f03e515708")
+    tx, rx = initial_secrets(dcid, is_client=True)
+    assert tx.hex() == (
+        "c00cf151ca5be075ed0ebfb5c80323c42d6b7db67881289af4008f1f6c357aea"
+    )
+    prot = PacketProtection(tx_secret=tx)
+    assert prot.tx.key.hex() == "1f369613dd76d5467730efcbe3b1a22d"
+    assert prot.tx.iv.hex() == "fa044b2f42a3fd3b46fb255c"
+    assert prot.tx.hp.hex() == "9f50449e04a0e810283a1e9933adedd2"
+
+
+def test_transport_params_roundtrip():
+    tp = pkt.TransportParams(initial_max_data=123456, max_idle_timeout_ms=7000,
+                             initial_max_streams_bidi=7)
+    dec = pkt.decode_transport_params(pkt.encode_transport_params(tp))
+    assert dec.initial_max_data == 123456
+    assert dec.max_idle_timeout_ms == 7000
+    assert dec.initial_max_streams_bidi == 7
+
+
+@pytest.fixture(scope="module")
+def tls_pair():
+    return generate_self_signed()
+
+
+def _pair(tls_pair, alpn=("qt",)):
+    cert, key = tls_pair
+    accepted = []
+    server = QuicServer(0, cert, key, list(alpn), on_connection=accepted.append)
+    server.start()
+    client = QuicClient("127.0.0.1", server.port, list(alpn))
+    h = client.connect(timeout=20)
+    deadline = time.time() + 10
+    while not accepted and time.time() < deadline:
+        time.sleep(0.02)
+    assert accepted
+    sh = accepted[0]
+    assert sh.established.wait(10)
+    return client, server, h, sh
+
+
+def _collect(handle, want_fin=True, timeout=30, stream_only=True):
+    buf = b""
+    fin = False
+    deadline = time.time() + timeout
+    while time.time() < deadline and not fin:
+        ev = handle.recv_event(timeout=1)
+        if ev is None:
+            continue
+        if stream_only and ev.stream_id == -1:
+            continue
+        buf += ev.data
+        fin = fin or ev.fin
+    return buf, fin
+
+
+def test_quic_handshake_streams_datagrams(tls_pair):
+    client, server, h, sh = _pair(tls_pair)
+    try:
+        assert h.alpn == "qt" and sh.alpn == "qt"
+        sid = h.open_stream()
+        payload = bytes(range(256)) * 512  # 128 KiB
+        h.send_stream(sid, payload, fin=True)
+        buf, fin = _collect(sh)
+        assert fin and buf == payload
+        # reverse direction on a server uni stream
+        sid2 = sh.open_stream(bidi=False)
+        sh.send_stream(sid2, payload, fin=True)
+        buf2, fin2 = _collect(h)
+        assert fin2 and buf2 == payload
+        # unreliable datagram
+        h.send_datagram(b"dg-1")
+        deadline = time.time() + 5
+        got = None
+        while time.time() < deadline and got is None:
+            ev = sh.recv_event(timeout=1)
+            if ev is not None and ev.stream_id == -1:
+                got = ev.data
+        assert got == b"dg-1"
+    finally:
+        client.close()
+        server.close()
+
+
+def test_quic_alpn_mismatch_fails(tls_pair):
+    cert, key = tls_pair
+    server = QuicServer(0, cert, key, ["srv-only"], on_connection=lambda h: None)
+    server.start()
+    client = QuicClient("127.0.0.1", server.port, ["cli-only"])
+    try:
+        with pytest.raises(ConnectionError):
+            client.connect(timeout=6)
+    finally:
+        client.close()
+        server.close()
+
+
+def test_quic_loss_recovery(tls_pair):
+    """20% datagram loss injected at the client socket: PTO + packet-
+    threshold retransmission must still deliver the full stream."""
+    client, server, h, sh = _pair(tls_pair)
+    rng = random.Random(7)
+    real_sendto = client._sendto
+
+    def lossy_sendto(data, addr):
+        if rng.random() < 0.2:
+            return  # dropped
+        real_sendto(data, addr)
+
+    client._sendto = lossy_sendto
+    try:
+        sid = h.open_stream()
+        payload = b"loss-recovery " * 4096  # 56 KiB
+        h.send_stream(sid, payload, fin=True)
+        buf, fin = _collect(sh, timeout=60)
+        assert fin, "stream never finished under loss"
+        assert buf == payload
+    finally:
+        client._sendto = real_sendto
+        client.close()
+        server.close()
