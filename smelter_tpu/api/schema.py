@@ -392,8 +392,12 @@ class WhepOutput(ApiModel):
 
 
 class MoqClientOutput(ApiModel):
+    """Reference smelter-api/src/output/moq_client.rs MoqClientOutput."""
+
     type: Literal["moq_client"]
-    url: str
+    endpoint_url: str
+    broadcast_path: str
+    container: Optional[Literal["legacy", "cmaf", "loc"]] = None
     video: Optional[OutputVideoOptions] = None
     audio: Optional[OutputAudioOptions] = None
 
@@ -502,17 +506,26 @@ class DeckLinkInput(ApiModel):
 
 
 class MoqServerInput(ApiModel):
+    """Reference smelter-api/src/input/moq_server.rs MoqServerInput."""
+
     type: Literal["moq_server"]
-    path: Optional[str] = None
+    auth_token: str
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    decoder_map: Optional[Dict[str, str]] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 class MoqClientInput(ApiModel):
+    """Reference smelter-api/src/input/moq_client.rs MoqClientInput."""
+
     type: Literal["moq_client"]
-    url: str
+    endpoint_url: str
+    broadcast_path: str
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    decoder_map: Optional[Dict[str, str]] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 RegisterInput = Annotated[

@@ -72,6 +72,11 @@ class Config:
     whip_whep_server_port: int = 9000
     start_rtmp_server: bool = False
     rtmp_server_port: int = 1935
+    start_moq_server: bool = False
+    moq_server_port: int = 9001
+    moq_disable_tls_verification: bool = False
+    moq_tls_cert_file: str = ""
+    moq_tls_key_file: str = ""
     logger: LoggerConfig = field(default_factory=LoggerConfig)
 
 
@@ -104,6 +109,13 @@ def read_config() -> Config:
         whip_whep_server_port=_env_int("SMELTER_WHIP_WHEP_SERVER_PORT", 9000),
         start_rtmp_server=_env_bool("SMELTER_START_RTMP_SERVER", False),
         rtmp_server_port=_env_int("SMELTER_RTMP_SERVER_PORT", 1935),
+        start_moq_server=_env_bool("SMELTER_START_MOQ_SERVER", False),
+        moq_server_port=_env_int("SMELTER_MOQ_SERVER_PORT", 9001),
+        moq_disable_tls_verification=_env_bool(
+            "SMELTER_MOQ_DISABLE_TLS_VERIFICATION", False
+        ),
+        moq_tls_cert_file=os.environ.get("SMELTER_MOQ_TLS_CERT_FILE", ""),
+        moq_tls_key_file=os.environ.get("SMELTER_MOQ_TLS_KEY_FILE", ""),
         logger=LoggerConfig(
             level=os.environ.get("SMELTER_LOGGER_LEVEL", "info"),
             format=os.environ.get("SMELTER_LOGGER_FORMAT", "compact"),

@@ -117,15 +117,100 @@ def _decode(data: bytes, kind: Optional[str]) -> ImageAsset:
 
 
 def _decode_svg(data: bytes) -> ImageAsset:
-    """Minimal SVG rasterization via matplotlib's SVG path support is not
-    practical; environments without an SVG rasterizer reject SVG assets."""
+    """SVG rasterization via librsvg + cairo through ctypes — the same
+    renderer class as the reference's resvg (`transformations/svg_image.rs`).
+    Falls back to cairosvg if installed; rejects SVG only when neither
+    backend exists."""
     try:
-        import cairosvg  # type: ignore
+        rgba = _rsvg_render(data)
+        return ImageAsset("svg", [rgba], [0.0], rgba.shape[1], rgba.shape[0])
+    except (OSError, AttributeError, ImageError) as first_exc:
+        try:
+            import cairosvg  # type: ignore
 
-        png = cairosvg.svg2png(bytestring=data)
-        return _decode(png, None)
-    except ImportError as exc:
-        raise ImageError(
-            "SVG assets need an SVG rasterizer (cairosvg) which is not "
-            "available in this environment"
-        ) from exc
+            png = cairosvg.svg2png(bytestring=data)
+            return _decode(png, None)
+        except ImportError:
+            raise ImageError(
+                f"SVG rasterization failed ({first_exc}) and no cairosvg "
+                "fallback is available"
+            ) from first_exc
+
+
+_rsvg_libs = None
+
+
+def _rsvg_render(data: bytes) -> np.ndarray:
+    """Render an SVG document at its natural size to straight-alpha RGBA."""
+    import ctypes
+
+    global _rsvg_libs
+    if _rsvg_libs is None:
+        rsvg = ctypes.CDLL("librsvg-2.so.2")
+        cairo = ctypes.CDLL("libcairo.so.2")
+        gobject = ctypes.CDLL("libgobject-2.0.so.0")
+        rsvg.rsvg_handle_new_from_data.restype = ctypes.c_void_p
+        rsvg.rsvg_handle_new_from_data.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+        rsvg.rsvg_handle_get_dimensions.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p]
+        rsvg.rsvg_handle_render_cairo.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p]
+        rsvg.rsvg_handle_render_cairo.restype = ctypes.c_int
+        cairo.cairo_image_surface_create.restype = ctypes.c_void_p
+        cairo.cairo_image_surface_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        cairo.cairo_create.restype = ctypes.c_void_p
+        cairo.cairo_create.argtypes = [ctypes.c_void_p]
+        cairo.cairo_image_surface_get_data.restype = ctypes.POINTER(ctypes.c_ubyte)
+        cairo.cairo_image_surface_get_data.argtypes = [ctypes.c_void_p]
+        cairo.cairo_image_surface_get_stride.argtypes = [ctypes.c_void_p]
+        cairo.cairo_surface_flush.argtypes = [ctypes.c_void_p]
+        cairo.cairo_destroy.argtypes = [ctypes.c_void_p]
+        cairo.cairo_surface_destroy.argtypes = [ctypes.c_void_p]
+        gobject.g_object_unref.argtypes = [ctypes.c_void_p]
+        _rsvg_libs = (rsvg, cairo, gobject)
+    rsvg, cairo, gobject = _rsvg_libs
+
+    class _Dim(ctypes.Structure):
+        _fields_ = [("width", ctypes.c_int), ("height", ctypes.c_int),
+                    ("em", ctypes.c_double), ("ex", ctypes.c_double)]
+
+    err = ctypes.c_void_p(0)
+    handle = rsvg.rsvg_handle_new_from_data(
+        data, len(data), ctypes.byref(err))
+    if not handle:
+        raise ImageError("librsvg could not parse the SVG document")
+    try:
+        dim = _Dim()
+        rsvg.rsvg_handle_get_dimensions(ctypes.c_void_p(handle),
+                                        ctypes.byref(dim))
+        w = max(int(dim.width), 1)
+        h = max(int(dim.height), 1)
+        surface = cairo.cairo_image_surface_create(0, w, h)  # ARGB32
+        cr = cairo.cairo_create(surface)
+        ok = rsvg.rsvg_handle_render_cairo(ctypes.c_void_p(handle), cr)
+        cairo.cairo_surface_flush(surface)
+        if not ok:
+            cairo.cairo_destroy(cr)
+            cairo.cairo_surface_destroy(surface)
+            raise ImageError("librsvg failed to render the SVG document")
+        stride = cairo.cairo_image_surface_get_stride(surface)
+        buf = cairo.cairo_image_surface_get_data(surface)
+        raw = np.ctypeslib.as_array(buf, shape=(h, stride)).copy()
+        cairo.cairo_destroy(cr)
+        cairo.cairo_surface_destroy(surface)
+    finally:
+        gobject.g_object_unref(ctypes.c_void_p(handle))
+    px = raw[:, : w * 4].reshape(h, w, 4)
+    # cairo ARGB32 is premultiplied BGRA in native (little-endian) order
+    b, g, r, a = (px[..., 0].astype(np.float32), px[..., 1].astype(np.float32),
+                  px[..., 2].astype(np.float32), px[..., 3].astype(np.float32))
+    nz = np.maximum(a, 1.0)
+    rgba = np.stack([
+        np.clip(r * 255.0 / nz, 0, 255),
+        np.clip(g * 255.0 / nz, 0, 255),
+        np.clip(b * 255.0 / nz, 0, 255),
+        a,
+    ], axis=-1).astype(np.uint8)
+    return rgba

@@ -1,10 +1,16 @@
-"""Host-side text rasterizer (PIL/FreeType).
+"""Host-side text rasterizer (FreeType + HarfBuzz shaping via libraqm).
 
 TPU-native equivalent of the reference glyphon/cosmic-text renderer
 (`smelter-render/src/transformations/text_renderer.rs`): shapes and rasters a
 Text component once (cached by params), producing an RGBA texture that enters
 the frame program as a constant. Sizing modes: Fitted (trim to content within
 max bounds), FittedColumn (fixed width, fitted height), Fixed.
+
+Shaping: every font loads with PIL's RAQM layout engine (libraqm =
+HarfBuzz + FriBidi), giving real kerning, ligatures, complex-script
+shaping (Arabic joining, Indic conjuncts) and bidi reordering — the same
+capability class as the reference's cosmic-text shaping. Line wrapping
+measures shaped runs, so wrap decisions match what is drawn.
 """
 
 from __future__ import annotations
@@ -74,7 +80,18 @@ def _font_file(family: str, weight: comp.TextWeight, style: comp.TextStyle) -> s
 
 @functools.lru_cache(maxsize=256)
 def _load_font(path: str, size: int) -> ImageFont.FreeTypeFont:
-    return ImageFont.truetype(path, size=size)
+    try:
+        return ImageFont.truetype(path, size=size,
+                                  layout_engine=ImageFont.Layout.RAQM)
+    except Exception:  # raqm missing in a stripped image: basic layout
+        return ImageFont.truetype(path, size=size)
+
+
+def shaping_active() -> bool:
+    """True when libraqm (HarfBuzz shaping + bidi) is available."""
+    from PIL import features
+
+    return bool(features.check("raqm"))
 
 
 def _wrap_lines(

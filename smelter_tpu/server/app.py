@@ -80,6 +80,32 @@ class ApiState:
         self.start_time: Optional[float] = None
         self.input_kinds: dict = {}
         self.output_kinds: dict = {}
+        self.moq_server = None
+        self.moq_state = None
+        if config.start_moq_server:
+            self._start_moq_server()
+
+    def _start_moq_server(self):
+        """Start (or return) the shared MoQ QUIC server (reference
+        spawn_moq_server, instance.rs:630-646 + moq/server.rs). Lazily
+        started on first moq_server input when SMELTER_START_MOQ_SERVER
+        is unset, so tests and ad-hoc registrations just work."""
+        if self.moq_server is None:
+            from smelter_tpu.io.moq import MoqServer, MoqServerState
+
+            cert = key = None
+            c = self.config
+            if c.moq_tls_cert_file and c.moq_tls_key_file:
+                with open(c.moq_tls_cert_file, "rb") as f:
+                    cert = f.read()
+                with open(c.moq_tls_key_file, "rb") as f:
+                    key = f.read()
+            self.moq_state = MoqServerState()
+            self.moq_server = MoqServer(
+                c.moq_server_port if c.start_moq_server else 0,
+                self.moq_state, cert_der=cert, key_pem=key,
+            )
+        return self.moq_server
 
     def _new_pipeline(self) -> Pipeline:
         c = self.config
@@ -268,6 +294,55 @@ def build_app(state: ApiState) -> web.Application:
                     )
                     state.input_kinds[input_id] = "whep"
                     return {}
+                if isinstance(spec, api.MoqServerInput):
+                    from smelter_tpu.io.moq.input import (
+                        MoqServerInput as _MoqSrc,
+                        MoqServerInputOptions,
+                    )
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    server = state._start_moq_server()
+                    source = _MoqSrc(MoqServerInputOptions(
+                        auth_token=spec.auth_token,
+                        decoder_map=spec.decoder_map,
+                    ))
+                    state.pipeline.register_input(
+                        input_id,
+                        source,
+                        RegisterInputOptions(
+                            required=bool(spec.required),
+                            offset=(spec.offset_ms / 1000.0)
+                            if spec.offset_ms is not None
+                            else None,
+                        ),
+                    )
+                    state.moq_state.register(input_id, source)
+                    state.input_kinds[input_id] = "moq_server"
+                    return {"port": server.port}
+                if isinstance(spec, api.MoqClientInput):
+                    from smelter_tpu.io.moq.input import (
+                        MoqClientInput as _MoqCli,
+                        MoqClientInputOptions,
+                    )
+                    from smelter_tpu.pipeline.instance import RegisterInputOptions
+
+                    source = _MoqCli(MoqClientInputOptions(
+                        endpoint_url=spec.endpoint_url,
+                        broadcast_path=spec.broadcast_path,
+                        decoder_map=spec.decoder_map,
+                    ))
+                    state.pipeline.register_input(
+                        input_id,
+                        source,
+                        RegisterInputOptions(
+                            required=bool(spec.required),
+                            offset=(spec.offset_ms / 1000.0)
+                            if spec.offset_ms is not None
+                            else None,
+                        ),
+                    )
+                    state.input_kinds[input_id] = "moq_client"
+                    return {}
                 raise NotImplementedError(
                     f"input protocol {spec.type!r} is not implemented yet"
                 )
@@ -282,6 +357,8 @@ def build_app(state: ApiState) -> web.Application:
         try:
             await _run_blocking(state.pipeline.unregister_input, input_id)
             state.input_kinds.pop(input_id, None)
+            if state.moq_state is not None:
+                state.moq_state.unregister(input_id)
             return _json_ok()
         except KeyError:
             return _error_response(
@@ -391,6 +468,30 @@ def build_app(state: ApiState) -> web.Application:
                     sink = RtmpClientOutput(spec.url, tls_verify=not insecure)
                     state.pipeline.register_output(output_id, sink, video, audio)
                     state.output_kinds[output_id] = "rtmp"
+                    return {}
+                if isinstance(spec, api.MoqClientOutput):
+                    from smelter_tpu.io.moq import MoqClientOutput as _MoqSink
+
+                    video = (
+                        convert.output_video_options(spec.video, "moq")
+                        if spec.video
+                        else None
+                    )
+                    audio = (
+                        convert.output_audio_options(spec.audio)
+                        if spec.audio
+                        else None
+                    )
+                    sink = _MoqSink(
+                        spec.endpoint_url,
+                        spec.broadcast_path,
+                        container=spec.container or "cmaf",
+                        has_video=video is not None,
+                        has_audio=audio is not None,
+                        verify_tls=not state.config.moq_disable_tls_verification,
+                    )
+                    state.pipeline.register_output(output_id, sink, video, audio)
+                    state.output_kinds[output_id] = "moq_client"
                     return {}
                 if isinstance(spec, (api.WhepOutput, api.WhipOutput)):
                     video = (

@@ -360,3 +360,86 @@ def test_scene_update_does_not_stall_render_loop():
         pts += 1 / 30
         _time.sleep(0.05)
     assert became_blue, "new scene never took effect"
+
+
+def test_text_shaping_kerning_and_complex_scripts():
+    """Shaped text fidelity (reference text_renderer.rs:53-110 cosmic-text
+    shaping): kerning pairs tighten, Arabic joins contextually, and the
+    fitted box sizes to the SHAPED width — all things a naive per-glyph
+    raster demonstrably gets wrong."""
+    from PIL import ImageFont
+
+    from smelter_tpu.render.text import TextRenderer, shaping_active
+
+    assert shaping_active(), "libraqm missing: complex-script shaping inactive"
+    tr = TextRenderer()
+
+    def fitted(text):
+        return tr.render(comp.Text(text=text, font_size=32.0,
+                                   color=RGBAColor(255, 255, 255)))
+
+    basic = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 32,
+        layout_engine=ImageFont.Layout.BASIC)
+
+    # kerning: AVATAR must size tighter than the per-glyph advance sum
+    out = fitted("AVATAR")
+    assert out.width < basic.getlength("AVATAR") - 4, (
+        out.width, basic.getlength("AVATAR"))
+
+    # Arabic: joined (shaped) forms are much narrower than isolated glyphs
+    arabic = "سلام عليكم"
+    out_ar = fitted(arabic)
+    assert out_ar.width < basic.getlength(arabic) - 30, (
+        out_ar.width, basic.getlength(arabic))
+    # and it actually rendered ink
+    assert np.asarray(out_ar.rgba)[..., 3].max() > 0
+
+
+def test_text_wrap_measures_shaped_runs():
+    """Word wrap decisions use shaped widths, so a kerned word that fits
+    shaped does not spuriously wrap."""
+    from PIL import ImageFont
+
+    from smelter_tpu.render.text import TextRenderer
+
+    basic = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 32,
+        layout_engine=ImageFont.Layout.BASIC)
+    word = "AVATAR"
+    shaped_w = None
+    tr = TextRenderer()
+    probe = tr.render(comp.Text(text=word, font_size=32.0,
+                                color=RGBAColor(255, 255, 255)))
+    shaped_w = probe.width
+    assert shaped_w < basic.getlength(word)
+    # max_width between shaped and unshaped width: must stay on ONE line
+    limit = (shaped_w + basic.getlength(word)) / 2.0
+    out = tr.render(comp.Text(
+        text=word + " " + word, font_size=32.0, wrap=comp.TextWrap.WORD,
+        color=RGBAColor(255, 255, 255),
+        dimensions=comp.TextDimensions(mode="fitted_column", width=limit),
+    ))
+    # two lines exactly (one word per line), not three
+    assert abs(out.height - 2 * 32.0) < 1.0, out.height
+
+
+def test_svg_image_renders_in_scene():
+    """SVG assets rasterize via librsvg (reference svg_image.rs / resvg)
+    and composite like any image."""
+    svg = (b'<svg xmlns="http://www.w3.org/2000/svg" width="64" height="48">'
+           b'<rect x="0" y="0" width="64" height="48" fill="#00c000"/>'
+           b'<circle cx="32" cy="24" r="10" fill="#ffffff"/></svg>')
+    r = Renderer()
+    r.images.register("logo", data=svg, kind="svg")
+    assert r.images.natural_size("logo") == (64.0, 48.0)
+    r.update_scene(
+        "out",
+        comp.View(background_color=RGBAColor(0, 0, 0, 255),
+                  children=[comp.Image(image_id="logo")]),
+        Resolution(64, 48), PixelFormat.RGBA,
+    )
+    out = np.asarray(r.render(FrameSet(pts=0.0, frames={})).frames["out"].data)
+    # green field with a white disc in the center
+    assert out[4, 4, 1] > 150 and out[4, 4, 0] < 60
+    assert out[24, 32, 0] > 200 and out[24, 32, 1] > 200 and out[24, 32, 2] > 200

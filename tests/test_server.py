@@ -340,3 +340,104 @@ def test_server_reset_and_decklink(server, tmp_path):
         r = c.post("/api/input/sdi/register", json={"type": "decklink"})
         assert r.status_code in (400, 500)
         assert "DeckLink" in r.json()["message"]
+
+
+def test_server_moq_roundtrip(server, tmp_path):
+    """MoQ through the HTTP API (reference moq/server.rs + client_output.rs):
+    the fixture server registers a moq_server input and records it to MP4;
+    a second server instance publishes an MP4 source into it over QUIC."""
+    src = str(tmp_path / "src.mp4")
+    _make_source_mp4(src, "blue", 440.0)
+    out_path = str(tmp_path / "rec.mp4")
+
+    tx = ServerThread(Config(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+        logger=LoggerConfig(level="warning"),
+        api_port=0,
+    ))
+    try:
+        with httpx.Client(base_url=server.base, timeout=180) as c:
+            r = c.post("/api/input/moq-in/register",
+                       json={"type": "moq_server", "auth_token": "tok",
+                             "required": True, "offset_ms": 0})
+            assert r.status_code == 200, r.text
+            moq_port = r.json()["port"]
+            r = c.post(
+                "/api/output/rec/register",
+                json={
+                    "type": "mp4",
+                    "path": out_path,
+                    "video": {
+                        "resolution": {"width": 320, "height": 240},
+                        "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                        "initial": {"root": {
+                            "type": "rescaler",
+                            "child": {"type": "input_stream", "input_id": "moq-in"},
+                        }},
+                        "send_eos_when": {"any_of": ["moq-in"]},
+                    },
+                    "audio": {
+                        "encoder": {"type": "aac"},
+                        "initial": {"inputs": [{"input_id": "moq-in"}]},
+                        "send_eos_when": {"any_of": ["moq-in"]},
+                    },
+                },
+            )
+            assert r.status_code == 200, r.text
+            assert c.post("/api/start", json={}).status_code == 200
+
+        with httpx.Client(base_url=tx.base, timeout=180) as c:
+            assert c.post(
+                "/api/input/src/register",
+                json={"type": "mp4", "path": src, "required": True,
+                      "offset_ms": 0},
+            ).status_code == 200
+            r = c.post(
+                "/api/output/pub/register",
+                json={
+                    "type": "moq_client",
+                    "endpoint_url":
+                        f"moql://127.0.0.1:{moq_port}/moq-in?token=tok",
+                    "broadcast_path": "bcast",
+                    "container": "cmaf",
+                    "video": {
+                        "resolution": {"width": 320, "height": 240},
+                        "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                        "initial": {"root": {
+                            "type": "rescaler",
+                            "child": {"type": "input_stream", "input_id": "src"},
+                        }},
+                        "send_eos_when": {"any_of": ["src"]},
+                    },
+                    "audio": {
+                        "encoder": {"type": "aac"},
+                        "initial": {"inputs": [{"input_id": "src"}]},
+                        "send_eos_when": {"any_of": ["src"]},
+                    },
+                },
+            )
+            assert r.status_code == 200, r.text
+            assert c.post("/api/start", json={}).status_code == 200
+
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            kinds = {(e.kind, e.entity_id)
+                     for e in server.state.pipeline.events.history()}
+            if ("OUTPUT_DONE", "rec") in kinds:
+                break
+            time.sleep(0.3)
+        else:
+            pytest.fail("OUTPUT_DONE(rec) not observed")
+    finally:
+        try:
+            tx.state.pipeline.close()
+        finally:
+            tx.stop()
+
+    frames, audio, _infos = _decode_output(out_path)
+    assert len(frames) >= 40, len(frames)
+    # blue content → high U plane
+    assert float(np.mean([float(f[1].mean()) for f in frames])) > 180
+    assert audio.shape[0] > 40000
