@@ -137,6 +137,8 @@ class Pipeline:
         "WhipServerInput": ("whip", True),
         "WhepClientInput": ("whep", True),
         "RtmpServerInput": ("rtmp", False),
+        "MoqServerInput": ("moq_server", False),
+        "MoqClientInput": ("moq_client", False),
     }
     _OUTPUT_STATS_TYPES = {
         "Mp4OutputSink": "mp4",
@@ -145,6 +147,7 @@ class Pipeline:
         "RtmpClientOutput": "rtmp",
         "WhipClientOutput": "whip",
         "WhepServerOutput": "whep",
+        "MoqClientOutput": "moq_client",
     }
 
     def register_input(

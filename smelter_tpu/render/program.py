@@ -570,11 +570,13 @@ class OutputProgram:
         resolution: Resolution,
         out_format: PixelFormat,
         shaders: ShaderRegistry,
+        web=None,
     ) -> None:
         self.root = root
         self.resolution = resolution
         self.out_format = out_format
         self.shaders = shaders
+        self.web = web  # WebRendererRegistry (None in bare programs)
         self._node_ids: Dict[int, int] = {}
         self._nodes: Dict[int, Node] = {}
         self._next_id = 0
@@ -657,12 +659,21 @@ class OutputProgram:
                 key_parts.append((nid, "shader", p.shader_id, res, tuple(child_res)))
                 return res
             if isinstance(p, WebNode):
-                # web renderer runs as a host sidecar; without one the node
-                # renders transparent (reference web_renderer_fallback.rs)
+                # web renderer runs as a host sidecar (render/web.py): its
+                # latest page frame enters like an image texture; without a
+                # sidecar the node renders transparent (reference
+                # web_renderer_fallback.rs)
                 for ch in node.children:
                     visit(ch)
-                key_parts.append((nid, "web", None))
-                return None
+                inst = self.web.get(p.instance_id) if self.web else None
+                frame = inst.frame() if inst is not None else None
+                if frame is None:
+                    key_parts.append((nid, "web", None))
+                    return None
+                aux[nid] = frame
+                res = Resolution(frame.shape[1], frame.shape[0])
+                key_parts.append((nid, "web", res))
+                return res
             if isinstance(p, LayoutNode):
                 child_res = [visit(ch) for ch in node.children]
                 nested = p.layouts(pts, child_res)
@@ -960,7 +971,16 @@ class OutputProgram:
                 if isinstance(p, WebNode):
                     for ch in node.children:
                         eval_node(ch)
-                    return None
+                    if nid not in aux_textures:
+                        return None  # transparent fallback
+                    tex = aux_textures[nid]
+                    rgba = cc.u8_to_f32(tex)
+                    rgba = jnp.concatenate(
+                        [rgba[..., :3] * rgba[..., 3:4], rgba[..., 3:4]],
+                        axis=-1,
+                    )
+                    res = Resolution(tex.shape[1], tex.shape[0])
+                    return build_mips(rgba, _mip_levels(res))
                 if isinstance(p, LayoutNode):
                     # sources are looked up by node id (collapse may reference
                     # grandchildren); only referenced nodes are evaluated, so

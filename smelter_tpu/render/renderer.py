@@ -49,6 +49,9 @@ class Renderer:
         self.shaders = ShaderRegistry()
         self.images = ImageStore()
         self.text = TextRenderer()
+        from smelter_tpu.render.web import WebRendererRegistry
+
+        self.web = WebRendererRegistry()
         self._inputs: Dict[str, float] = {}  # input_id -> last frame pts
         self._last_frames: Dict[str, Frame] = {}
         self._programs: Dict[str, OutputProgram] = {}
@@ -100,6 +103,7 @@ class Renderer:
                 OutputScene(output_id, root, resolution),
                 text_measurer=lambda t: self.text.measure(t),
                 image_store=lambda i: self.images.natural_size(i),
+                web_size=self._web_size,
             )
             prev = self._programs.get(output_id)
             if prev is not None and (
@@ -110,7 +114,8 @@ class Renderer:
                 # wrong resolution/format to the encoder
                 self._last_outputs.pop(output_id, None)
             self._programs[output_id] = OutputProgram(
-                node.node, resolution, output_format, self.shaders
+                node.node, resolution, output_format, self.shaders,
+                web=self.web,
             )
             self._output_formats[output_id] = output_format
 
@@ -136,6 +141,13 @@ class Renderer:
                 visit(ch)
 
         visit(root)
+
+    def _web_size(self, instance_id: str) -> tuple:
+        inst = self.web.get(instance_id)
+        if inst is None:
+            return (0.0, 0.0)
+        w, h = inst.spec.resolution
+        return (float(w), float(h))
 
     # -- hot path ------------------------------------------------------------------
 

@@ -43,6 +43,9 @@ class BuildCtx:
     # host-side services injected by the renderer:
     text_measurer: Callable[[comp.Text], Tuple[float, float]]
     image_store: Callable[[str], Tuple[float, float]]  # image_id -> natural size
+    # web renderer instance_id -> declared resolution (0,0 when unregistered:
+    # the node then renders transparent — web_renderer_fallback.rs)
+    web_size: Callable[[str], Tuple[float, float]] = lambda _id: (0.0, 0.0)
 
 
 # --- node tree ----------------------------------------------------------------
@@ -144,6 +147,7 @@ class SceneState:
         scene: OutputScene,
         text_measurer: Callable[[comp.Text], Tuple[float, float]],
         image_store: Callable[[str], Tuple[float, float]],
+        web_size: Callable[[str], Tuple[float, float]] = lambda _id: (0.0, 0.0),
     ) -> OutputNode:
         validate_scene(scene, self._output_scenes)
         # refresh layouts at last pts so Tiles snapshots last_layout
@@ -164,6 +168,7 @@ class SceneState:
             input_resolutions=self._input_resolutions,
             text_measurer=text_measurer,
             image_store=image_store,
+            web_size=web_size,
         )
         root = build_stateful(scene.root, ctx)
         node = _intermediate_to_node(
@@ -219,7 +224,9 @@ def build_stateful(c: comp.Component, ctx: BuildCtx) -> StatefulComponent:
         )
     if isinstance(c, comp.WebView):
         return StatefulWebView(
-            component=c, children=[build_stateful(ch, ctx) for ch in c.children]
+            component=c,
+            children=[build_stateful(ch, ctx) for ch in c.children],
+            size=ctx.web_size(c.instance_id),
         )
     if isinstance(c, comp.View):
         return _build_view(c, ctx)

@@ -663,14 +663,36 @@ def build_app(state: ApiState) -> web.Application:
             return _error_response(exc)
 
     async def register_web_renderer(request: web.Request) -> web.Response:
-        return _error_response(
-            NotImplementedError("web renderer requires the browser sidecar")
-        )
+        instance_id = request.match_info["id"]
+        try:
+            body = await request.json()
+            spec = api.WebRendererSpec.model_validate(body)
+            from smelter_tpu.render.web import WebRendererSpec as _Spec
+
+            def do() -> dict:
+                inst = state.pipeline.renderer.web.register(_Spec(
+                    instance_id=instance_id,
+                    url=spec.url,
+                    resolution=(spec.resolution.width, spec.resolution.height),
+                ))
+                # reference behavior: registration succeeds; without a
+                # browser the instance renders transparent
+                # (web_renderer_fallback.rs)
+                return {"sidecar_active": inst.active}
+
+            return _json_ok(await _run_blocking(do))
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
 
     async def unregister_web_renderer(request: web.Request) -> web.Response:
-        return _error_response(
-            NotImplementedError("web renderer requires the browser sidecar")
-        )
+        instance_id = request.match_info["id"]
+        try:
+            await _run_blocking(
+                state.pipeline.renderer.web.unregister, instance_id
+            )
+            return _json_ok()
+        except Exception as exc:  # noqa: BLE001
+            return _error_response(exc)
 
     async def register_font(request: web.Request) -> web.Response:
         try:
@@ -735,7 +757,26 @@ def build_app(state: ApiState) -> web.Application:
     async def ws_handler(request: web.Request) -> web.WebSocketResponse:
         ws = web.WebSocketResponse()
         await ws.prepare(request)
+        # replay buffer: `?replay=1` (or replay=<n> for the last n) sends the
+        # event history before live events, so late subscribers can catch up
+        # on INPUT_EOS/OUTPUT_DONE they would otherwise have missed
+        replay = request.query.get("replay")
         sub = state.pipeline.events.subscribe()
+        if replay:
+            try:
+                n = int(replay)
+            except ValueError:
+                n = 0
+            history = state.pipeline.events.history()
+            if n > 1:
+                history = history[-n:]
+            for event in history:
+                await ws.send_json(
+                    {"type": event.kind, "replayed": True,
+                     **({"input_id": event.entity_id}
+                        if "INPUT" in event.kind
+                        else {"output_id": event.entity_id})}
+                )
         try:
             while not ws.closed:
                 try:

@@ -183,12 +183,14 @@ def test_server_validation_errors(server, tmp_path):
         )
         assert r.status_code == 400
 
-        # unimplemented protocol → 501
+        # moq_server is implemented; a register without the required
+        # auth_token is a schema violation → 400 (deny-unknown/missing
+        # fields, reference smelter-api contract)
         r = c.post(
             "/api/input/x/register",
             json={"type": "moq_server"},
         )
-        assert r.status_code == 501
+        assert r.status_code == 400
 
         # unregister unknown output → 404
         r = c.post("/api/output/nope/unregister", json={})
@@ -441,3 +443,56 @@ def test_server_moq_roundtrip(server, tmp_path):
     # blue content → high U plane
     assert float(np.mean([float(f[1].mean()) for f in frames])) > 180
     assert audio.shape[0] > 40000
+
+
+def test_ws_replay_buffer(server, tmp_path):
+    """/ws?replay=1 sends the event history before live events, so a late
+    subscriber catches up on INPUT_EOS/OUTPUT_DONE it missed."""
+    import websockets.sync.client as ws_client
+
+    src = str(tmp_path / "a.mp4")
+    _make_source_mp4(src, "red", 440.0)
+    out_path = str(tmp_path / "o.mp4")
+    with httpx.Client(base_url=server.base, timeout=120) as c:
+        assert c.post("/api/input/a/register",
+                      json={"type": "mp4", "path": src, "required": True,
+                            "offset_ms": 0}).status_code == 200
+        assert c.post(
+            "/api/output/o/register",
+            json={"type": "mp4", "path": out_path,
+                  "video": {"resolution": {"width": 160, "height": 120},
+                            "encoder": {"type": "ffmpeg_h264",
+                                        "preset": "ultrafast"},
+                            "initial": {"root": {"type": "rescaler",
+                                                 "child": {"type": "input_stream",
+                                                           "input_id": "a"}}},
+                            "send_eos_when": {"all_inputs": True}}},
+        ).status_code == 200
+        assert c.post("/api/start", json={}).status_code == 200
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            kinds = {(e.kind, e.entity_id)
+                     for e in server.state.pipeline.events.history()}
+            if ("OUTPUT_DONE", "o") in kinds:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("OUTPUT_DONE not observed")
+
+    # connect AFTER everything happened: replay must deliver the history
+    ws = ws_client.connect(f"ws://127.0.0.1:{server.port}/ws?replay=1")
+    try:
+        got = set()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                msg = json.loads(ws.recv(timeout=2))
+            except TimeoutError:
+                break
+            if msg.get("replayed"):
+                got.add(msg["type"])
+            if "OUTPUT_DONE" in got:
+                break
+        assert "OUTPUT_DONE" in got, got
+    finally:
+        ws.close()

@@ -1,0 +1,134 @@
+"""Web renderer sidecar (reference web_renderer.rs + chromium_context.rs):
+the CDP client, screencast frame path, and the WebView component are
+driven against a MOCK DevTools endpoint (no browser ships in this image;
+with one present the same code attaches to the real thing). The
+transparent fallback (web_renderer_fallback.rs) is covered too."""
+
+import base64
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from smelter_tpu.core.types import FrameSet, PixelFormat, Resolution, RGBAColor
+from smelter_tpu.render.renderer import Renderer
+from smelter_tpu.render.web import WebRendererSpec
+from smelter_tpu.scene import components as comp
+
+
+def _orange_png(w=64, h=48) -> str:
+    from PIL import Image
+
+    img = Image.new("RGBA", (w, h), (255, 128, 0, 255))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class MockCdpServer:
+    """Implements just enough CDP for WebRendererInstance: target create/
+    attach, page enable/navigate, screencast start -> frame events."""
+
+    def __init__(self) -> None:
+        import websockets.sync.server as ws_server
+
+        self.navigated = []
+        self.acked = threading.Event()
+        self._server = ws_server.serve(self._handle, "127.0.0.1", 0)
+        self.port = self._server.socket.getsockname()[1]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"ws://127.0.0.1:{self.port}/devtools/browser/mock"
+
+    def _handle(self, ws) -> None:
+        for raw in ws:
+            msg = json.loads(raw)
+            method = msg["method"]
+            result = {}
+            if method == "Target.createTarget":
+                result = {"targetId": "t1"}
+            elif method == "Target.attachToTarget":
+                result = {"sessionId": "s1"}
+            elif method == "Page.navigate":
+                self.navigated.append(msg["params"]["url"])
+                result = {"frameId": "f1"}
+            elif method == "Page.startScreencast":
+                ws.send(json.dumps(
+                    {"id": msg["id"], "result": {},
+                     "sessionId": msg.get("sessionId")}))
+                # one screencast frame
+                ws.send(json.dumps({
+                    "method": "Page.screencastFrame",
+                    "sessionId": "s1",
+                    "params": {"data": _orange_png(),
+                               "metadata": {}, "sessionId": 7},
+                }))
+                continue
+            elif method == "Page.screencastFrameAck":
+                self.acked.set()
+            ws.send(json.dumps({"id": msg["id"], "result": result,
+                                "sessionId": msg.get("sessionId")}))
+
+    def close(self) -> None:
+        self._server.shutdown()
+
+
+def test_webview_renders_page_via_cdp(monkeypatch):
+    mock = MockCdpServer()
+    monkeypatch.setenv("SMELTER_WEB_RENDERER_CDP_URL", mock.url)
+    try:
+        r = Renderer()
+        inst = r.web.register(WebRendererSpec(
+            instance_id="page", url="https://example.com/", resolution=(64, 48)
+        ))
+        assert inst.active, "sidecar path did not attach to the CDP endpoint"
+        assert mock.navigated == ["https://example.com/"]
+        assert mock.acked.wait(10), "screencast frame never acknowledged"
+        deadline = 50
+        while inst.frame() is None and deadline:
+            import time
+
+            time.sleep(0.1)
+            deadline -= 1
+        assert inst.frame() is not None
+
+        r.update_scene(
+            "out",
+            comp.View(background_color=RGBAColor(0, 0, 0, 255),
+                      children=[comp.WebView(instance_id="page")]),
+            Resolution(64, 48), PixelFormat.RGBA,
+        )
+        out = np.asarray(r.render(FrameSet(pts=0.0, frames={})).frames["out"].data)
+        # the mock page is solid orange
+        px = out[24, 32]
+        assert px[0] > 200 and 100 < px[1] < 160 and px[2] < 50, px.tolist()
+        r.web.unregister("page")
+    finally:
+        mock.close()
+
+
+def test_webview_transparent_fallback(monkeypatch):
+    """No browser, no CDP endpoint: registration succeeds and the WebView
+    renders transparent (reference web_renderer_fallback.rs)."""
+    monkeypatch.delenv("SMELTER_WEB_RENDERER_CDP_URL", raising=False)
+    monkeypatch.setenv("SMELTER_WEB_RENDERER_BROWSER", "/nonexistent/browser")
+    r = Renderer()
+    inst = r.web.register(WebRendererSpec(
+        instance_id="page", url="https://example.com/", resolution=(64, 48)
+    ))
+    assert not inst.active
+    r.update_scene(
+        "out",
+        comp.View(background_color=RGBAColor(10, 20, 30, 255),
+                  children=[comp.WebView(instance_id="page")]),
+        Resolution(64, 48), PixelFormat.RGBA,
+    )
+    out = np.asarray(r.render(FrameSet(pts=0.0, frames={})).frames["out"].data)
+    assert abs(int(out[10, 10, 0]) - 10) <= 2
+    assert abs(int(out[10, 10, 2]) - 30) <= 2
