@@ -77,7 +77,22 @@ class Config:
     moq_disable_tls_verification: bool = False
     moq_tls_cert_file: str = ""
     moq_tls_key_file: str = ""
+    # kernel assert/debug mode (SURVEY §5 race-detection row): the TPU
+    # analogue of the reference's WgpuErrorScope validation — jax NaN/inf
+    # checking on every compiled program plus verbose XLA input checking
+    xla_debug: bool = False
     logger: LoggerConfig = field(default_factory=LoggerConfig)
+
+
+def apply_xla_debug(enabled: bool) -> None:
+    """Arm jax debug checks (error on NaN/inf leaving any kernel). Costs a
+    re-trace + per-op checks; only for debugging, like wgpu validation."""
+    if not enabled:
+        return
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_debug_infs", True)
 
 
 def read_config() -> Config:
@@ -116,6 +131,7 @@ def read_config() -> Config:
         ),
         moq_tls_cert_file=os.environ.get("SMELTER_MOQ_TLS_CERT_FILE", ""),
         moq_tls_key_file=os.environ.get("SMELTER_MOQ_TLS_KEY_FILE", ""),
+        xla_debug=_env_bool("SMELTER_XLA_DEBUG", False),
         logger=LoggerConfig(
             level=os.environ.get("SMELTER_LOGGER_LEVEL", "info"),
             format=os.environ.get("SMELTER_LOGGER_FORMAT", "compact"),

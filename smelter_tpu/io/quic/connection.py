@@ -856,6 +856,20 @@ class QuicConnection:
             times.append(self.last_activity + self.idle_timeout)
         return min(times) if times else None
 
+    _last_keepalive = 0.0
+
+    def maybe_keepalive(self, now: float) -> None:
+        """Queue a PING at half the idle timeout so quiet-but-live sessions
+        (e.g. a MoQ publisher between SETUP and its first frame) don't
+        idle out — the peer's ACK refreshes last_activity. A dead peer
+        never ACKs, so the idle timeout still fires for it."""
+        if not self.established or self.closed or not self.idle_timeout:
+            return
+        if (now - self.last_activity > self.idle_timeout / 2
+                and now - self._last_keepalive > 2.0):
+            self._pending_ping = True
+            self._last_keepalive = now
+
     def handle_timer(self, now: float) -> None:
         if self.idle_timeout and now >= self.last_activity + self.idle_timeout:
             self.closed = True

@@ -74,9 +74,14 @@ class _EndpointBase:
         self._thread: Optional[threading.Thread] = None
 
     def wake(self) -> None:
-        # the loop's 10 ms socket timeout doubles as the send pump; a
-        # dedicated wakeup socket isn't worth it at media frame rates
-        pass
+        """Interrupt the blocking recvfrom so queued data sends NOW instead
+        of at the next 10 ms poll — matters for MoQ, a low-latency
+        protocol. A zero-byte datagram to our own socket is ignored by the
+        dispatchers but unblocks the loop."""
+        try:
+            self.sock.sendto(b"", ("127.0.0.1", self.sock.getsockname()[1]))
+        except OSError:
+            pass
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, name="quic-endpoint",
@@ -105,6 +110,7 @@ class _EndpointBase:
 
     def _pump_connection(self, handle: QuicConnectionHandle, now: float) -> None:
         conn = handle._conn
+        conn.maybe_keepalive(now)
         timer = conn.next_timer()
         if timer is not None and now >= timer:
             conn.handle_timer(now)

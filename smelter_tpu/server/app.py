@@ -306,6 +306,7 @@ def build_app(state: ApiState) -> web.Application:
                         auth_token=spec.auth_token,
                         decoder_map=spec.decoder_map,
                     ))
+                    sc = spec.side_channel or {}
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -314,6 +315,10 @@ def build_app(state: ApiState) -> web.Application:
                             offset=(spec.offset_ms / 1000.0)
                             if spec.offset_ms is not None
                             else None,
+                            side_channel_video=bool(sc.get("video")),
+                            side_channel_audio=bool(sc.get("audio")),
+                            side_channel_dir=state.config.side_channel_socket_dir
+                            or None,
                         ),
                     )
                     state.moq_state.register(input_id, source)
@@ -331,6 +336,7 @@ def build_app(state: ApiState) -> web.Application:
                         broadcast_path=spec.broadcast_path,
                         decoder_map=spec.decoder_map,
                     ))
+                    sc = spec.side_channel or {}
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -339,6 +345,10 @@ def build_app(state: ApiState) -> web.Application:
                             offset=(spec.offset_ms / 1000.0)
                             if spec.offset_ms is not None
                             else None,
+                            side_channel_video=bool(sc.get("video")),
+                            side_channel_audio=bool(sc.get("audio")),
+                            side_channel_dir=state.config.side_channel_socket_dir
+                            or None,
                         ),
                     )
                     state.input_kinds[input_id] = "moq_client"
@@ -924,9 +934,10 @@ def build_app(state: ApiState) -> web.Application:
 
 def run(config: Optional[Config] = None) -> None:
     cfg = config or read_config()
-    from smelter_tpu.config import init_logger
+    from smelter_tpu.config import apply_xla_debug, init_logger
 
     init_logger(cfg.logger)
+    apply_xla_debug(cfg.xla_debug)
     state = ApiState(cfg)
     app = build_app(state)
     logger.info("smelter_tpu listening on :%d", cfg.api_port)

@@ -20,7 +20,7 @@ from smelter_tpu.core.types import Frame, FrameSet, PixelFormat, Resolution
 from smelter_tpu.ops import color_convert as cc
 
 SNAPSHOT_DIR = Path(__file__).parent / "snapshots"
-ALLOWED_ERROR = 2.0  # mean abs u8 error tolerance (reference: allowed_error 1.0)
+ALLOWED_ERROR = 1.0  # mean abs u8 error tolerance (matches reference harness/test_case.rs:35)
 
 
 def make_test_input(index: int, resolution: Resolution, pts: float = 0.0) -> Frame:
