@@ -34,6 +34,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from smelter_tpu.core.types import Resolution, RGBAColor
 from smelter_tpu.ops import color_convert as cc
@@ -204,6 +205,70 @@ def _example_args(n_inputs: int, in_res: Resolution):
         jnp.full((n_inputs, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
         jnp.full((n_inputs, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
     )
+
+
+def make_multioutput_step(
+    mesh: jax.sharding.Mesh,
+    n_outputs: int = 8,
+    n_inputs: int = 16,
+    in_res: Resolution = Resolution(192, 108),
+    out_res: Resolution = Resolution(384, 216),
+):
+    """M independent outputs sharded across chips (SURVEY §2.5 "optionally
+    shard outputs across TPU cores"): the decoded input set replicates to
+    every chip once per frame (ICI broadcast), each chip composes its own
+    outputs' tile grids fully locally — embarrassingly parallel, zero
+    cross-chip traffic in the compose itself. Each output views the same
+    inputs in a different tile order (per-output scenes).
+
+    Mesh: 1D ("outputs",). Returns (jitted_fn, example_args); fn takes the
+    stacked input planes + an (M, N) int32 tile-order table and returns
+    (M, OH, OW) output planes sharded along M.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    P = jax.sharding.PartitionSpec
+    n = n_inputs
+    rows = int(math.floor(math.sqrt(n)))
+    while n % rows:
+        rows -= 1
+    cols = n // rows
+    th = out_res.height // rows
+    tw = out_res.width // cols
+
+    def one_output(y, u, v, perm):
+        ty = _round_u8(resize_matmul(jnp.take(y, perm, 0), th, tw))
+        tu = _round_u8(resize_matmul(jnp.take(u, perm, 0), th // 2, tw // 2))
+        tv = _round_u8(resize_matmul(jnp.take(v, perm, 0), th // 2, tw // 2))
+
+        def assemble(tiles, h_, w_):
+            grid = tiles.reshape(rows, cols, h_, w_)
+            return grid.transpose(0, 2, 1, 3).reshape(rows * h_, cols * w_)
+
+        return (assemble(ty, th, tw), assemble(tu, th // 2, tw // 2),
+                assemble(tv, th // 2, tw // 2))
+
+    def local_step(y, u, v, perms_local):
+        return jax.vmap(lambda p: one_output(y, u, v, p))(perms_local)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("outputs", None)),
+        out_specs=(P("outputs", None, None),) * 3,
+    )
+    jitted = jax.jit(sharded)
+    rng = np.random.RandomState(0)
+    perms = np.stack([rng.permutation(n) for _ in range(n_outputs)]).astype(
+        np.int32
+    )
+    example_args = (
+        jnp.zeros((n, in_res.height, in_res.width), jnp.uint8),
+        jnp.full((n, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
+        jnp.full((n, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
+        jnp.asarray(perms),
+    )
+    return jitted, example_args
 
 
 def make_multichip_step(

@@ -556,9 +556,27 @@ _DUMMY = np.zeros((2, 2, 4), np.float32)
 # under concurrent tracing; serializing trace+first-call removes the race
 # class. Cost: concurrent background compiles queue — off the 60 Hz hot
 # path by construction (outputs freeze-frame until their program is ready).
+import atexit as _atexit
 import threading as _threading_mod
+import weakref as _weakref
 
 _TRACE_LOCK = _threading_mod.RLock()
+
+# Live background-compile threads. A daemon thread mid-XLA-compile while
+# CPython finalizes segfaults the interpreter (C++ teardown under it), so
+# short-lived scripts drain in-flight compiles at exit.
+_COMPILE_THREADS: "_weakref.WeakSet" = _weakref.WeakSet()
+
+
+def _drain_background_compiles(timeout_s: float = 60.0) -> None:
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    for t in list(_COMPILE_THREADS):
+        t.join(timeout=max(deadline - _time.monotonic(), 0.0))
+
+
+_atexit.register(_drain_background_compiles)
 
 
 class OutputProgram:
@@ -847,31 +865,41 @@ class OutputProgram:
             self._compiling.add(key)
 
         def work() -> None:
-            try:
-                # trace + compile serialized process-wide (see _TRACE_LOCK)
-                with _TRACE_LOCK:
-                    fn = self._build(key, plan, input_frames)
-                    # actually compile by executing once with the captured args
-                    out = fn(
-                        plan.frame_buf,
-                        plan.raw_planes,
-                        plan.aux_textures,
-                        plan.packed_params,
-                        plan.shader_params,
+            # Trace + compile serialized process-wide (see _TRACE_LOCK).
+            # A rare leaked-tracer corruption (KeyError: Var(...)) can still
+            # hit a trace running concurrently with hot-path EXECUTION of
+            # cached programs on another thread (suspected JAX-internal
+            # trace-vs-dispatch state; serializing execution would stall the
+            # 60 Hz loop for whole compile durations, so instead the compile
+            # retries — the corruption is transient and the freeze-frame
+            # fallback covers the extra attempt).
+            import logging
+
+            for attempt in range(3):
+                try:
+                    with _TRACE_LOCK:
+                        fn = self._build(key, plan, input_frames)
+                        # compile by executing once with the captured args
+                        out = fn(
+                            plan.frame_buf,
+                            plan.raw_planes,
+                            plan.aux_textures,
+                            plan.packed_params,
+                            plan.shader_params,
+                        )
+                        jax.block_until_ready(out)
+                    self._store_program(key, fn)
+                    break
+                except Exception:  # pragma: no cover - surfaced via logs
+                    logging.getLogger("smelter.render").exception(
+                        "background compile failed (attempt %d/3)", attempt + 1
                     )
-                    jax.block_until_ready(out)
-                self._store_program(key, fn)
-            except Exception:  # pragma: no cover - surfaced via logs
-                import logging
+            with self._compile_lock:
+                self._compiling.discard(key)
 
-                logging.getLogger("smelter.render").exception(
-                    "background compile failed"
-                )
-            finally:
-                with self._compile_lock:
-                    self._compiling.discard(key)
-
-        threading.Thread(target=work, name="program-compile", daemon=True).start()
+        t = threading.Thread(target=work, name="program-compile", daemon=True)
+        _COMPILE_THREADS.add(t)
+        t.start()
 
     def _build(self, key: tuple, plan: FramePlan, input_frames) -> Callable:
         """Build + jit the full render program for the current structure."""
