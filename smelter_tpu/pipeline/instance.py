@@ -491,6 +491,7 @@ class Pipeline:
         for t in self._threads:
             t.join(timeout=5.0)
         self._threads.clear()
+        self.renderer.close()
 
     def wait_for_outputs_done(self, timeout: Optional[float] = None) -> None:
         with self._lock:

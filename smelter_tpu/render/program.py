@@ -568,7 +568,7 @@ _TRACE_LOCK = _threading_mod.RLock()
 _COMPILE_THREADS: "_weakref.WeakSet" = _weakref.WeakSet()
 
 
-def _drain_background_compiles(timeout_s: float = 60.0) -> None:
+def _drain_background_compiles(timeout_s: float = 300.0) -> None:
     import time as _time
 
     deadline = _time.monotonic() + timeout_s

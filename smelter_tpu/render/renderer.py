@@ -142,6 +142,16 @@ class Renderer:
 
         visit(root)
 
+    def close(self) -> None:
+        """Drain in-flight background compiles and release web renderer
+        sidecars. Short-lived scripts should call this (an atexit hook
+        covers the ones that don't — an XLA compile still running during
+        interpreter finalization aborts the process)."""
+        from smelter_tpu.render.program import _drain_background_compiles
+
+        _drain_background_compiles()
+        self.web.close_all()
+
     def _web_size(self, instance_id: str) -> tuple:
         inst = self.web.get(instance_id)
         if inst is None:

@@ -904,12 +904,21 @@ def build_app(state: ApiState) -> web.Application:
             sink.session.add_remote_candidates(cands)
         return web.Response(status=204)
 
-    app.router.add_post("/whip/{id}", whip_endpoint)
-    app.router.add_route("PATCH", "/whip/{id}/session", whip_session)
-    app.router.add_route("DELETE", "/whip/{id}/session", whip_session)
-    app.router.add_post("/whep/{id}", whep_endpoint)
-    app.router.add_route("PATCH", "/whep/{id}/session", whep_session)
-    app.router.add_route("DELETE", "/whep/{id}/session", whep_session)
+    # WHIP/WHEP signaling rides the main API port AND, like the reference's
+    # dedicated WhipWhepServer (SMELTER_WHIP_WHEP_SERVER_PORT), a second
+    # listener when enabled (run() binds `app["whip_app"]` there)
+    whip_routers = [app.router]
+    if state.config.start_whip_whep_server:
+        whip_app = web.Application(client_max_size=50 * 1024 * 1024)
+        app["whip_app"] = whip_app
+        whip_routers.append(whip_app.router)
+    for router in whip_routers:
+        router.add_post("/whip/{id}", whip_endpoint)
+        router.add_route("PATCH", "/whip/{id}/session", whip_session)
+        router.add_route("DELETE", "/whip/{id}/session", whip_session)
+        router.add_post("/whep/{id}", whep_endpoint)
+        router.add_route("PATCH", "/whep/{id}/session", whep_session)
+        router.add_route("DELETE", "/whep/{id}/session", whep_session)
     app.router.add_post("/api/input/{id}/register", register_input)
     app.router.add_post("/api/input/{id}/unregister", unregister_input)
     app.router.add_post("/api/input/{id}/update", update_input)
@@ -940,5 +949,16 @@ def run(config: Optional[Config] = None) -> None:
     apply_xla_debug(cfg.xla_debug)
     state = ApiState(cfg)
     app = build_app(state)
+    whip_app = app.get("whip_app")
+    if whip_app is not None:
+        async def _start_whip_server(_app):
+            runner = web.AppRunner(whip_app)
+            await runner.setup()
+            site = web.TCPSite(runner, port=cfg.whip_whep_server_port)
+            await site.start()
+            logger.info("WHIP/WHEP server listening on :%d",
+                        cfg.whip_whep_server_port)
+
+        app.on_startup.append(_start_whip_server)
     logger.info("smelter_tpu listening on :%d", cfg.api_port)
     web.run_app(app, port=cfg.api_port, print=None)

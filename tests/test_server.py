@@ -432,6 +432,15 @@ def test_server_moq_roundtrip(server, tmp_path):
             time.sleep(0.3)
         else:
             pytest.fail("OUTPUT_DONE(rec) not observed")
+
+        # per-protocol stats: the moq_server input reports track bitrates
+        # (reference MoqServerInputTrackStatsEvent)
+        with httpx.Client(base_url=server.base, timeout=30) as c:
+            stats = c.get("/stats").json()
+        rep = stats["inputs"]["moq-in"]["stats"]
+        assert rep["type"] == "moq_server"
+        assert rep["video"]["bitrate_1_minute"] > 0
+        assert rep["audio"]["bitrate_1_minute"] > 0
     finally:
         try:
             tx.state.pipeline.close()
