@@ -15,7 +15,7 @@ import queue
 import threading
 import time
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 from smelter_tpu.io.moq import wire
 from smelter_tpu.io.quic.endpoint import QuicConnectionHandle

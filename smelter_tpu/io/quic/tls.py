@@ -19,7 +19,7 @@ from __future__ import annotations
 import datetime
 import os
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
 from cryptography import x509

@@ -151,6 +151,7 @@ def build(
     candidate: Optional[Tuple[str, int]] = None,
     ice_lite: bool = False,
     ssrcs: Optional[List[Optional[int]]] = None,
+    srflx_candidate: Optional[Tuple[str, int]] = None,
 ) -> str:
     sid = secrets.randbelow(1 << 62)
     mids = " ".join(m.mid for m in media)
@@ -178,6 +179,12 @@ def build(
             lines.append(
                 f"a=candidate:1 1 udp 2130706431 {ip} {port} typ host"
             )
+            if srflx_candidate is not None:
+                sip, sport = srflx_candidate
+                lines.append(
+                    f"a=candidate:2 1 udp 1694498815 {sip} {sport} "
+                    f"typ srflx raddr {ip} rport {port}"
+                )
             lines.append("a=end-of-candidates")
     return "\r\n".join(lines) + "\r\n"
 

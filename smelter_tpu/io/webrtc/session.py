@@ -17,6 +17,7 @@ Roles:
 from __future__ import annotations
 
 import logging
+import os
 import socket
 import struct
 import threading
@@ -58,6 +59,7 @@ class WebRtcSession:
         self.port = self.sock.getsockname()[1]
         self.ip = _local_ip()
         self.peer_addr: Optional[Tuple[str, int]] = None
+        self.srflx: Optional[Tuple[str, int]] = None  # NAT-mapped (STUN)
         self.srtp_tx: Optional[SrtpSession] = None
         self.srtp_rx: Optional[SrtpSession] = None
         self.on_rtp: Optional[Callable[[bytes], None]] = None
@@ -74,6 +76,52 @@ class WebRtcSession:
         self.remote_ufrag = desc.ice_ufrag
         self.remote_pwd = desc.ice_pwd
         self.remote_candidates = list(desc.candidates)
+
+    def gather_srflx(self, stun_servers: Optional[list] = None,
+                     timeout: float = 1.0) -> Optional[Tuple[str, int]]:
+        """Learn our server-reflexive (NAT-mapped) address from a STUN
+        server and remember it for SDP (reference
+        SMELTER_WEBRTC_STUN_SERVERS, config.rs:269-281; default Google
+        STUN). Returns the srflx (ip, port) or None (no server reachable —
+        host candidates still work on a LAN)."""
+        servers = stun_servers
+        if servers is None:
+            raw = os.environ.get(
+                "SMELTER_WEBRTC_STUN_SERVERS",
+                os.environ.get("SMELTER_STUN_SERVERS", ""),
+            )
+            servers = [s for s in raw.split(",") if s.strip()]
+        for server in servers:
+            target = server.strip()
+            if target.startswith("stun:"):
+                target = target[5:]
+            host, _, port_s = target.partition(":")
+            try:
+                addr = (socket.gethostbyname(host), int(port_s or 3478))
+            except OSError:
+                continue
+            req = stun.build(stun.BINDING_REQUEST)
+            tid = req[8:20]
+            old_timeout = self.sock.gettimeout()
+            try:
+                self.sock.settimeout(timeout)
+                self.sock.sendto(req, addr)
+                deadline = time.monotonic() + timeout
+                while time.monotonic() < deadline:
+                    data, _src = self.sock.recvfrom(2048)
+                    msg = stun.parse(data)
+                    if msg is None or msg.transaction_id != tid:
+                        continue
+                    val = msg.attr(stun.ATTR_XOR_MAPPED_ADDRESS)
+                    if val is None:
+                        break
+                    self.srflx = stun.parse_xor_mapped_address(val, tid)
+                    return self.srflx
+            except OSError:
+                continue
+            finally:
+                self.sock.settimeout(old_timeout)
+        return None
 
     def add_remote_candidates(self, candidates: list) -> None:
         """Trickle ICE (reference `webrtc/trickle_ice_utils.rs`): remote

@@ -9,9 +9,11 @@ Four roles, same as the reference:
     WHIP endpoint and publish (sendonly, ICE full, DTLS active)
   - WHEP client input  (`whep_input/`):  we POST an offer and receive
 
-Media: H264/VP8 + Opus; payload types follow the offer. Trickle-ICE PATCH
-is accepted and ignored (we answer with full host candidates); DELETE tears
-the session down.
+Media: H264/VP8/VP9 + Opus; payload types follow the offer. Trickle-ICE
+PATCH candidates feed the live session (reference trickle_ice_utils.rs);
+DELETE tears the session down. Receive sides send Generic NACKs for gaps
+and send sides answer them from a retransmit cache; client roles gather a
+server-reflexive candidate when SMELTER_WEBRTC_STUN_SERVERS is set.
 """
 
 from __future__ import annotations
@@ -91,6 +93,19 @@ def _answer_media(offer: sdp_mod.SessionDescription, neg: NegotiatedMedia):
 
 def _flip(direction: str) -> str:
     return {"sendonly": "recvonly", "recvonly": "sendonly"}.get(direction, direction)
+
+
+def _maybe_gather_srflx(session: WebRtcSession):
+    """Server-reflexive candidate when STUN servers are configured
+    (SMELTER_WEBRTC_STUN_SERVERS / SMELTER_STUN_SERVERS — reference
+    config.rs:269-281). Skipped when unset so LAN/test setups pay no
+    STUN round-trip at offer time."""
+    import os
+
+    if not (os.environ.get("SMELTER_WEBRTC_STUN_SERVERS")
+            or os.environ.get("SMELTER_STUN_SERVERS")):
+        return None
+    return session.gather_srflx()
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +284,7 @@ class WhepClientInput(InputSource):
             setup="actpass", media=media,
             directions=["recvonly", "recvonly"],
             candidate=session.candidate,
+            srflx_candidate=_maybe_gather_srflx(session),
         )
         headers = {"Content-Type": "application/sdp"}
         if self.bearer_token:
@@ -454,6 +470,7 @@ class WhipClientOutput(_RtpSenderBridge):
             setup="actpass", media=media,
             directions=["sendonly", "sendonly"],
             candidate=session.candidate,
+            srflx_candidate=_maybe_gather_srflx(session),
         )
         headers = {"Content-Type": "application/sdp"}
         if bearer_token:

@@ -250,4 +250,10 @@ def collect_stats(pipeline) -> dict:
         report["inputs"].setdefault(iid, {})["stats"] = rep.snapshot()
     for oid, rep in output_reports.items():
         report["outputs"].setdefault(oid, {})["stats"] = rep.snapshot()
+    # live queue occupancy per input (reference EffectiveBuffer reports)
+    try:
+        for iid, buf in pipeline.queue.buffer_report().items():
+            report["inputs"].setdefault(iid, {})["buffer"] = buf
+    except Exception:
+        pass
     return report

@@ -579,6 +579,25 @@ class Queue:
         t.start()
         return t
 
+    def buffer_report(self) -> Dict[str, Dict[str, float]]:
+        """Per-input buffered media duration (seconds) in the current
+        track — the live analogue of the reference's EffectiveBuffer
+        stats (stats/input/hls.rs:59): how much decoded media sits
+        between the decoder and the tick consumer right now."""
+        out: Dict[str, Dict[str, float]] = {}
+        with self._lock:
+            for iid, qi in self.inputs.items():
+                entry: Dict[str, float] = {}
+                tracks = getattr(qi, "_tracks", None)
+                if tracks:
+                    cur = tracks[0]
+                    if cur.video is not None:
+                        entry["video_buffer_s"] = round(cur.video._size(), 4)
+                    if cur.audio is not None:
+                        entry["audio_buffer_s"] = round(cur.audio._size(), 4)
+                out[iid] = entry
+        return out
+
     def close(self) -> None:
         self._should_close.set()
         # unblock any producer stuck on a bounded per-track channel (AOT

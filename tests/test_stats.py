@@ -113,3 +113,27 @@ def test_pipeline_stats_reports_mp4_protocols(tmp_path):
     assert out_stats["type"] == "mp4"
     assert out_stats["video"]["bitrate_1_minute"] > 0
     assert out_stats["audio"]["bitrate_1_minute"] > 0
+
+
+def test_queue_buffer_report_in_stats():
+    """/stats carries per-input queue occupancy (the reference's
+    EffectiveBuffer report analogue)."""
+    from smelter_tpu.queue.sync_queue import Queue, QueueInputOptions, QueueOptions
+    from smelter_tpu.core.types import AudioSamples, Frame, Framerate, PixelFormat, Resolution
+    import numpy as np
+
+    q = Queue(QueueOptions(output_framerate=Framerate(30)))
+    qi = q.add_input("a", QueueInputOptions(), has_video=True, has_audio=True)
+    vch = qi.current.video.channel
+    y = np.zeros((8, 8), np.uint8)
+    u = v = np.zeros((4, 4), np.uint8)
+    # the track channel is capacity-1: pump each frame into the receiver
+    # buffer the way the tick loop does (no consumer thread in this test)
+    for i in range(3):
+        vch.send(Frame(data=(y, u, v), format=PixelFormat.PLANAR_YUV420,
+                       resolution=Resolution(8, 8), pts=i / 30.0))
+        qi.current.video._try_enqueue()
+    rep = q.buffer_report()
+    assert "a" in rep
+    assert rep["a"].get("video_buffer_s", 0) >= 2 / 30.0 - 1e-6, rep
+    q.close()

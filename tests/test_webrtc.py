@@ -589,3 +589,48 @@ def test_vp9_negotiation_and_loss_recovery_loopback():
     offerer.close()
     assert dropped["n"] == 1, "the loss injection never triggered"
     assert len(frames) >= 9, len(frames)
+
+
+def test_stun_srflx_gathering(monkeypatch):
+    """Server-reflexive candidate discovery against a local STUN responder
+    (reference SMELTER_WEBRTC_STUN_SERVERS, config.rs:269-281) and its
+    placement in the offer SDP."""
+    import socket
+    import threading
+
+    from smelter_tpu.io.webrtc import stun
+
+    stun_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    stun_sock.bind(("127.0.0.1", 0))
+    stun_port = stun_sock.getsockname()[1]
+    mapped = ("203.0.113.7", 61000)
+
+    def responder():
+        stun_sock.settimeout(5)
+        try:
+            data, addr = stun_sock.recvfrom(2048)
+        except OSError:
+            return
+        msg = stun.parse(data)
+        resp = stun.build(
+            stun.BINDING_RESPONSE, tid=msg.transaction_id,
+            attrs=[(stun.ATTR_XOR_MAPPED_ADDRESS,
+                    stun.xor_mapped_address(mapped, msg.transaction_id))],
+        )
+        stun_sock.sendto(resp, addr)
+
+    t = threading.Thread(target=responder, daemon=True)
+    t.start()
+
+    s = WebRtcSession(is_offerer=True)
+    got = s.gather_srflx([f"stun:127.0.0.1:{stun_port}"], timeout=3.0)
+    assert got == mapped
+    assert s.srflx == mapped
+    sdp = sdp_mod.build(
+        s.local_ufrag, s.local_pwd, s.fingerprint(), setup="actpass",
+        media=sdp_mod.default_offer_media(), directions=["sendonly", "sendonly"],
+        candidate=s.candidate, srflx_candidate=s.srflx,
+    )
+    assert "typ srflx raddr" in sdp and "203.0.113.7 61000" in sdp
+    s.close()
+    stun_sock.close()
