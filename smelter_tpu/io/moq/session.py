@@ -201,8 +201,11 @@ class MoqSession:
         sid = ev.stream_id
         if sid == -1:
             return  # datagrams unused by this profile
-        # control stream: client's first bidi stream (id 0) on both ends
-        if self.control_stream is None and sid % 4 == 0 and not self.is_quic_client:
+        # control stream: the FIRST bidi stream the client opens, which is
+        # QUIC stream id 0 by numbering (client-bidi ids are 0,4,8,...).
+        # Pinning to id 0 (not "first bidi stream seen") keeps a reordered
+        # data stream from being mistaken for control.
+        if self.control_stream is None and sid == 0 and not self.is_quic_client:
             self.control_stream = sid
         if sid == self.control_stream:
             for m in self._parser.feed(ev.data):

@@ -675,6 +675,16 @@ class QuicConnection:
 
     def _build_datagram(self, now: float) -> Optional[bytes]:
         """One UDP datagram, possibly coalescing Initial+Handshake packets."""
+        # rotate 1-RTT keys before the AES-GCM per-key packet limit
+        # (RFC 9001 §6); only once the handshake is confirmed and any prior
+        # update has been answered by the peer
+        app_prot = self.spaces[SPACE_APP].protection
+        if (
+            self.handshake_confirmed
+            and app_prot.ready
+            and app_prot.should_initiate_update()
+        ):
+            app_prot.initiate_key_update()
         parts: List[bytes] = []
         total = 0
         for space_idx in (SPACE_INITIAL, SPACE_HANDSHAKE, SPACE_APP):
@@ -821,7 +831,11 @@ class QuicConnection:
             return None
         pn_bytes = pkt.encode_packet_number(pn, space.largest_acked)
         if space_idx == SPACE_APP:
-            first = 0x40 | (len(pn_bytes) - 1)
+            first = (
+                0x40
+                | (space.protection.key_phase << 2)
+                | (len(pn_bytes) - 1)
+            )
             prefix = bytes([first]) + self.dcid
         else:
             ptype = pkt.PKT_INITIAL if space_idx == SPACE_INITIAL \

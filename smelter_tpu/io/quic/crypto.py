@@ -66,7 +66,19 @@ def initial_secrets(dcid: bytes, is_client: bool) -> Tuple[bytes, bytes]:
 
 class PacketProtection:
     """Seals/opens packets for one direction pair in one packet-number
-    space. AEAD = AES-128-GCM, HP = AES-128-ECB (TLS_AES_128_GCM_SHA256)."""
+    space. AEAD = AES-128-GCM, HP = AES-128-ECB (TLS_AES_128_GCM_SHA256).
+
+    1-RTT key update (RFC 9001 §6): the APP space rotates AEAD keys via
+    the "quic ku" HKDF label before the AES-GCM confidentiality limit.
+    Header-protection keys never rotate (§6.1). Receive handles all three
+    generations in flight: current, next (peer initiated — trial decrypt
+    on a flipped phase bit promotes it), and previous (reordered packets
+    from before our promotion)."""
+
+    # initiate a key update after this many sealed packets (AES-GCM
+    # confidentiality limit is 2^23 per key, RFC 9001 §B.1.1; update at
+    # half that for headroom)
+    KEY_UPDATE_AT = 1 << 22
 
     def __init__(self, tx_secret: Optional[bytes] = None,
                  rx_secret: Optional[bytes] = None) -> None:
@@ -74,18 +86,80 @@ class PacketProtection:
         self.rx: Optional[DirectionKeys] = None
         self._tx_aead: Optional[AESGCM] = None
         self._rx_aead: Optional[AESGCM] = None
+        self.tx_secret: Optional[bytes] = None
+        self.rx_secret: Optional[bytes] = None
+        self.key_phase = 0          # phase bit we currently send (TX)
+        self.rx_phase = 0           # phase bit of the current RX generation
+        self.sealed_count = 0       # packets sealed with the current tx key
+        self._update_unacked = False  # we flipped; peer hasn't flipped back
+        self._rx_next: Optional[Tuple[DirectionKeys, AESGCM]] = None
+        self._rx_prev: Optional[Tuple[DirectionKeys, AESGCM]] = None
         if tx_secret:
             self.set_tx(tx_secret)
         if rx_secret:
             self.set_rx(rx_secret)
 
     def set_tx(self, secret: bytes) -> None:
+        self.tx_secret = secret
         self.tx = DirectionKeys.from_secret(secret)
         self._tx_aead = AESGCM(self.tx.key)
+        self.sealed_count = 0
 
     def set_rx(self, secret: bytes) -> None:
+        self.rx_secret = secret
         self.rx = DirectionKeys.from_secret(secret)
         self._rx_aead = AESGCM(self.rx.key)
+        self._prepare_rx_next()
+
+    @staticmethod
+    def _next_secret(secret: bytes) -> bytes:
+        return hkdf_expand_label(secret, "quic ku", b"", 32)
+
+    def _prepare_rx_next(self) -> None:
+        nxt = DirectionKeys.from_secret(self._next_secret(self.rx_secret))
+        self._rx_next = (nxt, AESGCM(nxt.key))
+
+    # -- key update ----------------------------------------------------------
+
+    def should_initiate_update(self) -> bool:
+        return (
+            self.sealed_count >= self.KEY_UPDATE_AT
+            and not self._update_unacked
+        )
+
+    def initiate_key_update(self) -> None:
+        """Flip to next-generation TX keys (we keep accepting the peer's
+        current-phase packets until it flips too)."""
+        hp = self.tx.hp  # header protection never rotates
+        self.tx_secret = self._next_secret(self.tx_secret)
+        new = DirectionKeys.from_secret(self.tx_secret)
+        self.tx = DirectionKeys(key=new.key, iv=new.iv, hp=hp)
+        self._tx_aead = AESGCM(self.tx.key)
+        self.sealed_count = 0
+        self.key_phase ^= 1
+        self._update_unacked = True
+
+    def _promote_rx(self) -> None:
+        """Peer's flipped phase decrypted with next-gen keys: make them
+        current (keep the old ones for reordered packets) and, if the peer
+        initiated, move our TX forward too."""
+        hp = self.rx.hp
+        self._rx_prev = (self.rx, self._rx_aead)
+        self.rx_secret = self._next_secret(self.rx_secret)
+        nxt, aead = self._rx_next
+        self.rx = DirectionKeys(key=nxt.key, iv=nxt.iv, hp=hp)
+        self._rx_aead = aead
+        self._prepare_rx_next()
+        self.rx_phase ^= 1
+        if self._update_unacked:
+            # the peer flipped in response to our update: both sides are
+            # on the new generation now
+            self._update_unacked = False
+        else:
+            # peer-initiated update: advance our TX to match; the peer
+            # already has these keys, so nothing is pending
+            self.initiate_key_update()
+            self._update_unacked = False
 
     @property
     def ready(self) -> bool:
@@ -108,6 +182,7 @@ class PacketProtection:
         packet (header + encrypted pn + ciphertext)."""
         assert self.tx is not None and self._tx_aead is not None
         header = header_prefix + pn_bytes
+        self.sealed_count += 1
         ct = self._tx_aead.encrypt(self._nonce(self.tx.iv, pn), payload, header)
         pn_offset = len(header_prefix)
         sample = ct[4 - len(pn_bytes) : 20 - len(pn_bytes)]
@@ -145,5 +220,22 @@ class PacketProtection:
         pn = decode_packet_number(pn_trunc, pn_len * 8, largest_pn)
         header = bytes([first]) + packet[1:pn_offset] + bytes(pn_bytes)
         ct = packet[pn_offset + pn_len :]
+        if short_header:
+            phase = (first >> 2) & 1
+            if phase != self.rx_phase:
+                # flipped phase: either a reordered packet from the
+                # previous generation or the peer moving to the next one
+                # (both carry phase == rx_phase ^ 1) — AEAD disambiguates
+                if self._rx_prev is not None:
+                    keys, aead = self._rx_prev
+                    try:
+                        pt = aead.decrypt(self._nonce(keys.iv, pn), ct, header)
+                        return pn, pt
+                    except Exception:
+                        pass
+                keys, aead = self._rx_next
+                pt = aead.decrypt(self._nonce(keys.iv, pn), ct, header)
+                self._promote_rx()
+                return pn, pt
         pt = self._rx_aead.decrypt(self._nonce(self.rx.iv, pn), ct, header)
         return pn, pt
