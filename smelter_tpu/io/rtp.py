@@ -44,6 +44,7 @@ OPUS_CLOCK = 48_000
 PT_H264 = 96
 PT_VP8 = 97
 PT_VP9 = 98
+PT_AV1 = 99
 PT_OPUS = 111
 
 
@@ -479,6 +480,252 @@ class Vp9Payloader:
         return out
 
 
+# -- AV1 RTP payload (aomediacodec av1-rtp-spec v1.0) -----------------------
+#
+# Beyond-reference: smelter's RTP stack stops at VP9 (rtp_input/depayloader/).
+# This build already decodes/encodes AV1 (native FFmpeg service), so AV1 rides
+# RTP/WebRTC too. Payload = 1-byte aggregation header (Z|Y|W|N) + OBU
+# elements; we emit W=0 (every element LEB128-length-prefixed) and accept any
+# W on receive. OBUs travel without obu_size fields (lengths come from the
+# elements); the depayloader re-adds size fields so the output is a standard
+# low-overhead bitstream for the decoder.
+
+
+def _leb128_encode(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _leb128_read(data: bytes, pos: int) -> Tuple[int, int]:
+    val = 0
+    for i in range(8):
+        if pos >= len(data):
+            raise ValueError("truncated LEB128")
+        b = data[pos]
+        pos += 1
+        val |= (b & 0x7F) << (7 * i)
+        if not (b & 0x80):
+            return val, pos
+    raise ValueError("LEB128 too long")
+
+
+_OBU_TEMPORAL_DELIMITER = 2
+_OBU_PADDING = 15
+
+
+def split_obus(stream: bytes) -> List[bytes]:
+    """Split a low-overhead AV1 bitstream (OBUs with obu_size fields, as
+    FFmpeg emits) into individual OBUs (header + payload, size field kept).
+    A final OBU without a size field consumes the rest."""
+    obus: List[bytes] = []
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        start = pos
+        hdr = stream[pos]
+        pos += 1
+        if hdr & 0x04:  # extension flag
+            pos += 1
+        if hdr & 0x02:  # has_size
+            size, pos = _leb128_read(stream, pos)
+            pos += size
+            obus.append(stream[start:pos])
+        else:
+            obus.append(stream[start:])
+            break
+    return obus
+
+
+def _obu_strip_size(obu: bytes) -> bytes:
+    """OBU with size field -> same OBU, has_size=0, length implicit."""
+    hdr = obu[0]
+    hlen = 2 if hdr & 0x04 else 1
+    if not hdr & 0x02:
+        return obu
+    size, pos = _leb128_read(obu, hlen)
+    return bytes([hdr & ~0x02]) + obu[1:hlen] + obu[pos : pos + size]
+
+
+def _obu_add_size(obu: bytes) -> bytes:
+    """OBU without size field -> has_size=1 + LEB128 payload length."""
+    hdr = obu[0]
+    hlen = 2 if hdr & 0x04 else 1
+    if hdr & 0x02:
+        return obu
+    payload = obu[hlen:]
+    return bytes([hdr | 0x02]) + obu[1:hlen] + _leb128_encode(len(payload)) + payload
+
+
+def _obu_type(obu: bytes) -> int:
+    return (obu[0] >> 3) & 0x0F
+
+
+class Av1Payloader:
+    """AV1 temporal unit -> RTP packets (W=0 mode, fragmentation via Z/Y)."""
+
+    def __init__(self, ssrc: int, payload_type: int = PT_AV1, mtu: int = 1200) -> None:
+        self.ssrc = ssrc
+        self.pt = payload_type
+        self.mtu = mtu
+        self.seq = 0
+
+    def payload(self, frame: bytes, pts_s: float, keyframe: bool = False
+                ) -> List[RtpPacket]:
+        ts = int(round(pts_s * VIDEO_CLOCK)) & 0xFFFFFFFF
+        elements = [
+            _obu_strip_size(o)
+            for o in split_obus(frame)
+            if _obu_type(o) not in (_OBU_TEMPORAL_DELIMITER, _OBU_PADDING)
+        ]
+        if not elements:
+            return []
+        out: List[RtpPacket] = []
+        budget = self.mtu - 1  # after the aggregation header
+        cur: List[bytes] = []  # length-prefixed element bytes
+        cur_z = False          # first element continues a fragment
+        first_packet = True
+
+        def flush(y_bit: bool, marker: bool) -> None:
+            nonlocal cur, cur_z, first_packet
+            agg = (0x80 if cur_z else 0) | (0x40 if y_bit else 0)
+            if first_packet and keyframe:
+                agg |= 0x08  # N: new coded video sequence
+            out.append(RtpPacket(
+                payload_type=self.pt, sequence_number=self.seq, timestamp=ts,
+                ssrc=self.ssrc, payload=bytes([agg]) + b"".join(cur),
+                marker=marker,
+            ))
+            self.seq = (self.seq + 1) & 0xFFFF
+            cur = []
+            cur_z = False
+            first_packet = False
+
+        used = 0
+        for ei, el in enumerate(elements):
+            last_el = ei == len(elements) - 1
+            pos = 0
+            continuing = False
+            while True:
+                remaining = el[pos:]
+                prefix_guess = len(_leb128_encode(len(remaining)))
+                space = budget - used - prefix_guess
+                if space <= 0:
+                    flush(y_bit=False, marker=False)
+                    used = 0
+                    continue
+                take = remaining[:space]
+                pos += len(take)
+                done = pos >= len(el)
+                cur.append(_leb128_encode(len(take)) + take)
+                if continuing:
+                    cur_z = cur_z or len(cur) == 1
+                used += len(cur[-1])
+                if done:
+                    break
+                # element continues in the next packet
+                flush(y_bit=True, marker=False)
+                used = 0
+                continuing = True
+                cur_z = True
+            if last_el:
+                flush(y_bit=False, marker=True)
+        return out
+
+
+class Av1Depayloader:
+    """RTP packets -> AV1 temporal units (low-overhead bitstream with size
+    fields restored). Keyframes from the N bit."""
+
+    def __init__(self) -> None:
+        self._obus: List[bytes] = []
+        self._partial: Optional[bytearray] = None
+        self._keyframe = False
+        self._unroller = TimestampUnroller()
+        self._first_ts: Optional[int] = None
+
+    def push(self, pkt: RtpPacket) -> List[AccessUnit]:
+        p = pkt.payload
+        if not p:
+            return []
+        agg = p[0]
+        z, y = agg & 0x80, agg & 0x40
+        w = (agg >> 4) & 0x03
+        n_bit = agg & 0x08
+        if n_bit and not self._obus and self._partial is None:
+            self._keyframe = True
+        # parse elements
+        elements: List[bytes] = []
+        pos = 1
+        try:
+            if w == 0:
+                while pos < len(p):
+                    ln, pos = _leb128_read(p, pos)
+                    elements.append(p[pos : pos + ln])
+                    pos += ln
+            else:
+                for i in range(w - 1):
+                    ln, pos = _leb128_read(p, pos)
+                    elements.append(p[pos : pos + ln])
+                    pos += ln
+                elements.append(p[pos:])
+        except ValueError:
+            elements = []
+        if not elements:
+            return []
+        if z:
+            if self._partial is None:
+                # mid-fragment join: drop until a fresh element boundary
+                elements = elements[1:]
+            else:
+                self._partial.extend(elements[0])
+                elements = elements[1:]
+                # the continued OBU ends here unless it was the only
+                # element AND Y says it keeps going; close it BEFORE any
+                # following elements so OBU order is preserved
+                if elements or not y:
+                    self._obus.append(bytes(self._partial))
+                    self._partial = None
+        elif self._partial is not None:
+            # lost the tail of a fragmented OBU (seq gap): drop the partial
+            self._partial = None
+        if elements:
+            if y:
+                *complete, frag = elements
+                self._obus.extend(complete)
+                if self._partial is None:
+                    self._partial = bytearray(frag)
+                else:
+                    self._partial.extend(frag)
+            else:
+                if self._partial is not None:
+                    self._obus.append(bytes(self._partial))
+                    self._partial = None
+                self._obus.extend(elements)
+        if not pkt.marker:
+            return []
+        if self._partial is not None and not y:
+            self._obus.append(bytes(self._partial))
+            self._partial = None
+        obus = [o for o in self._obus if o]
+        self._obus = []
+        keyframe = self._keyframe
+        self._keyframe = False
+        if not obus:
+            return []
+        data = b"".join(_obu_add_size(o) for o in obus)
+        ext = self._unroller.unroll(pkt.timestamp)
+        if self._first_ts is None:
+            self._first_ts = ext
+        return [AccessUnit(data, (ext - self._first_ts) / VIDEO_CLOCK, keyframe)]
+
+
 class AacDepayloader:
     """RFC 3640 mpeg4-generic (AAC-hbr): 13-bit AU sizes in AU headers."""
 
@@ -780,6 +1027,8 @@ class RtpInputSource(InputSource):
             vd = Vp8Depayloader()
         elif self.options.video_codec == "vp9":
             vd = Vp9Depayloader()
+        elif self.options.video_codec == "av1":
+            vd = Av1Depayloader()
         ad = None
         if self.options.audio_codec == "opus":
             ad = OpusDepayloader()
@@ -797,7 +1046,7 @@ class RtpInputSource(InputSource):
                            adaptive=self.options.jitter_adaptive,
                            clock_rate=OPUS_CLOCK,
                            stats=getattr(self, "_audio_meter", None))
-        video_pts = {PT_H264, PT_VP8, PT_VP9}
+        video_pts = {PT_H264, PT_VP8, PT_VP9, PT_AV1}
 
         from smelter_tpu.io import rtcp as rtcp_mod
 
@@ -1195,9 +1444,12 @@ _DECODER_NAME_MAP = {
     "vulkan_h264": "h264",
     "ffmpeg_vp8": "vp8",
     "ffmpeg_vp9": "vp9",
+    # beyond-reference: AV1 over RTP (aomediacodec av1-rtp-spec)
+    "ffmpeg_av1": "av1",
     "h264": "h264",
     "vp8": "vp8",
     "vp9": "vp9",
+    "av1": "av1",
 }
 
 

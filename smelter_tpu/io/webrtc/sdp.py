@@ -206,6 +206,11 @@ def default_offer_media(video_codec: str = "h264") -> List[MediaDescription]:
             kind="video", mid="1", payload_types=[98],
             rtpmap={98: "VP9/90000"}, fmtp={98: "profile-id=0"},
         )
+    elif video_codec == "av1":
+        video = MediaDescription(
+            kind="video", mid="1", payload_types=[99],
+            rtpmap={99: "AV1/90000"}, fmtp={99: "profile=0;level-idx=0"},
+        )
     else:
         video = MediaDescription(
             kind="video", mid="1", payload_types=[96],

@@ -25,6 +25,8 @@ from typing import Optional
 
 
 from smelter_tpu.io.rtp import (
+    Av1Depayloader,
+    Av1Payloader,
     H264Depayloader,
     H264Payloader,
     Vp8Payloader,
@@ -51,15 +53,16 @@ logger = logging.getLogger("smelter.whip")
 @dataclass
 class NegotiatedMedia:
     video_pt: Optional[int]
-    video_codec: Optional[str]   # "h264" | "vp8" | "vp9"
+    video_codec: Optional[str]   # "h264" | "vp8" | "vp9" | "av1"
     audio_pt: Optional[int]      # opus
 
 
 def negotiate(offer: sdp_mod.SessionDescription) -> NegotiatedMedia:
     """Codec selection in the reference's preference order
     (`webrtc/negotiated_codecs.rs` / `offer_codec_filter.rs`): H264 first,
-    then VP8, then VP9."""
-    video = offer.find_codec("video", ["h264", "vp8", "vp9"])
+    then VP8, then VP9; AV1 accepted beyond-reference (av1-rtp-spec
+    payloaders in io/rtp.py)."""
+    video = offer.find_codec("video", ["h264", "vp8", "vp9", "av1"])
     audio = offer.find_codec("audio", ["opus"])
     return NegotiatedMedia(
         video_pt=video[0] if video else None,
@@ -132,6 +135,7 @@ class _RtpReceiverBridge:
             "h264": H264Depayloader,
             "vp8": Vp8Depayloader,
             "vp9": Vp9Depayloader,
+            "av1": Av1Depayloader,
         }.get(neg.video_codec or "h264", H264Depayloader)()
         self._last_nack = 0.0
         self._ad = OpusDepayloader()
@@ -363,6 +367,7 @@ class _RtpSenderBridge(OutputSink):
             payloader = {
                 "vp8": Vp8Payloader,
                 "vp9": Vp9Payloader,
+                "av1": Av1Payloader,
             }.get(self.video_codec, H264Payloader)
             self._vp = payloader(ssrc=0x574950, payload_type=video_pt, mtu=1200)
             self._ap = OpusPayloader(ssrc=0x574941, payload_type=audio_pt)
@@ -489,8 +494,16 @@ class WhipClientOutput(_RtpSenderBridge):
         else:
             self._session_url = None
         self._headers = headers
+        # payload types follow the answer's rtpmap (falling back to the
+        # conventional defaults when the answer omits one)
         audio_pt = 111
-        video_pt = 97 if video_codec == "vp8" else 96
+        video_pt = {"vp8": 97, "vp9": 98, "av1": 99}.get(video_codec, 96)
+        vid = answer.find_codec("video", [video_codec])
+        if vid:
+            video_pt = vid[0]
+        aud = answer.find_codec("audio", ["opus"])
+        if aud:
+            audio_pt = aud[0]
         self.attach(session, video_pt, audio_pt)
         session.start()
         # wait for the transport before encoded frames start flowing

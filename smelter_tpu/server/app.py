@@ -545,7 +545,8 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.io.webrtc import WhipClientOutput
 
                     sink = WhipClientOutput(
-                        spec.endpoint_url, bearer_token=spec.bearer_token
+                        spec.endpoint_url, bearer_token=spec.bearer_token,
+                        video_codec=(video.encoder.codec if video else "h264"),
                     )
                     state.pipeline.register_output(output_id, sink, video, audio)
                     state.output_kinds[output_id] = "whip"
