@@ -78,6 +78,26 @@ class TrackProducer:
             )
         h.send_stream(self._stream_id, wire.frame(timestamp_us, keyframe, payload))
 
+    # one QUIC datagram must fit a UDP packet after QUIC overhead
+    MAX_DATAGRAM_PAYLOAD = 1100
+
+    def write_datagram(self, timestamp_us: int, keyframe: bool,
+                       payload: bytes, new_group: bool = False) -> bool:
+        """Low-latency delivery: send the object as an unreliable QUIC
+        DATAGRAM (no stream head-of-line blocking; lost = gone, like RTP
+        over UDP). Returns False when the payload exceeds one datagram —
+        the caller should fall back to `write()` (reliable stream). Suits
+        audio frames and other sub-MTU objects."""
+        if len(payload) > self.MAX_DATAGRAM_PAYLOAD:
+            return False
+        if new_group or self._group_seq < 0:
+            self._group_seq += 1
+        self._session.handle.send_datagram(wire.object_datagram(
+            self.subscribe_id, self._group_seq, timestamp_us, keyframe,
+            payload,
+        ))
+        return True
+
     def finish_group(self) -> None:
         if self._stream_id is not None:
             self._session.handle.send_stream(self._stream_id, b"", fin=True)
@@ -200,7 +220,16 @@ class MoqSession:
     def _dispatch(self, ev) -> None:
         sid = ev.stream_id
         if sid == -1:
-            return  # datagrams unused by this profile
+            # datagram track mode: self-contained low-latency objects
+            parsed = wire.parse_object_datagram(ev.data)
+            if parsed is not None:
+                dsid, seq, f = parsed
+                consumer = self._consumers.get(dsid)
+                if consumer is not None:
+                    consumer.frames.put(TrackFrame(
+                        seq, f.timestamp_us, f.keyframe, f.payload,
+                    ))
+            return
         # control stream: the FIRST bidi stream the client opens, which is
         # QUIC stream id 0 by numbering (client-bidi ids are 0,4,8,...).
         # Pinning to id 0 (not "first bidi stream seen") keeps a reordered

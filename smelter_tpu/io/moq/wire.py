@@ -48,6 +48,7 @@ MSG_SUBSCRIBE_ERROR = 0x13
 MSG_UNANNOUNCE = 0x14
 
 GROUP_HEADER = 0x20
+OBJECT_DATAGRAM = 0x21
 
 
 def _s(text: str) -> bytes:
@@ -161,6 +162,33 @@ def group_header(subscribe_id: int, group_seq: int) -> bytes:
 def frame(timestamp_us: int, keyframe: bool, payload: bytes) -> bytes:
     return (encode_varint(timestamp_us) + bytes([1 if keyframe else 0])
             + encode_varint(len(payload)) + payload)
+
+
+def object_datagram(subscribe_id: int, group_seq: int, timestamp_us: int,
+                    keyframe: bool, payload: bytes) -> bytes:
+    """Self-contained low-latency object riding a QUIC DATAGRAM frame
+    (unreliable, unordered — no stream head-of-line blocking). Mirrors
+    MoQT's OBJECT_DATAGRAM message shape."""
+    return (encode_varint(OBJECT_DATAGRAM) + encode_varint(subscribe_id)
+            + encode_varint(group_seq) + encode_varint(timestamp_us)
+            + bytes([1 if keyframe else 0]) + payload)
+
+
+def parse_object_datagram(data: bytes):
+    """-> (subscribe_id, group_seq, MediaFrame) or None if not an object
+    datagram / truncated."""
+    try:
+        r = Reader(data)
+        if r.varint() != OBJECT_DATAGRAM:
+            return None
+        sid = r.varint()
+        seq = r.varint()
+        ts = r.varint()
+        flags = r.u8()
+        payload = data[r.pos:]
+    except (IndexError, ValueError):
+        return None
+    return sid, seq, MediaFrame(ts, bool(flags & 1), payload)
 
 
 @dataclass

@@ -394,3 +394,75 @@ def test_moq_pipeline_loopback(tmp_path, container):
     freqs = np.fft.rfftfreq(len(mono), 1.0 / 48000)
     peak = freqs[int(np.argmax(spec))]
     assert abs(peak - 440.0) < 15.0, peak
+
+
+def test_moq_datagram_track_loopback():
+    """Datagram track mode (beyond-reference low-latency path): sub-MTU
+    objects ride unreliable QUIC DATAGRAMs — no stream HoL blocking —
+    and oversized payloads signal stream fallback."""
+    state = MoqServerState()
+
+    class FakeInput:
+        options = type("O", (), {"auth_token": ""})()
+
+        def __init__(self):
+            self.session = None
+            self.got = threading.Event()
+
+        def attach_session(self, session):
+            self.session = session
+            self.got.set()
+            return True
+
+    sink = FakeInput()
+    state.register("dgcam", sink)
+    server = MoqServer(0, state, cert_dir="/tmp/smelter_moq_test")
+    try:
+        client = QuicClient("127.0.0.1", server.port, [wire.ALPN])
+        h = client.connect(timeout=15)
+        session = MoqSession(h, is_quic_client=True)
+        publisher = BroadcastPublisher(session, "bcast")
+        session.start_client("dgcam", "")
+        session.wait_setup(timeout=8)
+
+        cat = catalog_mod.Catalog()
+        cat.audio["audio0"] = catalog_mod.TrackEntry(
+            name="audio0", codec="opus", container="loc",
+        )
+        publisher.set_catalog(cat)
+        assert sink.got.wait(10)
+        srv_session = sink.session
+        assert srv_session.next_announce(timeout=10) == "bcast"
+
+        audio = srv_session.subscribe_track("audio0")
+        prod = publisher.producer("audio0")
+        deadline = time.time() + 5
+        while prod is None and time.time() < deadline:
+            time.sleep(0.05)
+            prod = publisher.producer("audio0")
+        assert prod is not None
+
+        # oversized -> caller must fall back to streams
+        assert not prod.write_datagram(0, False, b"x" * 4000)
+        # sub-MTU objects ride datagrams
+        sent = []
+        for i in range(20):
+            payload = b"opus-%03d" % i
+            assert prod.write_datagram(i * 20000, i == 0, payload,
+                                       new_group=(i % 10 == 0))
+            sent.append(payload)
+            time.sleep(0.005)
+        got = []
+        deadline = time.time() + 10
+        while len(got) < 20 and time.time() < deadline:
+            tf = audio.read(timeout=1)
+            if tf is not None:
+                got.append(tf)
+        # datagrams are unreliable even on loopback; expect most, in any order
+        assert len(got) >= 15, len(got)
+        assert {t.payload for t in got} <= set(sent)
+        first = min(got, key=lambda t: t.timestamp_us)
+        assert first.keyframe or first.timestamp_us > 0
+        client.close()
+    finally:
+        server.close()
