@@ -297,6 +297,9 @@ def video_encoder(e: api.VideoEncoderOptions, for_container: str) -> pout.VideoE
     if isinstance(e, api.FfmpegVp9Encoder):
         return pout.VideoEncoderOptions(codec="vp9", bitrate=_bitrate(e.bitrate),
                                         ffmpeg_options=extra)
+    if isinstance(e, api.FfmpegAv1Encoder):
+        return pout.VideoEncoderOptions(codec="av1", bitrate=_bitrate(e.bitrate),
+                                        ffmpeg_options=extra)
     raise ConversionError(f"unsupported video encoder {e}")
 
 

@@ -305,8 +305,20 @@ class FfmpegVp9Encoder(ApiModel):
     ffmpeg_options: Optional[Dict[str, str]] = None
 
 
+class FfmpegAv1Encoder(ApiModel):
+    """Beyond-reference: AV1 encode (libaom via the native service); usable
+    on mp4/rtmp (enhanced-RTMP av01) /rtp/webrtc outputs (av1-rtp-spec)."""
+
+    type: Literal["ffmpeg_av1"]
+    bitrate: Optional[Union[int, Dict[str, int]]] = None
+    keyframe_interval_ms: Optional[float] = None
+    pixel_format: Optional[Literal["yuv420p", "yuv422p", "yuv444p"]] = None
+    ffmpeg_options: Optional[Dict[str, str]] = None
+
+
 VideoEncoderOptions = Annotated[
-    Union[FfmpegH264Encoder, FfmpegVp8Encoder, FfmpegVp9Encoder],
+    Union[FfmpegH264Encoder, FfmpegVp8Encoder, FfmpegVp9Encoder,
+          FfmpegAv1Encoder],
     Field(discriminator="type"),
 ]
 

@@ -1257,7 +1257,8 @@ class RtpOutputOptions:
     ip: str = "127.0.0.1"
     port: int = 0
     transport: str = "udp"          # udp | tcp_server
-    video_payload_type: int = PT_H264
+    video_codec: str = "h264"       # h264 | vp8 | vp9 | av1
+    video_payload_type: Optional[int] = None  # default: codec convention
     audio_payload_type: int = PT_OPUS
     mtu: int = 1200
 
@@ -1274,8 +1275,20 @@ class RtpOutputSink(OutputSink):
     def __init__(self, options: RtpOutputOptions) -> None:
         self.options = options
         self._lock = threading.Lock()
-        self._vp = H264Payloader(
-            ssrc=0x53544956, payload_type=options.video_payload_type, mtu=options.mtu
+        payloader_cls = {
+            "vp8": Vp8Payloader,
+            "vp9": Vp9Payloader,
+            "av1": Av1Payloader,
+        }.get(options.video_codec, H264Payloader)
+        default_pt = {"vp8": PT_VP8, "vp9": PT_VP9, "av1": PT_AV1}.get(
+            options.video_codec, PT_H264
+        )
+        self._vp = payloader_cls(
+            ssrc=0x53544956,
+            payload_type=(options.video_payload_type
+                          if options.video_payload_type is not None
+                          else default_pt),
+            mtu=options.mtu,
         )
         self._ap = OpusPayloader(ssrc=0x53544941, payload_type=options.audio_payload_type)
         from smelter_tpu.io.rtcp import RtcpSenderState
@@ -1386,10 +1399,16 @@ class RtpOutputSink(OutputSink):
     def write_video_packet(self, pkt) -> None:
         data = pkt.data
         # inline parameter sets before keyframes if the encoder used
-        # global headers (AnnexB extradata)
-        if pkt.is_keyframe and self._video_extradata and not _has_sps(data):
+        # global headers (AnnexB extradata; h264 only)
+        if (self.options.video_codec == "h264" and pkt.is_keyframe
+                and self._video_extradata and not _has_sps(data)):
             data = self._video_extradata + data
-        for rtp_pkt in self._vp.payload(data, pkt.pts_s or 0.0):
+        if isinstance(self._vp, (Vp9Payloader, Av1Payloader)):
+            rtp_pkts = self._vp.payload(data, pkt.pts_s or 0.0,
+                                        keyframe=pkt.is_keyframe)
+        else:
+            rtp_pkts = self._vp.payload(data, pkt.pts_s or 0.0)
+        for rtp_pkt in rtp_pkts:
             self._send_pkt(rtp_pkt)
             self._v_rtcp.on_packet(len(rtp_pkt.payload))
         sr = self._v_rtcp.maybe_build_sr(pkt.pts_s or 0.0)
@@ -1529,6 +1548,7 @@ def register_rtp_output(pipeline, output_id: str, spec) -> None:
             ip=spec.ip or "127.0.0.1",
             port=int(spec.port),
             transport=spec.transport_protocol or "udp",
+            video_codec=(video.encoder.codec if video else "h264"),
         )
     )
     pipeline.register_output(output_id, sink, video, audio)
