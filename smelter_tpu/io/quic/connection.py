@@ -18,8 +18,11 @@ if individual packets are dropped repeatedly.
 from __future__ import annotations
 
 import os
+import struct
 import time
 from collections import deque
+
+from cryptography.exceptions import InvalidTag
 from dataclasses import dataclass, field
 from typing import Callable, Deque, Dict, List, Optional, Set, Tuple
 
@@ -425,8 +428,13 @@ class QuicConnection:
                 break  # padding
             try:
                 consumed = self._receive_packet(remaining, now)
-            except (ValueError, KeyError):
-                break  # undecryptable/garbage: drop rest of datagram
+            except (ValueError, KeyError, IndexError, struct.error,
+                    InvalidTag):
+                # undecryptable/garbage/truncated — including AEAD auth
+                # failures on spoofed packets (InvalidTag is NOT a
+                # ValueError): drop the rest of the datagram, never let a
+                # single hostile packet take down the endpoint
+                break
             except TlsError as exc:
                 self._close_frame = pkt.encode_connection_close(
                     0x0128, 0x06, str(exc).encode()[:64]

@@ -161,7 +161,10 @@ class QuicClient(_EndpointBase):
             except OSError:
                 break
             with self._lock:
-                self.conn.receive_datagram(data, time.monotonic())
+                try:
+                    self.conn.receive_datagram(data, time.monotonic())
+                except Exception:
+                    logger.exception("dropping datagram that broke receive")
 
 
 class QuicServer(_EndpointBase):
@@ -201,7 +204,12 @@ class QuicServer(_EndpointBase):
             except OSError:
                 break
             with self._lock:
-                self._dispatch(data, addr, time.monotonic())
+                try:
+                    self._dispatch(data, addr, time.monotonic())
+                except Exception:
+                    # a hostile/truncated datagram must never take down the
+                    # server thread (it serves every connection)
+                    logger.exception("dropping datagram that broke dispatch")
 
     def _dispatch(self, data: bytes, addr: Tuple[str, int], now: float) -> None:
         handle: Optional[QuicConnectionHandle] = None

@@ -1054,6 +1054,14 @@ class RtpInputSource(InputSource):
         bye = threading.Event()
 
         def on_datagram(data: bytes) -> None:
+            try:
+                _on_datagram(data)
+            except Exception:
+                # RTP rides plain UDP/TCP (no auth): one malformed packet
+                # crashing a depayloader must not kill the input thread
+                logger.exception("dropping RTP datagram that broke parsing")
+
+        def _on_datagram(data: bytes) -> None:
             if rtcp_mod.is_rtcp(data):
                 for item in rtcp_mod.parse_compound(data):
                     if isinstance(item, rtcp_mod.SenderReport):
@@ -1169,7 +1177,15 @@ def run_video_decode(aus: Channel, ctx: InputCtx, codec_name: str = "h264") -> N
                 au: AccessUnit = aus.recv()
             except Closed:
                 break
-            dec.send(au.data, au.pts_s)
+            try:
+                dec.send(au.data, au.pts_s)
+            except Exception:
+                # corrupt access unit off the wire (unauthenticated RTP):
+                # drop it and keep decoding — FFmpeg recovers at the next
+                # keyframe (reference decoder threads log-and-continue too)
+                logger.warning("dropping undecodable %s access unit "
+                               "(%d bytes)", codec_name, len(au.data))
+                continue
             while True:
                 f = dec.receive()
                 if f is None or f == "eof":
@@ -1232,7 +1248,12 @@ def run_audio_decode(aus: Channel, ctx: InputCtx, codec_name: str = "opus",
                 au: AccessUnit = aus.recv()
             except Closed:
                 break
-            dec.send(au.data, au.pts_s)
+            try:
+                dec.send(au.data, au.pts_s)
+            except Exception:
+                logger.warning("dropping undecodable %s access unit "
+                               "(%d bytes)", codec_name, len(au.data))
+                continue
             while True:
                 s = dec.receive()
                 if s is None or s == "eof":

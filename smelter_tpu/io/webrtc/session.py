@@ -305,3 +305,8 @@ class WebRtcSession:
                     self.on_rtp(plain)
         except ValueError:
             logger.debug("srtp auth failure (%d bytes)", len(data))
+        except Exception:
+            # a malformed-but-authenticated packet crashing a depayloader
+            # (or any on_rtp/on_rtcp consumer bug) must not kill the
+            # session's receive thread
+            logger.exception("srtp packet handler failed")

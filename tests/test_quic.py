@@ -218,3 +218,57 @@ def test_quic_key_update(tls_pair):
     finally:
         client.close()
         server.close()
+
+
+def test_quic_hostile_datagrams_do_not_kill_endpoint(tls_pair):
+    """Robustness: garbage, truncated, and AEAD-failing (spoofed) datagrams
+    aimed at both endpoints must be dropped without killing the endpoint
+    threads — data still flows afterwards. (InvalidTag from a forged
+    short-header packet is the nasty one: it is not a ValueError.)"""
+    import socket
+
+    client, server, h, sh = _pair(tls_pair)
+    rng = random.Random(99)
+    try:
+        sid = h.open_stream()
+        h.send_stream(sid, b"before")
+        # learn the server's addr + the client's scid (dcid of server->client
+        # short headers) to forge plausible packets
+        server_addr = ("127.0.0.1", server.port)
+        client_scid = h._conn.scid
+        server_scid = sh._conn.scid
+        atk = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(200):
+            kind = i % 5
+            if kind == 0:          # pure noise
+                payload = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 80)))
+            elif kind == 1:        # valid-looking short header + garbage (AEAD fails)
+                payload = bytes([0x40]) + server_scid + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(4, 60)))
+            elif kind == 2:        # truncated short header
+                payload = bytes([0x40]) + server_scid[: rng.randrange(0, 8)]
+            elif kind == 3:        # long header, bogus version
+                payload = bytes([0xC0, 0xDE, 0xAD, 0xBE, 0xEF]) + bytes(20)
+            else:                  # long header Initial-like, truncated
+                payload = bytes([0xC0, 0x00, 0x00, 0x00, 0x01, 8]) + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 30)))
+            atk.sendto(payload, server_addr)
+        # also spray the client's socket (spoofing the server)
+        client_addr = client.sock.getsockname()
+        for i in range(100):
+            payload = bytes([0x40]) + client_scid + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(4, 60)))
+            atk.sendto(payload, ("127.0.0.1", client_addr[1]))
+        atk.close()
+        time.sleep(0.5)
+        # the connection must still work end-to-end in both directions
+        h.send_stream(sid, b"after", fin=True)
+        buf, fin = _collect(sh, timeout=30)
+        assert fin and buf == b"beforeafter"
+        sid2 = sh.open_stream(bidi=False)
+        sh.send_stream(sid2, b"still-alive", fin=True)
+        buf2, fin2 = _collect(h, timeout=30)
+        assert fin2 and buf2 == b"still-alive"
+    finally:
+        client.close()
+        server.close()

@@ -574,3 +574,62 @@ def test_av1_payload_depayload_roundtrip():
             break
         n += 1
     assert n == len(pkts)
+
+
+def test_rtp_input_survives_garbage_datagrams():
+    """RTP rides unauthenticated UDP: random noise, truncated packets, and
+    valid RTP headers with garbage codec payloads sprayed at the input port
+    must not kill the receive thread — a valid stream decodes afterwards."""
+    import random as _random
+    import socket as _socket
+
+    from smelter_tpu.pipeline.input import InputCtx
+    from smelter_tpu.utils.channels import Channel
+
+    source = RtpInputSource(
+        RtpInputOptions(transport="udp", video_codec="h264")
+    )
+    vch = Channel(256)
+    ctx = InputCtx(input_id="fz", video_channel=vch, audio_channel=None)
+    source.start(ctx)
+    try:
+        rng = _random.Random(5)
+        atk = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        dest = ("127.0.0.1", source.port)
+        for i in range(300):
+            kind = i % 3
+            if kind == 0:   # pure noise
+                atk.sendto(bytes(rng.randrange(256)
+                                 for _ in range(rng.randrange(1, 64))), dest)
+            elif kind == 1:  # valid RTP header (pt 96 = h264), garbage payload
+                pkt = RtpPacket(
+                    payload_type=96, sequence_number=rng.randrange(65536),
+                    timestamp=rng.randrange(2**32), ssrc=7,
+                    payload=bytes(rng.randrange(256)
+                                  for _ in range(rng.randrange(0, 48))),
+                    marker=bool(rng.randrange(2)),
+                )
+                atk.sendto(pkt.serialize(), dest)
+            else:            # truncated RTP header
+                atk.sendto(b"\x80\x60" + bytes(rng.randrange(256)
+                           for _ in range(rng.randrange(0, 10))), dest)
+        # now a real stream must still decode end-to-end
+        vpkts = _encode_test_frames(n=10)
+        payloader = H264Payloader(ssrc=1, mtu=1200)
+        time.sleep(0.3)
+        for p in vpkts:
+            for rp in payloader.payload(p.data, p.pts_s or 0.0):
+                atk.sendto(rp.serialize(), dest)
+            time.sleep(0.005)
+        atk.close()
+        got = 0
+        deadline = time.time() + 20
+        while time.time() < deadline and got < 8:
+            try:
+                vch.recv(timeout=1)
+                got += 1
+            except TimeoutError:
+                continue
+        assert got >= 8, f"only {got} frames decoded after garbage spray"
+    finally:
+        source.stop()
