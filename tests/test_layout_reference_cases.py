@@ -1,0 +1,366 @@
+"""Layout-geometry mirrors of the reference's render_tests scene matrix.
+
+Each case reproduces a scene from `integration-tests/src/render_tests/`
+(view.rs / rescaler.rs / tiles.rs) at the reference's default 640x360
+canvas and asserts the flattened layout geometry the reference snapshot
+encodes (positions, sizes, clip masks, paint order). The reference's
+committed PNGs live in an un-vendored git submodule, so geometry — not
+pixels — is the comparable artifact; the pixel side (SDF edges, borders,
+shadows, resampling) is covered by tests/test_renderer.py goldens.
+"""
+
+import pytest
+
+from smelter_tpu.core.types import RGBAColor, Resolution
+from smelter_tpu.scene import components as comp
+from smelter_tpu.scene.layout_types import RenderChildNode, RenderColor
+
+from tests.test_layout import _flatten
+
+CANVAS = (640.0, 360.0)
+
+RED = RGBAColor(255, 0, 0)
+GREEN = RGBAColor(0, 255, 0)
+BLUE = RGBAColor(0, 0, 255)
+YELLOW = RGBAColor(255, 255, 0)
+CYAN = RGBAColor(0, 255, 255)
+MAGENTA = RGBAColor(255, 0, 255)
+WHITE = RGBAColor(255, 255, 255)
+
+
+def _rects(layouts):
+    return [(l.left, l.top, l.width, l.height) for l in layouts]
+
+
+def _colors(layouts):
+    return [
+        l.content.color if isinstance(l.content, RenderColor) else None
+        for l in layouts
+    ]
+
+
+# ---------------------------------------------------------------------------
+# view.rs
+# ---------------------------------------------------------------------------
+
+
+def test_constant_width_views_row():
+    """view.rs:193 constant_width_views_row: 3x 300-wide children overflow
+    a 640 canvas; widths are kept (no shrinking in hidden mode)."""
+    scene = comp.View(
+        background_color=WHITE,
+        children=[
+            comp.View(background_color=c,
+                      position=comp.StaticPosition(width=300.0))
+            for c in (RED, GREEN, BLUE)
+        ],
+    )
+    layouts = _flatten(scene, CANVAS)
+    root, c1, c2, c3 = layouts
+    assert (c1.left, c1.width) == (0, 300)
+    assert (c2.left, c2.width) == (300, 300)
+    assert (c3.left, c3.width) == (600, 300)  # extends past 640: clipped
+    for c in (c1, c2, c3):
+        assert c.height == 360
+
+
+def test_overflow_hidden_masks_escaping_absolute_child():
+    """view.rs:229 constant_width_views_row_with_overflow_hidden: a 500-wide
+    absolute child at left=-100 inside a 300-wide middle sibling is clipped
+    to the sibling's rect."""
+    scene = comp.View(children=[
+        comp.View(background_color=RED, position=comp.StaticPosition(width=300.0)),
+        comp.View(
+            background_color=GREEN, position=comp.StaticPosition(width=300.0),
+            overflow=comp.Overflow.HIDDEN,
+            children=[comp.View(
+                background_color=YELLOW,
+                position=comp.AbsolutePosition(
+                    width=500.0, height=100.0, left=-100.0, top=100.0,
+                ),
+            )],
+        ),
+        comp.View(background_color=BLUE, position=comp.StaticPosition(width=300.0)),
+    ])
+    layouts = _flatten(scene, CANVAS)
+    yellow = [l for l in layouts
+              if isinstance(l.content, RenderColor)
+              and l.content.color == YELLOW][0]
+    # absolute placement is relative to the middle sibling at x=300
+    assert (yellow.left, yellow.top, yellow.width, yellow.height) \
+        == (200, 100, 500, 100)
+    # clipped by the parent's rect (300..600)
+    assert any(
+        m.left == 300 and m.width == 300 and m.top == 0 and m.height == 360
+        for m in yellow.masks
+    ), yellow.masks
+
+
+def test_overflow_visible_does_not_mask():
+    """view.rs:276 ..._with_overflow_visible: same scene, overflow visible —
+    the escaping child carries no parent clip mask."""
+    scene = comp.View(children=[
+        comp.View(background_color=RED, position=comp.StaticPosition(width=300.0)),
+        comp.View(
+            background_color=GREEN, position=comp.StaticPosition(width=300.0),
+            overflow=comp.Overflow.VISIBLE,
+            children=[comp.View(
+                background_color=YELLOW,
+                position=comp.AbsolutePosition(
+                    width=500.0, height=100.0, left=-100.0, top=100.0,
+                ),
+            )],
+        ),
+        comp.View(background_color=BLUE, position=comp.StaticPosition(width=300.0)),
+    ])
+    layouts = _flatten(scene, CANVAS)
+    yellow = [l for l in layouts
+              if isinstance(l.content, RenderColor)
+              and l.content.color == YELLOW][0]
+    assert (yellow.left, yellow.top) == (200, 100)
+    assert not any(
+        m.left == 300 and m.width == 300 for m in yellow.masks
+    ), yellow.masks
+
+
+def test_overflow_fit_scales_static_children():
+    """view.rs:324 ..._with_overflow_fit: 3x 200x200 static children in a
+    300-wide fit parent scale by 300/600 = 0.5 (uniform)."""
+    scene = comp.View(children=[
+        comp.View(background_color=RED),
+        comp.View(
+            background_color=GREEN, position=comp.StaticPosition(width=300.0),
+            overflow=comp.Overflow.FIT,
+            children=[
+                comp.View(background_color=c,
+                          position=comp.StaticPosition(width=200.0, height=200.0))
+                for c in (CYAN, YELLOW, MAGENTA)
+            ],
+        ),
+        comp.View(background_color=BLUE),
+    ])
+    layouts = _flatten(scene, CANVAS)
+    by_color = {l.content.color: l for l in layouts
+                if isinstance(l.content, RenderColor)}
+    # parent starts after the RED dynamic child: (640-300)/2 = 170 wide
+    green_left = by_color[GREEN].left
+    cyan = by_color[CYAN]
+    assert cyan.width == pytest.approx(100.0)
+    assert cyan.height == pytest.approx(100.0)
+    assert cyan.left == pytest.approx(green_left)
+    assert by_color[YELLOW].left == pytest.approx(green_left + 100.0)
+    assert by_color[MAGENTA].left == pytest.approx(green_left + 200.0)
+
+
+def test_dynamic_and_constant_width_views_row():
+    """view.rs:414 dynamic_and_constant_width_views_row: dynamic children
+    share the leftover after constant-width siblings."""
+    scene = comp.View(
+        background_color=WHITE,
+        children=[
+            comp.View(background_color=RED),
+            comp.View(background_color=GREEN,
+                      position=comp.StaticPosition(width=300.0)),
+            comp.View(background_color=BLUE),
+        ],
+    )
+    layouts = _flatten(scene, CANVAS)
+    _, c1, c2, c3 = layouts
+    assert (c1.left, c1.width) == (0, 170)
+    assert (c2.left, c2.width) == (170, 300)
+    assert (c3.left, c3.width) == (470, 170)
+
+
+def test_absolute_right_bottom_offsets():
+    """view.rs:514/545: RightOffset(50)/TopOffset(50) with a 400x200 child
+    on 640x360 → left = 640-400-50 = 190."""
+    scene = comp.View(children=[
+        comp.View(background_color=RED),
+        comp.View(
+            background_color=GREEN,
+            position=comp.AbsolutePosition(width=400.0, height=200.0,
+                                           right=50.0, top=50.0),
+        ),
+        comp.View(background_color=BLUE),
+    ])
+    layouts = _flatten(scene, CANVAS)
+    green = [l for l in layouts
+             if isinstance(l.content, RenderColor)
+             and l.content.color == GREEN][0]
+    assert (green.left, green.top, green.width, green.height) \
+        == (190, 50, 400, 200)
+
+
+def test_absolute_child_paint_order_follows_child_index():
+    """view.rs:514 vs :545: an absolute child placed mid-list paints UNDER
+    later static siblings; placed last it paints over them."""
+    mid = comp.View(children=[
+        comp.View(background_color=RED),
+        comp.View(background_color=GREEN,
+                  position=comp.AbsolutePosition(width=400.0, height=200.0,
+                                                 right=50.0, top=50.0)),
+        comp.View(background_color=BLUE),
+    ])
+    layouts = _flatten(mid, CANVAS)
+    colors = [l.content.color for l in layouts
+              if isinstance(l.content, RenderColor)]
+    assert colors.index(GREEN) < colors.index(BLUE)
+
+    last = comp.View(children=[
+        comp.View(background_color=RED),
+        comp.View(background_color=BLUE),
+        comp.View(background_color=GREEN,
+                  position=comp.AbsolutePosition(width=400.0, height=200.0,
+                                                 right=50.0, top=50.0)),
+    ])
+    layouts = _flatten(last, CANVAS)
+    colors = [l.content.color for l in layouts
+              if isinstance(l.content, RenderColor)]
+    assert colors.index(GREEN) > colors.index(BLUE)
+
+
+def test_static_children_ignore_absolute_sibling_space():
+    """view.rs:514: static siblings split the full canvas as if the
+    absolute sibling were absent (RED and BLUE get 320 each)."""
+    scene = comp.View(children=[
+        comp.View(background_color=RED),
+        comp.View(background_color=GREEN,
+                  position=comp.AbsolutePosition(width=400.0, height=200.0,
+                                                 right=50.0, top=50.0)),
+        comp.View(background_color=BLUE),
+    ])
+    layouts = _flatten(scene, CANVAS)
+    by_color = {l.content.color: l for l in layouts
+                if isinstance(l.content, RenderColor)}
+    assert (by_color[RED].left, by_color[RED].width) == (0, 320)
+    assert (by_color[BLUE].left, by_color[BLUE].width) == (320, 320)
+
+
+# ---------------------------------------------------------------------------
+# rescaler.rs
+# ---------------------------------------------------------------------------
+
+
+def _rescaler_child(layouts):
+    return [l for l in layouts if isinstance(l.content, RenderChildNode)][0]
+
+
+def test_fit_inverted_aspect_ratio_centers():
+    """rescaler.rs:416 fit_input_stream_inverted_aspect_ratio: 360x640
+    portrait into 640x360 → height-bound, 202.5x360 centered."""
+    scene = comp.Rescaler(child=comp.InputStream(input_id="a"))
+    layouts = _flatten(scene, CANVAS, inputs={"a": Resolution(360, 640)})
+    c = _rescaler_child(layouts)
+    assert c.height == pytest.approx(360.0)
+    assert c.width == pytest.approx(360.0 * 360.0 / 640.0)
+    assert c.left == pytest.approx((640.0 - c.width) / 2.0)
+    assert c.top == pytest.approx(0.0)
+
+
+def test_fit_align_bottom_right():
+    """rescaler.rs:380 fit_input_stream_inverted_aspect_ratio_align_bottom_right."""
+    scene = comp.Rescaler(
+        child=comp.InputStream(input_id="a"),
+        horizontal_align=comp.HorizontalAlign.RIGHT,
+        vertical_align=comp.VerticalAlign.BOTTOM,
+    )
+    layouts = _flatten(scene, CANVAS, inputs={"a": Resolution(360, 640)})
+    c = _rescaler_child(layouts)
+    assert c.left + c.width == pytest.approx(640.0)
+    assert c.top + c.height == pytest.approx(360.0)
+
+
+def test_fill_inverted_aspect_ratio_align_top_left():
+    """rescaler.rs:189 fill_input_stream_inverted_aspect_ratio_align_top_left:
+    360x640 into 640x360 fill → width-bound scale 640/360, top-left pinned,
+    bottom cropped by mask."""
+    scene = comp.Rescaler(
+        child=comp.InputStream(input_id="a"), mode=comp.RescaleMode.FILL,
+        horizontal_align=comp.HorizontalAlign.LEFT,
+        vertical_align=comp.VerticalAlign.TOP,
+    )
+    layouts = _flatten(scene, CANVAS, inputs={"a": Resolution(360, 640)})
+    c = _rescaler_child(layouts)
+    scale = 640.0 / 360.0
+    assert (c.left, c.top) == (0, 0)
+    assert c.width == pytest.approx(640.0)
+    assert c.height == pytest.approx(640.0 * scale)
+    assert c.masks, "fill overflow must be clipped"
+
+
+def test_fill_matching_aspect_ratio_is_exact():
+    """rescaler.rs:297 fill_input_stream_matching_aspect_ratio."""
+    scene = comp.Rescaler(child=comp.InputStream(input_id="a"),
+                          mode=comp.RescaleMode.FILL)
+    layouts = _flatten(scene, CANVAS, inputs={"a": Resolution(1280, 720)})
+    c = _rescaler_child(layouts)
+    assert (c.left, c.top, c.width, c.height) == (0, 0, 640, 360)
+
+
+# ---------------------------------------------------------------------------
+# tiles.rs
+# ---------------------------------------------------------------------------
+
+
+def _tiles(n, canvas=CANVAS, aspect=(16, 9), in_res=Resolution(640, 360)):
+    scene = comp.Tiles(
+        children=[comp.InputStream(input_id=f"i{k}") for k in range(n)],
+        tile_aspect_ratio=aspect,
+    )
+    inputs = {f"i{k}": in_res for k in range(n)}
+    layouts = _flatten(scene, canvas, inputs=inputs)
+    return [l for l in layouts if isinstance(l.content, RenderChildNode)]
+
+
+def test_tiles_01_fills_canvas():
+    """tiles.rs:74 tiles_01_inputs: one 16:9 tile fills a 16:9 canvas."""
+    (c,) = _tiles(1)
+    assert (c.left, c.top, c.width, c.height) == (0, 0, 640, 360)
+
+
+def test_tiles_02_side_by_side_vertically_centered():
+    """tiles.rs:86 tiles_02_inputs: two tiles side by side, 320x180,
+    vertically centered."""
+    tiles = _tiles(2)
+    assert sorted((c.left, c.top, c.width, c.height) for c in tiles) == [
+        (0, 90, 320, 180),
+        (320, 90, 320, 180),
+    ]
+
+
+def test_tiles_03_grid_with_centered_last_row():
+    """tiles.rs:98 tiles_03_inputs: 2x2 grid, 3rd tile centered in the
+    bottom row (reference centers partial rows)."""
+    tiles = _tiles(3)
+    rects = sorted((c.left, c.top, c.width, c.height) for c in tiles)
+    assert rects == [
+        (0, 0, 320, 180),
+        (160, 180, 320, 180),
+        (320, 0, 320, 180),
+    ]
+
+
+def test_tiles_05_inputs_grid():
+    """tiles.rs:122 tiles_05_inputs: 5 tiles → 3x2 grid (213.33x120 tiles
+    beat 2x3's 160x90), partial last row centered."""
+    tiles = _tiles(5)
+    w = 640.0 / 3.0
+    h = w * 9.0 / 16.0
+    top_off = (360.0 - 2 * h) / 2.0
+    xs = sorted(round(c.left, 2) for c in tiles if abs(c.top - top_off) < 1e-6)
+    assert xs == [0.0, round(w, 2), round(2 * w, 2)]
+    bottom = [c for c in tiles if c.top > top_off + 1]
+    assert len(bottom) == 2
+    bx = sorted(round(c.left, 2) for c in bottom)
+    assert bx == [round((640 - 2 * w) / 2, 2),
+                  round((640 - 2 * w) / 2 + w, 2)]
+
+
+def test_tiles_portrait_aspect_ratio():
+    """tiles.rs:146 tiles_01_portrait_inputs: tile_aspect_ratio (1,2) on a
+    landscape canvas → one 180x360 tile centered; the 360x640 input FITS
+    inside it at 180x320 (fit scale min(180/360, 360/640) = 0.5)."""
+    (c,) = _tiles(1, aspect=(1, 2), in_res=Resolution(360, 640))
+    assert (c.width, c.height) == (180, 320)
+    assert c.left == pytest.approx((640 - 180) / 2.0)
+    assert c.top == pytest.approx((360 - 320) / 2.0)
