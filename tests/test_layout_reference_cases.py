@@ -364,3 +364,163 @@ def test_tiles_portrait_aspect_ratio():
     assert (c.width, c.height) == (180, 320)
     assert c.left == pytest.approx((640 - 180) / 2.0)
     assert c.top == pytest.approx((360 - 320) / 2.0)
+
+
+# ---------------------------------------------------------------------------
+# transition.rs
+# ---------------------------------------------------------------------------
+
+
+def _transition_flatten(scene1, scene2, pts_list, canvas=CANVAS):
+    """update_scene twice (reference TestRunner pattern) and flatten the
+    second scene at each pts."""
+    from smelter_tpu.scene.scene_state import OutputScene, SceneState
+
+    state = SceneState()
+    res = Resolution(int(canvas[0]), int(canvas[1]))
+    n1 = state.update_scene(
+        OutputScene("out", scene1, res), lambda t: (0, 0), lambda i: (0, 0)
+    )
+    n1.node.params.layouts(0.0, [])
+    state.register_render_event(0.0, {})
+    n2 = state.update_scene(
+        OutputScene("out", scene2, res), lambda t: (0, 0), lambda i: (0, 0)
+    )
+    out = []
+    for pts in pts_list:
+        nested = n2.node.params.layouts(pts, [])
+        out.append(nested.flatten([], res))
+    return out
+
+
+def _width_scene(width, transition=None):
+    """transition.rs:173 change_view_width scene builder."""
+    return comp.View(
+        background_color=WHITE,
+        children=[
+            comp.View(background_color=RED,
+                      position=comp.StaticPosition(width=50.0)),
+            comp.View(id="resize_1", background_color=GREEN,
+                      position=comp.StaticPosition(width=width),
+                      transition=transition),
+            comp.View(background_color=BLUE),
+        ],
+    )
+
+
+def test_change_view_width_linear_midpoints():
+    """transition.rs:173 change_view_width: 50→250 over a linear 10s
+    transition; the reference snapshots at 0/2.5/5/7.5/10s encode widths
+    50/100/150/200/250, with the BLUE sibling reflowing."""
+    flats = _transition_flatten(
+        _width_scene(50.0),
+        _width_scene(250.0, comp.Transition(duration=10.0)),
+        [0.0, 2.5, 5.0, 7.5, 10.0],
+    )
+    expected = [50.0, 100.0, 150.0, 200.0, 250.0]
+    for layouts, want in zip(flats, expected):
+        by_color = {l.content.color: l for l in layouts
+                    if isinstance(l.content, RenderColor)}
+        green = by_color[GREEN]
+        blue = by_color[BLUE]
+        assert green.width == pytest.approx(want), want
+        assert green.left == pytest.approx(50.0)
+        # BLUE takes the remainder of the row
+        assert blue.left == pytest.approx(50.0 + want)
+        assert blue.width == pytest.approx(640.0 - 50.0 - want)
+
+
+def _absolute_scene(width, height, top, right, transition=None):
+    """transition.rs:249 absolute_view scene builder."""
+    return comp.View(
+        background_color=WHITE,
+        children=[comp.View(
+            id="resize_1", background_color=GREEN,
+            position=comp.AbsolutePosition(width=width, height=height,
+                                           top=top, right=right),
+            transition=transition,
+        )],
+    )
+
+
+def test_change_view_absolute_linear():
+    """transition.rs:275 change_view_absolute: 200x200@(top 20, right 20) →
+    640x360@(0,0) over linear 10s; at 5s everything is halfway."""
+    flats = _transition_flatten(
+        _absolute_scene(200.0, 200.0, 20.0, 20.0),
+        _absolute_scene(640.0, 360.0, 0.0, 0.0,
+                        comp.Transition(duration=10.0)),
+        [5.0, 10.0],
+    )
+    mid = [l for l in flats[0]
+           if isinstance(l.content, RenderColor) and l.content.color == GREEN][0]
+    assert mid.width == pytest.approx(420.0)
+    assert mid.height == pytest.approx(280.0)
+    assert mid.top == pytest.approx(10.0)
+    # right offset 20→0 halves to 10: left = 640 - width - right
+    assert mid.left == pytest.approx(640.0 - 420.0 - 10.0)
+    end = [l for l in flats[1]
+           if isinstance(l.content, RenderColor) and l.content.color == GREEN][0]
+    assert (end.left, end.top, end.width, end.height) == (0, 0, 640, 360)
+
+
+def test_change_view_absolute_cubic_bezier_differs_from_linear():
+    """transition.rs:290 change_view_absolute_cubic_bezier: the (0.83, 0.4,
+    0.17, 1.0) ease must be monotonic, land exactly at the target, and
+    differ from linear at the midpoint."""
+    mk = lambda tr: _absolute_scene(200.0, 200.0, 0.0, 0.0 if tr is None else 440.0,
+                                    tr)
+    bezier = comp.Transition(
+        duration=5.0, easing=comp.Easing.cubic_bezier(0.83, 0.4, 0.17, 1.0)
+    )
+    flats = _transition_flatten(
+        _absolute_scene(200.0, 200.0, 0.0, 0.0),
+        _absolute_scene(200.0, 200.0, 0.0, 440.0, bezier),
+        [1.25, 2.5, 3.75, 5.0],
+    )
+    lefts = []
+    for layouts in flats:
+        g = [l for l in layouts
+             if isinstance(l.content, RenderColor) and l.content.color == GREEN][0]
+        lefts.append(g.left)
+    # right offset grows 0→440 so left shrinks 440→0, monotonically
+    assert lefts[0] > lefts[1] > lefts[2] > lefts[3]
+    assert lefts[3] == pytest.approx(0.0)
+    # midpoint must differ from the linear midpoint (220 offset → left 220)
+    assert abs(lefts[1] - 220.0) > 5.0
+
+
+def test_transition_interrupt_restarts_from_current_position():
+    """transition.rs:377 update_scene_with_transition_interrupt: a
+    should_interrupt update mid-flight starts from the CURRENT interpolated
+    value, not the original target."""
+    state_scenes = _transition_flatten  # alias for clarity
+
+    from smelter_tpu.scene.scene_state import OutputScene, SceneState
+
+    state = SceneState()
+    res = Resolution(640, 360)
+    tr = comp.Transition(duration=10.0, should_interrupt=True)
+    n1 = state.update_scene(
+        OutputScene("out", _width_scene(50.0), res),
+        lambda t: (0, 0), lambda i: (0, 0))
+    n1.node.params.layouts(0.0, [])
+    state.register_render_event(0.0, {})
+    n2 = state.update_scene(
+        OutputScene("out", _width_scene(250.0, tr), res),
+        lambda t: (0, 0), lambda i: (0, 0))
+    n2.node.params.layouts(5.0, [])          # halfway: width 150
+    state.register_render_event(5.0, {})
+    # interrupt: new target 50 — must start from ~150, not jump
+    n3 = state.update_scene(
+        OutputScene("out", _width_scene(50.0, tr), res),
+        lambda t: (0, 0), lambda i: (0, 0))
+    just_after = n3.node.params.layouts(5.0, []).flatten([], res)
+    green = [l for l in just_after
+             if isinstance(l.content, RenderColor) and l.content.color == GREEN][0]
+    assert green.width == pytest.approx(150.0, abs=2.0)
+    end = n3.node.params.layouts(15.0, []).flatten([], res)
+    green_end = [l for l in end
+                 if isinstance(l.content, RenderColor)
+                 and l.content.color == GREEN][0]
+    assert green_end.width == pytest.approx(50.0)
