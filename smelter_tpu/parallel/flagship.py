@@ -136,42 +136,85 @@ def make_flagship_compose(
     return _make_general_compose(flat, n_inputs, in_res, out_res)
 
 
+def plan_grid_partition(rects, H: int, W: int):
+    """If `rects` [(key, top, left, h, w)] exactly partition an HxW canvas
+    (no gaps, no overlap), return them as rows (top→bottom, each row
+    left→right); else None. A partition lets the canvas be ASSEMBLED with
+    row/column concatenation — one write — instead of a chain of
+    dynamic-update-slices that each rewrite the canvas (measured 0.34 ms
+    of the 0.94 ms flagship frame at 4K; concat assembly is ~free)."""
+    rows: dict = {}
+    for r in rects:
+        rows.setdefault((r[1], r[3]), []).append(r)
+    y = 0
+    ordered = []
+    for (top, h), row in sorted(rows.items()):
+        if top != y or h <= 0:
+            return None
+        row = sorted(row, key=lambda r: r[2])
+        x = 0
+        for r in row:
+            if r[2] != x or r[4] <= 0:
+                return None
+            x += r[4]
+        if x != W:
+            return None
+        ordered.append(row)
+        y += h
+    if y != H:
+        return None
+    return ordered
+
+
 def _make_yuv_grid_compose(grid, n_inputs, in_res: Resolution, out_res: Resolution):
     bg, tiles = grid
     H, W = out_res.height, out_res.width
     ch, cw = H // 2, W // 2
     sizes = {(h, w) for _, _, _, h, w in tiles}
     uniform = len(sizes) == 1 and len(tiles) == n_inputs
+    partition = plan_grid_partition(tiles, H, W)
 
     def fn(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+        if uniform:
+            _, _, _, th, tw = tiles[0]
+            bty = _round_u8(resize_matmul(y, th, tw))          # (N, th, tw)
+            btu = _round_u8(resize_matmul(u, th // 2, tw // 2))
+            btv = _round_u8(resize_matmul(v, th // 2, tw // 2))
+            tile_of = lambda idx, h, w: (bty[idx], btu[idx], btv[idx])
+        else:
+            def tile_of(idx, h, w):
+                return (
+                    _round_u8(resize_matmul(y[idx], h, w)),
+                    _round_u8(resize_matmul(u[idx], h // 2, w // 2)),
+                    _round_u8(resize_matmul(v[idx], h // 2, w // 2)),
+                )
+        if partition is not None:
+            # tiles cover the canvas: assemble with concatenation
+            rows_y, rows_u, rows_v = [], [], []
+            for row in partition:
+                ry, ru, rv = [], [], []
+                for idx, _, _, h, w in row:
+                    ty, tu, tv = tile_of(idx, h, w)
+                    ry.append(ty)
+                    ru.append(tu)
+                    rv.append(tv)
+                rows_y.append(jnp.concatenate(ry, axis=1) if len(ry) > 1 else ry[0])
+                rows_u.append(jnp.concatenate(ru, axis=1) if len(ru) > 1 else ru[0])
+                rows_v.append(jnp.concatenate(rv, axis=1) if len(rv) > 1 else rv[0])
+            cat = lambda rows: rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+            return cat(rows_y), cat(rows_u), cat(rows_v)
         canvas_y = jnp.full((H, W), jnp.uint8(bg[0]))
         canvas_u = jnp.full((ch, cw), jnp.uint8(bg[1]))
         canvas_v = jnp.full((ch, cw), jnp.uint8(bg[2]))
-        if uniform:
-            _, _, _, th, tw = tiles[0]
-            ty = _round_u8(resize_matmul(y, th, tw))          # (N, th, tw)
-            tu = _round_u8(resize_matmul(u, th // 2, tw // 2))
-            tv = _round_u8(resize_matmul(v, th // 2, tw // 2))
-            for idx, top, left, h, w in tiles:
-                canvas_y = canvas_y.at[top : top + h, left : left + w].set(ty[idx])
-                canvas_u = canvas_u.at[
-                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
-                ].set(tu[idx])
-                canvas_v = canvas_v.at[
-                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
-                ].set(tv[idx])
-        else:
-            for idx, top, left, h, w in tiles:
-                ty = _round_u8(resize_matmul(y[idx], h, w))
-                tu = _round_u8(resize_matmul(u[idx], h // 2, w // 2))
-                tv = _round_u8(resize_matmul(v[idx], h // 2, w // 2))
-                canvas_y = canvas_y.at[top : top + h, left : left + w].set(ty)
-                canvas_u = canvas_u.at[
-                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
-                ].set(tu)
-                canvas_v = canvas_v.at[
-                    top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
-                ].set(tv)
+        for idx, top, left, h, w in tiles:
+            ty, tu, tv = tile_of(idx, h, w)
+            canvas_y = canvas_y.at[top : top + h, left : left + w].set(ty)
+            canvas_u = canvas_u.at[
+                top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
+            ].set(tu)
+            canvas_v = canvas_v.at[
+                top // 2 : (top + h) // 2, left // 2 : (left + w) // 2
+            ].set(tv)
         return canvas_y, canvas_u, canvas_v
 
     return fn, _example_args(n_inputs, in_res)

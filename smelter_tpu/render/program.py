@@ -1138,28 +1138,51 @@ def _try_yuv_grid_program(
 
     ch_, cw_ = H // 2, W // 2
 
-    def inner(frame_buf, raw_planes):
-        canvas_y = jnp.full((H, W), jnp.uint8(bg[0]))
-        canvas_u = jnp.full((ch_, cw_), jnp.uint8(bg[1]))
-        canvas_v = jnp.full((ch_, cw_), jnp.uint8(bg[2]))
+    # concat assembly when the tiles exactly partition the canvas (one
+    # write instead of a canvas-rewriting DUS chain; see
+    # parallel/flagship.py:plan_grid_partition)
+    from smelter_tpu.parallel.flagship import plan_grid_partition
 
+    partition = plan_grid_partition(
+        [(tile, tile[1], tile[2], tile[3], tile[4]) for tile in tiles], H, W
+    )
+
+    def inner(frame_buf, raw_planes):
         def round_u8(x):
             return jnp.clip(x.astype(jnp.float32) + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
-        for iid, t, l, h, w, (ct, cl, chh, cww) in tiles:
+        def tile_planes(tile):
+            iid, t, l, h, w, (ct, cl, chh, cww) = tile
             y, u, v = access.get(iid, frame_buf, raw_planes)
             ys = y[ct : ct + chh, cl : cl + cww]
             us = u[ct // 2 : (ct + chh) // 2, cl // 2 : (cl + cww) // 2]
             vs = v[ct // 2 : (ct + chh) // 2, cl // 2 : (cl + cww) // 2]
-            canvas_y = canvas_y.at[t : t + h, l : l + w].set(
-                round_u8(resize_matmul(ys, h, w))
+            return (
+                round_u8(resize_matmul(ys, h, w)),
+                round_u8(resize_matmul(us, h // 2, w // 2)),
+                round_u8(resize_matmul(vs, h // 2, w // 2)),
             )
-            canvas_u = canvas_u.at[t // 2 : (t + h) // 2, l // 2 : (l + w) // 2].set(
-                round_u8(resize_matmul(us, h // 2, w // 2))
-            )
-            canvas_v = canvas_v.at[t // 2 : (t + h) // 2, l // 2 : (l + w) // 2].set(
-                round_u8(resize_matmul(vs, h // 2, w // 2))
-            )
+
+        if partition is not None:
+            rows_y, rows_u, rows_v = [], [], []
+            for row in partition:
+                parts = [tile_planes(entry[0]) for entry in row]
+                join = lambda xs, ax: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=ax)
+                rows_y.append(join([p[0] for p in parts], 1))
+                rows_u.append(join([p[1] for p in parts], 1))
+                rows_v.append(join([p[2] for p in parts], 1))
+            join0 = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+            return join0(rows_y), join0(rows_u), join0(rows_v)
+
+        canvas_y = jnp.full((H, W), jnp.uint8(bg[0]))
+        canvas_u = jnp.full((ch_, cw_), jnp.uint8(bg[1]))
+        canvas_v = jnp.full((ch_, cw_), jnp.uint8(bg[2]))
+        for tile in tiles:
+            _, t, l, h, w, _ = tile
+            ty, tu, tv = tile_planes(tile)
+            canvas_y = canvas_y.at[t : t + h, l : l + w].set(ty)
+            canvas_u = canvas_u.at[t // 2 : (t + h) // 2, l // 2 : (l + w) // 2].set(tu)
+            canvas_v = canvas_v.at[t // 2 : (t + h) // 2, l // 2 : (l + w) // 2].set(tv)
         return canvas_y, canvas_u, canvas_v
 
     jitted = jax.jit(inner)
