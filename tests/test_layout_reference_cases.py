@@ -524,3 +524,59 @@ def test_transition_interrupt_restarts_from_current_position():
                  if isinstance(l.content, RenderColor)
                  and l.content.color == GREEN][0]
     assert green_end.width == pytest.approx(50.0)
+
+
+# ---------------------------------------------------------------------------
+# tiles_transitions.rs
+# ---------------------------------------------------------------------------
+
+
+def test_change_order_of_3_inputs_with_id():
+    """tiles_transitions.rs:173 change_order_of_3_inputs_with_id: id-tracked
+    tiles animate from their old grid slot to the new one over linear 500ms;
+    snapshots at 0/100/300/500ms encode straight-line interpolation."""
+    from smelter_tpu.scene.scene_state import OutputScene, SceneState
+
+    state = SceneState()
+    res = Resolution(640, 360)
+    in_res = [Resolution(640, 360)] * 3
+
+    def tiles(order, transition=None):
+        return comp.Tiles(
+            id="tiles", transition=transition,
+            children=[comp.InputStream(input_id=f"input_{k}", id=f"input_{k}")
+                      for k in order],
+        )
+
+    n1 = state.update_scene(
+        OutputScene("out", tiles([1, 2, 3]), res),
+        lambda t: (0, 0), lambda i: (0, 0))
+    n1.node.params.layouts(0.0, in_res)
+    state.register_render_event(
+        0.0, {f"input_{k}": Resolution(640, 360) for k in (1, 2, 3)})
+    n2 = state.update_scene(
+        OutputScene("out", tiles([3, 1, 2], comp.Transition(duration=0.5)), res),
+        lambda t: (0, 0), lambda i: (0, 0))
+
+    # grid slots for 3 tiles on 640x360 (test_tiles_03): (0,0) (320,0)
+    # (160,180); input order maps inputs→slots.
+    start = {"input_1": (0.0, 0.0), "input_2": (320.0, 0.0),
+             "input_3": (160.0, 180.0)}
+    end = {"input_3": (0.0, 0.0), "input_1": (320.0, 0.0),
+           "input_2": (160.0, 180.0)}
+
+    def tile_positions(pts):
+        flat = n2.node.params.layouts(pts, in_res).flatten(in_res, res)
+        kids = [l for l in flat if isinstance(l.content, RenderChildNode)]
+        # children are emitted in the NEW order [3, 1, 2]
+        order = ["input_3", "input_1", "input_2"]
+        return {name: (k.left, k.top) for name, k in zip(order, kids)}
+
+    for pts, frac in ((0.0, 0.0), (0.1, 0.2), (0.3, 0.6), (0.5, 1.0)):
+        got = tile_positions(pts)
+        for name in start:
+            sx, sy = start[name]
+            ex, ey = end[name]
+            want = (sx + (ex - sx) * frac, sy + (ey - sy) * frac)
+            assert got[name][0] == pytest.approx(want[0], abs=1e-3), (pts, name)
+            assert got[name][1] == pytest.approx(want[1], abs=1e-3), (pts, name)
