@@ -580,3 +580,86 @@ def test_change_order_of_3_inputs_with_id():
             want = (sx + (ex - sx) * frac, sy + (ey - sy) * frac)
             assert got[name][0] == pytest.approx(want[0], abs=1e-3), (pts, name)
             assert got[name][1] == pytest.approx(want[1], abs=1e-3), (pts, name)
+
+
+# ---------------------------------------------------------------------------
+# text.rs — TextDimensions behavioral cases
+# ---------------------------------------------------------------------------
+
+
+def _text(text, mode, **kw):
+    dims_kw = {k: kw.pop(k) for k in ("width", "height", "max_width",
+                                      "max_height") if k in kw}
+    return comp.Text(text=text, font_size=24.0,
+                     dimensions=comp.TextDimensions(mode=mode, **dims_kw),
+                     **kw)
+
+
+def test_text_dimensions_fitted_column_grows_with_content():
+    """text.rs:100/118 dimensions_fitted_column_with_{long,short}_text:
+    fixed width, height fitted to wrapped content — more text, more rows."""
+    from smelter_tpu.render.text import TextRenderer
+
+    tr = TextRenderer()
+    short = tr.render(_text("Example text", "fitted_column", width=300.0,
+                            wrap=comp.TextWrap.WORD))
+    long_ = tr.render(_text(
+        "Example text with a lot of content that has to wrap into several "
+        "lines to fit the column width", "fitted_column", width=300.0,
+        wrap=comp.TextWrap.WORD))
+    assert short.width == long_.width == 300
+    assert long_.height > short.height * 2
+
+
+def test_text_dimensions_fitted_trims_to_content():
+    """text.rs:136 dimensions_fitted: the box is exactly the shaped content
+    size (no trailing dead space)."""
+    from smelter_tpu.render.text import TextRenderer
+
+    tr = TextRenderer()
+    a = tr.render(_text("hi", "fitted"))
+    b = tr.render(_text("hi there, much longer line", "fitted"))
+    assert b.width > a.width * 3
+    assert a.height == b.height  # single line each
+    # rendered raster matches the declared box
+    assert a.rgba.shape[1] == int(round(a.width)) or a.rgba.shape[1] >= a.width - 1
+
+
+def test_text_dimensions_fixed_clips_overflow():
+    """text.rs:151/169 dimensions_fixed(+with_overflow): box stays at the
+    declared size regardless of content."""
+    from smelter_tpu.render.text import TextRenderer
+
+    tr = TextRenderer()
+    r = tr.render(_text(
+        "this content is far too long to fit in a tiny fixed box and must "
+        "be clipped", "fixed", width=120.0, height=40.0))
+    assert (r.width, r.height) == (120, 40)
+    assert r.rgba.shape[0] == 40 and r.rgba.shape[1] == 120
+
+
+def test_text_wrap_none_single_line():
+    """text.rs:227 wrap_none: no wrapping — one line regardless of width."""
+    from smelter_tpu.render.text import TextRenderer
+
+    tr = TextRenderer()
+    base = tr.render(_text("word", "fitted_column", width=150.0, wrap=comp.TextWrap.NONE))
+    none_ = tr.render(_text(
+        "many words that would wrap if wrapping were on", "fitted_column",
+        width=150.0, wrap=comp.TextWrap.NONE))
+    assert none_.height == base.height  # still one line
+
+
+def test_text_wrap_glyph_breaks_inside_words():
+    """text.rs:208 wrap_glyph vs :246 wrap_word: glyph wrap fills lines
+    tighter (breaks inside words), so it needs no more lines than word
+    wrap, and an unbreakable-by-word string still wraps."""
+    from smelter_tpu.render.text import TextRenderer
+
+    tr = TextRenderer()
+    word = tr.render(_text("Averyveryverylongsingleword", "fitted_column",
+                           width=120.0, wrap=comp.TextWrap.WORD))
+    glyph = tr.render(_text("Averyveryverylongsingleword", "fitted_column",
+                            width=120.0, wrap=comp.TextWrap.GLYPH))
+    # glyph wrap must break the single long word into multiple lines
+    assert glyph.height > word.height or glyph.height > 30
