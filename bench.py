@@ -21,9 +21,16 @@ import sys
 import tempfile
 import time
 
+# persistent XLA cache: repeated bench runs skip the per-structure compile
+os.environ.setdefault("SMELTER_XLA_CACHE_DIR", "/tmp/smelter_xla_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from smelter_tpu.config import apply_compile_cache
+
+apply_compile_cache()
 
 N_INPUTS = 16
 IN_W, IN_H = 1920, 1080

@@ -95,7 +95,25 @@ def apply_xla_debug(enabled: bool) -> None:
     jax.config.update("jax_debug_infs", True)
 
 
+def apply_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache when
+    SMELTER_XLA_CACHE_DIR is set: compiled frame programs survive process
+    restarts, so a server restart (or a repeated offline job) skips the
+    20-40 s per-structure XLA compile and resumes in milliseconds. This is
+    the restart half of the recompilation policy (SURVEY §7 hard part (a);
+    live updates are covered by background compiles + freeze-frames)."""
+    cache_dir = os.environ.get("SMELTER_XLA_CACHE_DIR", "")
+    if not cache_dir:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything that took meaningful compile time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def read_config() -> Config:
+    apply_compile_cache()
     offline = _env_bool("SMELTER_OFFLINE_PROCESSING_ENABLE", False)
     # offline processing implies AOT + never-drop (reference config.rs:210-226)
     aot = _env_bool("SMELTER_AHEAD_OF_TIME_PROCESSING_ENABLE", offline)

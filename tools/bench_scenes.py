@@ -25,6 +25,11 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("SMELTER_XLA_CACHE_DIR", "/tmp/smelter_xla_cache")
+from smelter_tpu.config import apply_compile_cache
+
+apply_compile_cache()
+
 import numpy as np
 
 
