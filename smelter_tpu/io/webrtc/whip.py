@@ -432,17 +432,33 @@ class _RtpSenderBridge(OutputSink):
 
 class WhepServerOutput(_RtpSenderBridge):
     """Output whose media is pulled by WHEP subscribers POSTing offers to
-    /whep/:id (reference `whep_output/`). Single-subscriber for now."""
+    /whep/:id (reference `whep_output/`). Single-subscriber for now.
 
-    def __init__(self, bearer_token: Optional[str] = None) -> None:
+    The media codec is fixed by the REGISTERED encoder (we can't transcode
+    per subscriber), so negotiation must find THAT codec in the
+    subscriber's offer — not the generic preference order (an h264-first
+    pick against a vp8 encoder would mislabel every packet)."""
+
+    def __init__(self, bearer_token: Optional[str] = None,
+                 video_codec: str = "h264") -> None:
         super().__init__()
         self.bearer_token = bearer_token
+        self.video_codec = video_codec
 
     def handle_offer(self, offer_sdp: str) -> str:
         offer = sdp_mod.parse(offer_sdp)
-        neg = negotiate(offer)
-        if neg.video_pt is None and neg.audio_pt is None:
-            raise ValueError("no supported codecs in offer")
+        video = offer.find_codec("video", [self.video_codec])
+        audio = offer.find_codec("audio", ["opus"])
+        if video is None and audio is None:
+            raise ValueError(
+                f"offer includes neither {self.video_codec} video nor opus "
+                "audio (this output's encoders)"
+            )
+        neg = NegotiatedMedia(
+            video_pt=video[0] if video else None,
+            video_codec=video[1] if video else None,
+            audio_pt=audio[0] if audio else None,
+        )
         session = WebRtcSession(is_offerer=False)
         session.set_remote(offer)
         media, offer_dirs = _answer_media(offer, neg)

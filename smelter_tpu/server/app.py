@@ -535,7 +535,11 @@ def build_app(state: ApiState) -> web.Application:
                         from smelter_tpu.io.webrtc import WhepServerOutput
 
                         token = spec.bearer_token or secrets.token_urlsafe(24)
-                        sink = WhepServerOutput(bearer_token=token)
+                        sink = WhepServerOutput(
+                            bearer_token=token,
+                            video_codec=(video.encoder.codec if video
+                                         else "h264"),
+                        )
                         state.pipeline.register_output(output_id, sink, video, audio)
                         state.output_kinds[output_id] = "whep"
                         return {

@@ -732,3 +732,47 @@ def test_av1_negotiation_and_loopback():
     answerer.close()
     offerer.close()
     assert len(frames) >= len(pkts) - 1, len(frames)
+
+
+def test_whep_server_negotiates_registered_codec_only():
+    """WHEP output streams whatever the registered encoder produces; the
+    answer must pick THAT codec's payload type from the subscriber offer
+    (h264-first preference against a vp8 encoder would mislabel packets),
+    and reject offers that lack it."""
+    from smelter_tpu.io.webrtc.whip import WhepServerOutput
+
+    out = WhepServerOutput(video_codec="vp8")
+    offer = sdp_mod.build(
+        "uf", "pw", "AA:BB", setup="actpass",
+        media=[
+            sdp_mod.MediaDescription(
+                kind="audio", mid="0", payload_types=[111],
+                rtpmap={111: "opus/48000/2"}, fmtp={},
+            ),
+            sdp_mod.MediaDescription(
+                kind="video", mid="1", payload_types=[102, 105],
+                rtpmap={102: "H264/90000", 105: "VP8/90000"}, fmtp={},
+            ),
+        ],
+        directions=["recvonly", "recvonly"], candidate=("127.0.0.1", 9),
+    )
+    answer = out.handle_offer(offer)
+    assert "105 VP8/90000" in answer
+    assert "H264" not in answer
+    assert out.video_pt == 105 and out.video_codec == "vp8"
+    if out.session is not None:
+        out.session.close()
+    out.detach()
+
+    out2 = WhepServerOutput(video_codec="av1")
+    h264_only = sdp_mod.build(
+        "uf", "pw", "AA:BB", setup="actpass",
+        media=[sdp_mod.MediaDescription(
+            kind="video", mid="0", payload_types=[96],
+            rtpmap={96: "H264/90000"}, fmtp={},
+        )],
+        directions=["recvonly"], candidate=("127.0.0.1", 9),
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        out2.handle_offer(h264_only)
