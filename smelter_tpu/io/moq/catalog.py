@@ -96,10 +96,11 @@ class Catalog:
 
     def first_video(self) -> Optional[TrackEntry]:
         """First supported video rendition (reference
-        catalog.rs find_first_video: H264/VP8/VP9 only)."""
+        catalog.rs find_first_video is H264/VP8/VP9; AV1 is accepted
+        beyond-reference — the native decoder handles it)."""
         for name in sorted(self.video):
             e = self.video[name]
-            if e.codec in ("h264", "vp8", "vp9"):
+            if e.codec in ("h264", "vp8", "vp9", "av1"):
                 return e
         return None
 

@@ -179,6 +179,13 @@ def build_init_segment(is_video: bool, codec: str, timescale: int,
                            else build_vpcc_record()[4:])
             fourcc = b"vp09" if codec == "vp9" else b"vp08"
             entry = _visual_sample_entry(fourcc, width, height, vpcc)
+        elif codec == "av1":
+            # AV1CodecConfigurationBox: marker|version=0x81, profile/level,
+            # 4:2:0 flags, no presentation delay, + optional sequence
+            # header OBU as configOBUs (decoders also read it in-band)
+            av1c = box(b"av1C", bytes([0x81, 0x00, 0x0C, 0x00])
+                       + (description or b""))
+            entry = _visual_sample_entry(b"av01", width, height, av1c)
         else:
             raise ValueError(f"unsupported CMAF video codec {codec}")
     else:
@@ -242,6 +249,11 @@ def parse_init_segment(init: bytes) -> Tuple[int, Optional[bytes], str]:
                 got = find_box(init, [b"vpcC"], e0 + 78, e1)
                 if got:
                     desc = init[got[0] : got[1]]
+            elif btype == b"av01":
+                got = find_box(init, [b"av1C"], e0 + 78, e1)
+                if got:
+                    # configOBUs after the 4 fixed av1C bytes
+                    desc = init[got[0] + 4 : got[1]] or None
             elif btype == b"mp4a":
                 got = find_box(init, [b"esds"], e0 + 28, e1)
                 if got:

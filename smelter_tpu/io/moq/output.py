@@ -117,12 +117,18 @@ class MoqClientOutput(OutputSink):
         codec = (getattr(getattr(opts, "encoder", None), "codec", None)
                  or "h264").lower()
         codec = {"hevc": "h265"}.get(codec, codec)
-        if codec not in ("h264", "vp8", "vp9"):
-            raise ValueError(f"MoQ output supports h264/vp8/vp9, got {codec}")
+        if codec not in ("h264", "vp8", "vp9", "av1"):
+            raise ValueError(
+                f"MoQ output supports h264/vp8/vp9/av1, got {codec}"
+            )
         res = getattr(opts, "resolution", None)
         w = getattr(res, "width", 0) or 0
         h = getattr(res, "height", 0) or 0
         desc = extradata if codec == "h264" else None
+        if codec == "av1" and extradata:
+            from smelter_tpu.io.rtmp.session import extract_av1_sequence_header
+
+            desc = extract_av1_sequence_header(extradata) or extradata
         init = None
         if self.container == "cmaf":
             if codec == "h264" and (not desc or not desc.startswith(b"\x01")):

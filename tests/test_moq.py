@@ -466,3 +466,16 @@ def test_moq_datagram_track_loopback():
         client.close()
     finally:
         server.close()
+
+
+def test_container_av1_init_segment_roundtrip():
+    """AV1 CMAF (beyond reference): av01 sample entry with av1C configOBUs
+    survives the init-segment build/parse roundtrip."""
+    from smelter_tpu.io.moq.container import build_init_segment, parse_init_segment
+
+    seq_hdr = bytes([0x0A, 0x03, 0x01, 0x02, 0x03])  # sequence header OBU
+    init = build_init_segment(True, "av1", 90000, seq_hdr, 640, 360)
+    timescale, desc, fourcc = parse_init_segment(init)
+    assert timescale == 90000
+    assert fourcc == "av01"
+    assert desc == seq_hdr
