@@ -284,22 +284,31 @@ def _bitrate(b) -> int:
 
 def video_encoder(e: api.VideoEncoderOptions, for_container: str) -> pout.VideoEncoderOptions:
     extra = ",".join(f"{k}={v}" for k, v in (e.ffmpeg_options or {}).items())
+    interval = (
+        e.keyframe_interval_ms / 1000.0
+        if getattr(e, "keyframe_interval_ms", None)
+        else None
+    )
     if isinstance(e, api.FfmpegH264Encoder):
         return pout.VideoEncoderOptions(
             codec="h264",
             preset=e.preset or ("fast" if for_container != "rtp" else "fast"),
             bitrate=_bitrate(e.bitrate),
             ffmpeg_options=extra,
+            keyframe_interval_s=interval,
         )
     if isinstance(e, api.FfmpegVp8Encoder):
         return pout.VideoEncoderOptions(codec="vp8", bitrate=_bitrate(e.bitrate),
-                                        ffmpeg_options=extra)
+                                        ffmpeg_options=extra,
+                                        keyframe_interval_s=interval)
     if isinstance(e, api.FfmpegVp9Encoder):
         return pout.VideoEncoderOptions(codec="vp9", bitrate=_bitrate(e.bitrate),
-                                        ffmpeg_options=extra)
+                                        ffmpeg_options=extra,
+                                        keyframe_interval_s=interval)
     if isinstance(e, api.FfmpegAv1Encoder):
         return pout.VideoEncoderOptions(codec="av1", bitrate=_bitrate(e.bitrate),
-                                        ffmpeg_options=extra)
+                                        ffmpeg_options=extra,
+                                        keyframe_interval_s=interval)
     raise ConversionError(f"unsupported video encoder {e}")
 
 

@@ -1552,10 +1552,10 @@ def register_rtp_output(pipeline, output_id: str, spec) -> None:
     if video is not None:
         # inline SPS/PPS for live streams
         extra = video.encoder.ffmpeg_options
-        video.encoder = type(video.encoder)(
-            codec=video.encoder.codec,
-            preset=video.encoder.preset,
-            bitrate=video.encoder.bitrate,
+        import dataclasses
+
+        video.encoder = dataclasses.replace(
+            video.encoder,
             ffmpeg_options=(extra + "," if extra else "") + "global_header=0",
         )
     if audio is not None and audio.encoder.codec != "opus":

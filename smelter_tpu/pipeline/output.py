@@ -96,10 +96,11 @@ class EndConditionState:
 
 @dataclass(frozen=True)
 class VideoEncoderOptions:
-    codec: str = "h264"           # h264 | vp8 | vp9 | raw
+    codec: str = "h264"           # h264 | vp8 | vp9 | av1 | raw
     preset: str = "ultrafast"
     bitrate: int = 0              # 0 = CRF default
     ffmpeg_options: str = ""      # extra "k=v,k=v" passed to the encoder
+    keyframe_interval_s: Optional[float] = None  # None = encoder default
 
 
 @dataclass(frozen=True)
@@ -261,6 +262,14 @@ class PipelineOutput:
             if opts.encoder.codec != "raw":
                 from smelter_tpu.io.codec import Codec, VideoEncoder
 
+                ff_opts = opts.encoder.ffmpeg_options
+                interval = getattr(opts.encoder, "keyframe_interval_s", None)
+                if interval:
+                    # gop size in frames (reference ffmpeg_h264.rs maps
+                    # keyframe_interval_ms the same way)
+                    gop = max(int(round(
+                        interval * self.fps[0] / self.fps[1])), 1)
+                    ff_opts = (ff_opts + "," if ff_opts else "") + f"g={gop}"
                 enc = VideoEncoder(
                     Codec.from_name(opts.encoder.codec),
                     opts.resolution.width,
@@ -269,7 +278,7 @@ class PipelineOutput:
                     self.fps[1],
                     preset=opts.encoder.preset,
                     bitrate=opts.encoder.bitrate,
-                    opts=opts.encoder.ffmpeg_options,
+                    opts=ff_opts,
                 )
                 self.sink.setup_video(opts, enc.extradata(), *self.fps)
             else:

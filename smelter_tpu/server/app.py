@@ -516,10 +516,10 @@ def build_app(state: ApiState) -> web.Application:
                     )
                     if video is not None:
                         extra = video.encoder.ffmpeg_options
-                        video.encoder = type(video.encoder)(
-                            codec=video.encoder.codec,
-                            preset=video.encoder.preset,
-                            bitrate=video.encoder.bitrate,
+                        import dataclasses
+
+                        video.encoder = dataclasses.replace(
+                            video.encoder,
                             ffmpeg_options=(extra + "," if extra else "")
                             + "global_header=0",
                         )

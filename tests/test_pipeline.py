@@ -256,3 +256,63 @@ def test_end_condition_state():
     s6.on_input_registered("b")
     assert not s6.on_input_eos("a")
     assert s6.on_input_eos("b")
+
+
+def test_keyframe_interval_option_sets_gop():
+    """`keyframe_interval_ms` (wire: FfmpegH264Encoder.keyframe_interval_ms,
+    reference ffmpeg_h264.rs gop mapping) controls keyframe cadence."""
+    import time
+
+    from smelter_tpu.core.types import Frame, PixelFormat
+    from smelter_tpu.pipeline.input import RawDataInput
+    from smelter_tpu.pipeline.output import EncodedDataOutputSink
+    from smelter_tpu.utils.channels import Closed
+
+    pipeline = Pipeline(PipelineOptions(
+        output_framerate=Framerate(30),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+    ))
+    src = RawDataInput(has_video=True, has_audio=False)
+    pipeline.register_input(
+        "cam", src, RegisterInputOptions(required=True, offset=0.0)
+    )
+    sink = EncodedDataOutputSink()
+    pipeline.register_output(
+        "out", sink,
+        video=OutputVideoOptions(
+            resolution=Resolution(128, 96),
+            encoder=VideoEncoderOptions(
+                codec="h264", preset="ultrafast",
+                keyframe_interval_s=0.5,   # 15 frames at 30 fps
+            ),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="cam")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+    pipeline.start()
+    rng = np.random.RandomState(0)
+    u = np.full((48, 64), 128, np.uint8)
+    for i in range(60):
+        y = rng.randint(0, 255, (96, 128), dtype=np.uint8)
+        src.video.send(Frame(
+            data=(y, u, u), format=PixelFormat.PLANAR_YUV420,
+            resolution=Resolution(128, 96), pts=i / 30.0,
+        ))
+    src.video.close()
+    keyframe_at = []
+    n = 0
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            pkt = sink.video.recv(timeout=2.0)
+        except (Closed, TimeoutError):
+            break
+        if pkt.is_keyframe:
+            keyframe_at.append(n)
+        n += 1
+    pipeline.close()
+    assert n >= 50, n
+    assert len(keyframe_at) >= 3, keyframe_at
+    gaps = [b - a for a, b in zip(keyframe_at, keyframe_at[1:])]
+    assert all(g == 15 for g in gaps), (keyframe_at, gaps)
