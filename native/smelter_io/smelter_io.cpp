@@ -666,7 +666,7 @@ int sm_venc_close(int h) { return g_venc.erase(h) ? 0 : fail("bad venc handle");
 /* ---------------- audio encoder ---------------- */
 
 int sm_aenc_new(int32_t codec, int32_t sample_rate, int32_t channels,
-                int64_t bitrate, int32_t in_sample_rate) {
+                int64_t bitrate, int32_t in_sample_rate, const char *opts) {
     const AVCodec *c = nullptr;
     if (codec == SM_CODEC_OPUS) c = avcodec_find_encoder_by_name("libopus");
     if (!c) c = avcodec_find_encoder(to_av_codec(codec));
@@ -692,7 +692,12 @@ int sm_aenc_new(int32_t codec, int32_t sample_rate, int32_t channels,
         pick = AV_SAMPLE_FMT_FLT;
     }
     a->ctx->sample_fmt = pick;
-    int err = avcodec_open2(a->ctx, c, nullptr);
+    /* codec-private options, e.g. libopus "fec=1,packet_loss=10,
+       application=voip" (reference OpusEncoderOptions fields) */
+    AVDictionary *dict = nullptr;
+    if (opts && *opts) av_dict_parse_string(&dict, opts, "=", ",", 0);
+    int err = avcodec_open2(a->ctx, c, &dict);
+    av_dict_free(&dict);
     if (err < 0) return fail_av("avcodec_open2(aenc)", err);
     a->pkt = av_packet_alloc();
     a->frame = av_frame_alloc();

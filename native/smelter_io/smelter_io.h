@@ -132,7 +132,7 @@ int sm_venc_close(int h);
  * sample_rate); the encoder resamples internally (reference
  * encoder/resampler.rs). */
 int sm_aenc_new(int32_t codec, int32_t sample_rate, int32_t channels,
-                int64_t bitrate, int32_t in_sample_rate);
+                int64_t bitrate, int32_t in_sample_rate, const char *opts);
 int sm_aenc_extradata(int h, uint8_t *buf, int32_t cap);
 int sm_aenc_frame_size(int h); /* samples per channel per frame, 0 if any */
 int sm_aenc_send(int h, const float *interleaved, int32_t n_samples, double pts_s);

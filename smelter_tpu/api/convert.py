@@ -318,8 +318,21 @@ def audio_encoder(e: api.AudioEncoderOptions) -> pout.AudioEncoderOptions:
             codec="aac", sample_rate=e.sample_rate or 44100
         )
     if isinstance(e, api.OpusEncoder):
+        # libopus private options (reference OpusEncoderOptions:
+        # forward_error_correction / expected_packet_loss / preset)
+        parts = []
+        if e.forward_error_correction:
+            parts.append("fec=1")
+        if e.expected_packet_loss is not None:
+            parts.append(f"packet_loss={int(e.expected_packet_loss)}")
+        if e.preset:
+            app = {"quality": "audio", "voip": "voip",
+                   "lowest_latency": "lowdelay"}.get(e.preset)
+            if app:
+                parts.append(f"application={app}")
         return pout.AudioEncoderOptions(
-            codec="opus", sample_rate=e.sample_rate or 48000
+            codec="opus", sample_rate=e.sample_rate or 48000,
+            ffmpeg_options=",".join(parts),
         )
     raise ConversionError(f"unsupported audio encoder {e}")
 
@@ -348,7 +361,10 @@ def mp4_input(m: api.Mp4Input, side_channel_dir: Optional[str] = None):
         raise ConversionError(
             "Exactly one of \"url\" or \"path\" has to be specified in a register request for an mp4 input."
         )
-    source = Mp4Input(Mp4InputOptions(path=m.path or m.url, loop=bool(m.loop_)))
+    source = Mp4Input(Mp4InputOptions(
+        path=m.path or m.url, loop=bool(m.loop_),
+        initial_seek_s=(m.seek_ms / 1000.0) if m.seek_ms is not None else None,
+    ))
     sc = m.side_channel or {}
     opts = RegisterInputOptions(
         required=bool(m.required),

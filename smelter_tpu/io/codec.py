@@ -180,7 +180,7 @@ def _load() -> ctypes.CDLL:
         lib.sm_venc_extradata.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int32]
         lib.sm_aenc_new.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_char_p,
         ]
         lib.sm_aenc_extradata.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int32]
         lib.sm_aenc_send.argtypes = [
@@ -567,13 +567,16 @@ class AudioEncoder:
     """AAC / Opus encoder, interleaved f32 in → packets out."""
 
     def __init__(self, codec: Codec, sample_rate: int = 48000, channels: int = 2,
-                 bitrate: int = 0, input_sample_rate: int = 0) -> None:
+                 bitrate: int = 0, input_sample_rate: int = 0,
+                 opts: str = "") -> None:
         """`input_sample_rate`: rate of PCM passed to send() when it differs
-        from the encoder's output rate (internally resampled)."""
+        from the encoder's output rate (internally resampled). `opts`:
+        codec-private "k=v,k=v" options (libopus fec/packet_loss/...)."""
         self._lib = _load()
         self._h = _check(
             self._lib.sm_aenc_new(
-                int(codec), sample_rate, channels, bitrate, input_sample_rate
+                int(codec), sample_rate, channels, bitrate, input_sample_rate,
+                opts.encode(),
             ),
             self._lib,
         )

@@ -73,6 +73,7 @@ class RawDataInput(InputSource):
 class Mp4InputOptions:
     path: str = ""
     loop: bool = False
+    initial_seek_s: Optional[float] = None  # wire seek_ms: start offset
     # decode ahead is bounded by the queue track channels (cap 1/2) plus the
     # queue-side buffer, so no extra pacing is needed here.
 
@@ -91,7 +92,7 @@ class Mp4Input(InputSource):
         self.options = options
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self._seek_to: Optional[float] = None
+        self._seek_to: Optional[float] = options.initial_seek_s
         self._probe_demux = None
         # probe streams up front so has_video/has_audio are correct before
         # the queue track is created

@@ -109,6 +109,7 @@ class AudioEncoderOptions:
     sample_rate: int = 48000
     channels: int = 2
     bitrate: int = 0
+    ffmpeg_options: str = ""      # codec-private "k=v,k=v" (opus fec etc.)
 
 
 @dataclass
@@ -333,6 +334,7 @@ class PipelineOutput:
                     opts.encoder.channels,
                     opts.encoder.bitrate,
                     input_sample_rate=self.mixing_sample_rate,
+                    opts=getattr(opts.encoder, "ffmpeg_options", ""),
                 )
                 self.sink.setup_audio(opts, enc.extradata())
             else:

@@ -155,3 +155,57 @@ def test_update_input_http(tmp_path):
     finally:
         s.state.pipeline.close()
         s.stop()
+
+
+def test_mp4_register_time_seek(tmp_path):
+    """Wire `seek_ms` on mp4 register (schema Mp4Input.seek_ms): playback
+    starts at the seek point, not the file start."""
+    import numpy as np
+
+    from smelter_tpu.api import schema as api
+    from smelter_tpu.api.convert import mp4_input
+    from smelter_tpu.io.codec import Codec, Muxer, VideoEncoder
+    from smelter_tpu.pipeline.input import InputCtx
+    from smelter_tpu.utils.channels import Channel
+
+    # 2s clip whose luma encodes the frame index (brightness ramp)
+    path = str(tmp_path / "ramp.mp4")
+    enc = VideoEncoder(Codec.H264, 128, 96, 30, opts="g=15")
+    u = np.full((48, 64), 128, np.uint8)
+    pkts = []
+    for i in range(60):
+        y = np.full((96, 128), 20 + i * 3, np.uint8)
+        enc.send(y, u, u, i / 30.0)
+        while True:
+            p = enc.receive()
+            if p in (None, "eof"):
+                break
+            pkts.append(p)
+    enc.send_eof()
+    while True:
+        p = enc.receive()
+        if p in (None, "eof"):
+            break
+        pkts.append(p)
+    mux = Muxer(path)
+    vs = mux.add_video(Codec.H264, 128, 96, 30, 1, enc.extradata())
+    mux.write_header()
+    for p in pkts:
+        mux.write(vs, p.data, p.pts_s, p.dts_s, p.is_keyframe)
+    mux.close()
+    enc.close()
+
+    spec = api.Mp4Input(type="mp4", path=path, seek_ms=1000.0)
+    source, _opts = mp4_input(spec)
+    vch = Channel(64)
+    ctx = InputCtx(input_id="m", video_channel=vch, audio_channel=None)
+    source.start(ctx)
+    try:
+        first = vch.recv(timeout=20)
+        # seek lands on the nearest keyframe at/before 1s, then decodes
+        # forward; the first delivered frame must be well into the ramp
+        luma = float(np.asarray(first.data[0]).mean())
+        assert luma > 20 + 15 * 3 - 2, luma  # at least the 1s-GOP keyframe (frame >= 15)
+    finally:
+        source.stop()
+        source.join(timeout=10)
