@@ -584,6 +584,16 @@ int sm_venc_new(int32_t codec, int32_t width, int32_t height,
         if (bitrate <= 0) v->ctx->bit_rate = (int64_t)width * height * 4;
     }
     if (opts && *opts) av_dict_parse_string(&dict, opts, "=", ",", 0);
+    /* "pix_fmt=yuv422p|yuv444p" selects the encode chroma format (reference
+       FfmpegH264Encoder.pixel_format); the caller sends matching planes */
+    AVDictionaryEntry *pf = av_dict_get(dict, "pix_fmt", nullptr, 0);
+    if (pf && pf->value) {
+        if (!strcmp(pf->value, "yuv422p")) v->ctx->pix_fmt = AV_PIX_FMT_YUV422P;
+        else if (!strcmp(pf->value, "yuv444p")) v->ctx->pix_fmt = AV_PIX_FMT_YUV444P;
+        else if (!strcmp(pf->value, "yuv420p")) v->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+        else return fail("unsupported pix_fmt option");
+        av_dict_set(&dict, "pix_fmt", nullptr, 0);
+    }
     /* "global_header=0" keeps SPS/PPS inline in the bitstream (needed for
        RTP/RTMP live streams); default (1) moves them to extradata for MP4 */
     AVDictionaryEntry *gh = av_dict_get(dict, "global_header", nullptr, 0);
@@ -596,7 +606,7 @@ int sm_venc_new(int32_t codec, int32_t width, int32_t height,
     av_dict_free(&dict);
     if (err < 0) return fail_av("avcodec_open2(venc)", err);
     v->frame = av_frame_alloc();
-    v->frame->format = AV_PIX_FMT_YUV420P;
+    v->frame->format = v->ctx->pix_fmt;
     v->frame->width = width;
     v->frame->height = height;
     err = av_frame_get_buffer(v->frame, 0);
@@ -619,11 +629,14 @@ int sm_venc_send(int h, const uint8_t *yuv420, double pts_s, int32_t force_keyfr
     int err = av_frame_make_writable(v->frame);
     if (err < 0) return fail_av("frame_make_writable", err);
     int w = v->ctx->width, ht = v->ctx->height;
+    int cw = w, chh = ht;  /* chroma plane dims per the encode pix fmt */
+    if (v->ctx->pix_fmt == AV_PIX_FMT_YUV420P) { cw = w / 2; chh = ht / 2; }
+    else if (v->ctx->pix_fmt == AV_PIX_FMT_YUV422P) { cw = w / 2; }
     const uint8_t *src[4] = {yuv420, yuv420 + w * ht,
-                             yuv420 + w * ht + (w / 2) * (ht / 2), nullptr};
-    int src_ls[4] = {w, w / 2, w / 2, 0};
+                             yuv420 + w * ht + cw * chh, nullptr};
+    int src_ls[4] = {w, cw, cw, 0};
     av_image_copy(v->frame->data, v->frame->linesize, src, src_ls,
-                  AV_PIX_FMT_YUV420P, w, ht);
+                  v->ctx->pix_fmt, w, ht);
     v->frame->pts = s_to_ts(pts_s, SM_TB);
     v->frame->pict_type = force_keyframe ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
     err = avcodec_send_frame(v->ctx, v->frame);

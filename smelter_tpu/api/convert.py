@@ -289,6 +289,7 @@ def video_encoder(e: api.VideoEncoderOptions, for_container: str) -> pout.VideoE
         if getattr(e, "keyframe_interval_ms", None)
         else None
     )
+    pixel_format = getattr(e, "pixel_format", None) or "yuv420p"
     if isinstance(e, api.FfmpegH264Encoder):
         return pout.VideoEncoderOptions(
             codec="h264",
@@ -296,6 +297,7 @@ def video_encoder(e: api.VideoEncoderOptions, for_container: str) -> pout.VideoE
             bitrate=_bitrate(e.bitrate),
             ffmpeg_options=extra,
             keyframe_interval_s=interval,
+            pixel_format=pixel_format,
         )
     if isinstance(e, api.FfmpegVp8Encoder):
         return pout.VideoEncoderOptions(codec="vp8", bitrate=_bitrate(e.bitrate),
@@ -304,11 +306,13 @@ def video_encoder(e: api.VideoEncoderOptions, for_container: str) -> pout.VideoE
     if isinstance(e, api.FfmpegVp9Encoder):
         return pout.VideoEncoderOptions(codec="vp9", bitrate=_bitrate(e.bitrate),
                                         ffmpeg_options=extra,
-                                        keyframe_interval_s=interval)
+                                        keyframe_interval_s=interval,
+                                        pixel_format=pixel_format)
     if isinstance(e, api.FfmpegAv1Encoder):
         return pout.VideoEncoderOptions(codec="av1", bitrate=_bitrate(e.bitrate),
                                         ffmpeg_options=extra,
-                                        keyframe_interval_s=interval)
+                                        keyframe_interval_s=interval,
+                                        pixel_format=pixel_format)
     raise ConversionError(f"unsupported video encoder {e}")
 
 

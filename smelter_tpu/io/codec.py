@@ -475,8 +475,11 @@ class VideoEncoder:
         preset: str = "ultrafast",
         bitrate: int = 0,
         opts: str = "",
+        pix_fmt: str = "yuv420p",   # yuv420p | yuv422p | yuv444p
     ) -> None:
         self._lib = _load()
+        if pix_fmt != "yuv420p":
+            opts = (opts + "," if opts else "") + f"pix_fmt={pix_fmt}"
         self._h = _check(
             self._lib.sm_venc_new(
                 int(codec), width, height, fps_num, fps_den,
@@ -485,8 +488,13 @@ class VideoEncoder:
             self._lib,
         )
         self.width, self.height = width, height
+        self.pix_fmt = pix_fmt
+        self._cw = width // 2 if pix_fmt in ("yuv420p", "yuv422p") else width
+        self._chh = height // 2 if pix_fmt == "yuv420p" else height
         self._buf = ctypes.create_string_buffer(_PKT_CAP)
-        self._stage = np.empty(width * height * 3 // 2, dtype=np.uint8)
+        self._stage = np.empty(
+            width * height + 2 * self._cw * self._chh, dtype=np.uint8
+        )
         self._pending: list = []  # packets drained while retrying EAGAIN sends
 
     def extradata(self) -> bytes:
@@ -503,7 +511,7 @@ class VideoEncoder:
     def send(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, pts_s: float,
              force_keyframe: bool = False) -> None:
         ysz = self.width * self.height
-        csz = (self.width // 2) * (self.height // 2)
+        csz = self._cw * self._chh
         self._stage[:ysz] = np.ascontiguousarray(y, dtype=np.uint8).ravel()
         self._stage[ysz : ysz + csz] = np.ascontiguousarray(u, dtype=np.uint8).ravel()
         self._stage[ysz + csz :] = np.ascontiguousarray(v, dtype=np.uint8).ravel()

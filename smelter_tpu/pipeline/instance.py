@@ -81,6 +81,16 @@ class RegisterInputOptions:
     side_channel_delay: float = 0.0
 
 
+def _render_format_for(encoder) -> PixelFormat:
+    """Renderer output format per encoder pixel format: 4:2:0 encodes
+    render straight to 4:2:0 (chroma work at half res); 4:2:2/4:4:4
+    render full-chroma 4:4:4 (the output thread pair-averages for 422)."""
+    pf = getattr(encoder, "pixel_format", "yuv420p")
+    if pf in ("yuv444p", "yuv422p"):
+        return PixelFormat.PLANAR_YUV444
+    return PixelFormat.PLANAR_YUV420
+
+
 class Pipeline:
     """Thread-safe pipeline facade (reference `Pipeline`, instance.rs:45-66)."""
 
@@ -324,7 +334,7 @@ class Pipeline:
                     raise ValueError("video output requires an initial scene root")
                 self.renderer.update_scene(
                     output_id, video.initial_root, video.resolution,
-                    PixelFormat.PLANAR_YUV420,
+                    _render_format_for(video.encoder),
                 )
             if audio is not None:
                 cfg = audio.initial_mixer_config or AudioMixerConfig()
@@ -400,7 +410,7 @@ class Pipeline:
                     raise ValueError(f"output {output_id!r} has no video")
                 self.renderer.update_scene(
                     output_id, root, out.video_opts.resolution,
-                    PixelFormat.PLANAR_YUV420,
+                    _render_format_for(out.video_opts.encoder),
                 )
             if audio_config is not None:
                 if out.audio_opts is None:

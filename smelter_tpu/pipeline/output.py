@@ -101,6 +101,7 @@ class VideoEncoderOptions:
     bitrate: int = 0              # 0 = CRF default
     ffmpeg_options: str = ""      # extra "k=v,k=v" passed to the encoder
     keyframe_interval_s: Optional[float] = None  # None = encoder default
+    pixel_format: str = "yuv420p"  # yuv420p | yuv422p | yuv444p
 
 
 @dataclass(frozen=True)
@@ -280,6 +281,7 @@ class PipelineOutput:
                     preset=opts.encoder.preset,
                     bitrate=opts.encoder.bitrate,
                     opts=ff_opts,
+                    pix_fmt=getattr(opts.encoder, "pixel_format", "yuv420p"),
                 )
                 self.sink.setup_video(opts, enc.extradata(), *self.fps)
             else:
@@ -295,7 +297,10 @@ class PipelineOutput:
                 if enc is None:
                     self.sink.write_video_packet(frame)
                     continue
-                y, u, v = _frame_to_yuv420(frame, opts.resolution)
+                y, u, v = _frame_to_planes(
+                    frame, opts.resolution,
+                    getattr(opts.encoder, "pixel_format", "yuv420p"),
+                )
                 force_kf = self._keyframe_request.is_set()
                 if force_kf:
                     self._keyframe_request.clear()
@@ -371,17 +376,30 @@ class PipelineOutput:
             self._chain_done("audio")
 
 
-def _frame_to_yuv420(frame: Frame, resolution: Resolution):
-    """Rendered output frame → host YUV420 numpy planes for the encoder."""
+def _frame_to_planes(frame: Frame, resolution: Resolution,
+                     pix_fmt: str = "yuv420p"):
+    """Rendered output frame → host planar-YUV numpy planes matching the
+    encoder's pixel format. The renderer emits 4:2:0 for yuv420p encoders
+    and 4:4:4 for the high-chroma formats (4:2:2 is the 4:4:4 output with
+    a horizontal chroma pair-average — full vertical resolution kept)."""
     if frame.format == PixelFormat.PLANAR_YUV420:
         y, u, v = frame.data
         return (np.asarray(y), np.asarray(u), np.asarray(v))
+    if frame.format == PixelFormat.PLANAR_YUV444:
+        y, u, v = (np.asarray(p) for p in frame.data)
+        if pix_fmt == "yuv422p":
+            u = ((u[:, 0::2].astype(np.uint16) + u[:, 1::2]) // 2).astype(np.uint8)
+            v = ((v[:, 0::2].astype(np.uint16) + v[:, 1::2]) // 2).astype(np.uint8)
+        return (y, u, v)
     if frame.format == PixelFormat.RGBA:
         from smelter_tpu.ops.color_convert import rgba_to_planar_yuv420
 
         y, u, v = rgba_to_planar_yuv420(np.asarray(frame.data))
         return (np.asarray(y), np.asarray(u), np.asarray(v))
     raise ValueError(f"unsupported output frame format {frame.format}")
+
+
+_frame_to_yuv420 = _frame_to_planes  # back-compat alias
 
 
 # ---------------------------------------------------------------------------

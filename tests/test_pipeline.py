@@ -316,3 +316,65 @@ def test_keyframe_interval_option_sets_gop():
     assert len(keyframe_at) >= 3, keyframe_at
     gaps = [b - a for a, b in zip(keyframe_at, keyframe_at[1:])]
     assert all(g == 15 for g in gaps), (keyframe_at, gaps)
+
+
+def test_encoder_pixel_format_yuv444_and_422():
+    """`pixel_format` on the video encoder (wire FfmpegH264Encoder.
+    pixel_format): the renderer emits 4:4:4 and the encoder opens the
+    matching x264 profile (High 4:4:4 = 244, High 4:2:2 = 122)."""
+    import time
+
+    from smelter_tpu.core.types import Frame, PixelFormat
+    from smelter_tpu.pipeline.input import RawDataInput
+    from smelter_tpu.pipeline.output import EncodedDataOutputSink
+    from smelter_tpu.utils.channels import Closed
+
+    def sps_profile(extradata):
+        i = extradata.find(b"\x00\x00\x01")
+        while i >= 0:
+            j = i + 3
+            if j < len(extradata) and (extradata[j] & 0x1F) == 7:
+                return extradata[j + 1]
+            i = extradata.find(b"\x00\x00\x01", i + 3)
+        return None
+
+    for fmt, want_profile in (("yuv444p", 244), ("yuv422p", 122)):
+        pipeline = Pipeline(PipelineOptions(
+            output_framerate=Framerate(30),
+            ahead_of_time_processing=True,
+            never_drop_output_frames=True,
+        ))
+        src = RawDataInput(has_video=True, has_audio=False)
+        pipeline.register_input(
+            "cam", src, RegisterInputOptions(required=True, offset=0.0))
+        sink = EncodedDataOutputSink()
+        pipeline.register_output(
+            "out", sink,
+            video=OutputVideoOptions(
+                resolution=Resolution(128, 96),
+                encoder=VideoEncoderOptions(
+                    codec="h264", preset="ultrafast", pixel_format=fmt),
+                initial_root=comp.Rescaler(
+                    child=comp.InputStream(input_id="cam")),
+                end_condition=EndCondition(all_inputs=True),
+            ),
+        )
+        pipeline.start()
+        u = np.full((48, 64), 128, np.uint8)
+        for i in range(10):
+            y = np.full((96, 128), 60 + i * 10, np.uint8)
+            src.video.send(Frame(
+                data=(y, u, u), format=PixelFormat.PLANAR_YUV420,
+                resolution=Resolution(128, 96), pts=i / 30.0))
+        src.video.close()
+        n = 0
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                sink.video.recv(timeout=2.0)
+                n += 1
+            except (Closed, TimeoutError):
+                break
+        pipeline.close()
+        assert n >= 8, (fmt, n)
+        assert sps_profile(sink.video_extradata) == want_profile, fmt
