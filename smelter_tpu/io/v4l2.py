@@ -36,6 +36,7 @@ VIDIOC_QBUF = 0xC058560F
 VIDIOC_DQBUF = 0xC0585611
 VIDIOC_STREAMON = 0x40045612
 VIDIOC_STREAMOFF = 0x40045613
+VIDIOC_S_PARM = 0xC0CC5616
 
 V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
 V4L2_MEMORY_MMAP = 1
@@ -71,6 +72,26 @@ class v4l2_pix_format(ctypes.Structure):
         ("quantization", ctypes.c_uint32),
         ("xfer_func", ctypes.c_uint32),
     ]
+
+
+class v4l2_fract(ctypes.Structure):
+    _fields_ = [("numerator", ctypes.c_uint32),
+                ("denominator", ctypes.c_uint32)]
+
+
+class v4l2_captureparm(ctypes.Structure):
+    _fields_ = [("capability", ctypes.c_uint32),
+                ("capturemode", ctypes.c_uint32),
+                ("timeperframe", v4l2_fract),
+                ("extendedmode", ctypes.c_uint32),
+                ("readbuffers", ctypes.c_uint32),
+                ("reserved", ctypes.c_uint32 * 4)]
+
+
+class v4l2_streamparm(ctypes.Structure):
+    _fields_ = [("type", ctypes.c_uint32),
+                ("parm", v4l2_captureparm),
+                ("_pad", ctypes.c_uint8 * (200 - ctypes.sizeof(v4l2_captureparm)))]
 
 
 class v4l2_format(ctypes.Structure):
@@ -174,6 +195,7 @@ class V4l2InputOptions:
     width: int = 1280
     height: int = 720
     n_buffers: int = 4
+    framerate: Optional[int] = None  # requested fps (VIDIOC_S_PARM); None = driver default
 
 
 class V4l2Input(InputSource):
@@ -204,6 +226,17 @@ class V4l2Input(InputSource):
                 raise OSError("device does not support YUYV")
             self.width = fmt.fmt.pix.width
             self.height = fmt.fmt.pix.height
+            if options.framerate:
+                # wire `framerate` (api.V4l2Input.framerate): request the
+                # capture interval; drivers clamp to what the sensor does
+                parm = v4l2_streamparm()
+                parm.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
+                parm.parm.timeperframe.numerator = 1
+                parm.parm.timeperframe.denominator = int(options.framerate)
+                try:
+                    fcntl.ioctl(self._fd, VIDIOC_S_PARM, parm)
+                except OSError:
+                    logger.warning("VIDIOC_S_PARM failed; using driver default rate")
         except Exception:
             os.close(self._fd)
             raise

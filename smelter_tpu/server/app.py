@@ -238,6 +238,7 @@ def build_app(state: ApiState) -> web.Application:
                             device_path=spec.device_path or "/dev/video0",
                             width=res.width if res else 1280,
                             height=res.height if res else 720,
+                            framerate=spec.framerate,
                         )
                     )
                     state.pipeline.register_input(
