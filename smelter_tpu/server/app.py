@@ -215,11 +215,34 @@ def build_app(state: ApiState) -> web.Application:
                     state.input_kinds[input_id] = "rtmp"
                     return {"port": source.port}
                 if isinstance(spec, api.DeckLinkInput):
-                    from smelter_tpu.io.decklink import DeckLinkInput
+                    from smelter_tpu.io.decklink import (
+                        DeckLinkInput,
+                        list_decklink_devices,
+                    )
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
+                    # device selection by display_name / persistent_id
+                    # (reference decklink/find_device.rs), else index
+                    subdevice = spec.subdevice_index or 0
+                    if spec.display_name or spec.persistent_id:
+                        matches = [
+                            d for d in list_decklink_devices()
+                            if (spec.display_name is None
+                                or d.name == spec.display_name)
+                            and (spec.persistent_id is None
+                                 or d.persistent_id == spec.persistent_id)
+                        ]
+                        if not matches:
+                            raise ApiError(
+                                "DECKLINK_DEVICE_NOT_FOUND",
+                                "no DeckLink device matches "
+                                f"display_name={spec.display_name!r} "
+                                f"persistent_id={spec.persistent_id!r}",
+                                404,
+                            )
+                        subdevice = matches[0].subdevice_index
                     source = DeckLinkInput(
-                        subdevice_index=spec.subdevice_index or 0,
+                        subdevice_index=subdevice,
                         enable_audio=bool(spec.enable_audio),
                     )
                     state.pipeline.register_input(
