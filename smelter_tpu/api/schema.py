@@ -486,17 +486,22 @@ class RtmpInput(ApiModel):
 class WhipInput(ApiModel):
     type: Literal["whip_server"]
     bearer_token: Optional[str] = None
-    video: Optional[Dict[str, object]] = None
+    video: Optional[Dict[str, object]] = None  # {"decoder_preferences": [...]}
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    buffer_size_ms: Optional[float] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 class WhepInput(ApiModel):
     type: Literal["whep_client"]
     endpoint_url: str
     bearer_token: Optional[str] = None
+    video: Optional[Dict[str, object]] = None  # {"decoder_preferences": [...]}
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    buffer_size_ms: Optional[float] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 class V4l2Input(ApiModel):

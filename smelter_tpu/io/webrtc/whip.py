@@ -120,7 +120,8 @@ class _RtpReceiverBridge:
     """session.on_rtp → jitter buffers → depayloaders → decode threads."""
 
     def __init__(self, session: WebRtcSession, ctx: InputCtx,
-                 neg: NegotiatedMedia) -> None:
+                 neg: NegotiatedMedia,
+                 jitter_window_s: Optional[float] = None) -> None:
         self.session = session
         self.neg = neg
         self.video_aus: Optional[Channel] = (
@@ -129,8 +130,11 @@ class _RtpReceiverBridge:
         self.audio_aus: Optional[Channel] = (
             Channel(512) if neg.audio_pt is not None and ctx.audio_channel else None
         )
-        self._vjb = JitterBuffer(stats=ctx.video_meter)
-        self._ajb = JitterBuffer(stats=ctx.audio_meter)
+        # wire `buffer_size_ms` (reference whip.rs buffer_size_ms): minimum
+        # jitter buffer depth; adaptive mode still grows it under jitter
+        win = jitter_window_s if jitter_window_s is not None else 0.05
+        self._vjb = JitterBuffer(win, stats=ctx.video_meter)
+        self._ajb = JitterBuffer(win, stats=ctx.audio_meter)
         self._vd = {
             "h264": H264Depayloader,
             "vp8": Vp8Depayloader,
@@ -217,8 +221,10 @@ class WhipServerInput(InputSource):
     offer to /whip/:id (reference `whip_input/`). `handle_offer` is called by
     the HTTP layer."""
 
-    def __init__(self, bearer_token: Optional[str] = None) -> None:
+    def __init__(self, bearer_token: Optional[str] = None,
+                 jitter_window_s: Optional[float] = None) -> None:
         self.bearer_token = bearer_token
+        self.jitter_window_s = jitter_window_s
         self.ctx: Optional[InputCtx] = None
         self.session: Optional[WebRtcSession] = None
         self._bridge: Optional[_RtpReceiverBridge] = None
@@ -252,7 +258,9 @@ class WhipServerInput(InputSource):
             candidate=session.candidate,
             ice_lite=True,
         )
-        self._bridge = _RtpReceiverBridge(session, self.ctx, neg)
+        self._bridge = _RtpReceiverBridge(
+            session, self.ctx, neg, jitter_window_s=self.jitter_window_s
+        )
         session.start()
         self.session = session
         return answer
@@ -271,10 +279,12 @@ class WhepClientInput(InputSource):
     (reference `whep_input/`): we offer recvonly, DTLS active."""
 
     def __init__(self, endpoint_url: str, bearer_token: Optional[str] = None,
-                 video_codec: str = "h264") -> None:
+                 video_codec: str = "h264",
+                 jitter_window_s: Optional[float] = None) -> None:
         self.endpoint_url = endpoint_url
         self.bearer_token = bearer_token
         self.video_codec = video_codec
+        self.jitter_window_s = jitter_window_s
         self.session: Optional[WebRtcSession] = None
         self._bridge = None
 
@@ -300,7 +310,9 @@ class WhepClientInput(InputSource):
         answer = sdp_mod.parse(resp.text)
         session.set_remote(answer)
         neg = negotiate(sdp_mod.parse(offer))
-        self._bridge = _RtpReceiverBridge(session, ctx, neg)
+        self._bridge = _RtpReceiverBridge(
+            session, ctx, neg, jitter_window_s=self.jitter_window_s
+        )
         session.start()
         self.session = session
 

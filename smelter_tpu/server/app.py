@@ -283,7 +283,12 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
                     token = spec.bearer_token or secrets.token_urlsafe(24)
-                    source = WhipServerInput(bearer_token=token)
+                    source = WhipServerInput(
+                        bearer_token=token,
+                        jitter_window_s=(spec.buffer_size_ms / 1000.0)
+                        if spec.buffer_size_ms is not None else None,
+                    )
+                    sc = spec.side_channel or {}
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -292,6 +297,10 @@ def build_app(state: ApiState) -> web.Application:
                             offset=(spec.offset_ms / 1000.0)
                             if spec.offset_ms is not None
                             else None,
+                            side_channel_video=bool(sc.get("video")),
+                            side_channel_audio=bool(sc.get("audio")),
+                            side_channel_dir=state.config.side_channel_socket_dir or None,
+                            side_channel_delay=float(sc.get("delay_ms") or 0.0) / 1000.0,
                         ),
                     )
                     state.input_kinds[input_id] = "whip"
@@ -303,9 +312,25 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.io.webrtc import WhepClientInput
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
+                    # decoder_preferences (reference whep.rs): first
+                    # supported preference becomes the offered codec
+                    prefs = ((spec.video or {}).get("decoder_preferences")
+                             or []) if spec.video else []
+                    codec = "h264"
+                    for pref in prefs:
+                        mapped = {"ffmpeg_h264": "h264", "vulkan_h264": "h264",
+                                  "ffmpeg_vp8": "vp8", "ffmpeg_vp9": "vp9",
+                                  "ffmpeg_av1": "av1"}.get(str(pref))
+                        if mapped:
+                            codec = mapped
+                            break
                     source = WhepClientInput(
-                        spec.endpoint_url, bearer_token=spec.bearer_token
+                        spec.endpoint_url, bearer_token=spec.bearer_token,
+                        video_codec=codec,
+                        jitter_window_s=(spec.buffer_size_ms / 1000.0)
+                        if spec.buffer_size_ms is not None else None,
                     )
+                    sc = spec.side_channel or {}
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -314,6 +339,10 @@ def build_app(state: ApiState) -> web.Application:
                             offset=(spec.offset_ms / 1000.0)
                             if spec.offset_ms is not None
                             else None,
+                            side_channel_video=bool(sc.get("video")),
+                            side_channel_audio=bool(sc.get("audio")),
+                            side_channel_dir=state.config.side_channel_socket_dir or None,
+                            side_channel_delay=float(sc.get("delay_ms") or 0.0) / 1000.0,
                         ),
                     )
                     state.input_kinds[input_id] = "whep"
