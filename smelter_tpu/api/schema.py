@@ -464,7 +464,11 @@ class RtpInput(ApiModel):
     audio: Optional[RtpInputAudioOptions] = None
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    # reference rtp.rs buffer_size_ms (minimum jitter buffer depth);
+    # jitter_buffer is this build's richer extension (mode + window)
+    buffer_size_ms: Optional[float] = None
     jitter_buffer: Optional[Dict[str, object]] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 class HlsInput(ApiModel):
@@ -472,6 +476,8 @@ class HlsInput(ApiModel):
     url: str
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    decoder_map: Optional[Dict[str, str]] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 class RtmpInput(ApiModel):
@@ -481,6 +487,8 @@ class RtmpInput(ApiModel):
     stream_key: Optional[str] = None
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    decoder_map: Optional[Dict[str, str]] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 class WhipInput(ApiModel):
@@ -506,11 +514,16 @@ class WhepInput(ApiModel):
 
 class V4l2Input(ApiModel):
     type: Literal["v4l2"]
+    # reference v4l2.rs names the device field `path`; `device_path` is
+    # kept as an accepted alias for earlier clients of this build
+    path: Optional[str] = None
     device_path: Optional[str] = None
+    format: Optional[str] = None        # reference V4l2InputFormat (yuyv)
     resolution: Optional[Resolution] = None
     framerate: Optional[int] = None
     required: Optional[bool] = None
     offset_ms: Optional[float] = None
+    side_channel: Optional[Dict[str, object]] = None
 
 
 class DeckLinkInput(ApiModel):

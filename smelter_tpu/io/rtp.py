@@ -1520,7 +1520,11 @@ def register_rtp_input(pipeline, input_id: str, spec) -> int:
             audio_extradata = bytes.fromhex(asc)
     jb = spec.jitter_buffer or {}
     mode = str(jb.get("mode", "fixed_window"))
+    # window: richer jitter_buffer extension wins; else the reference's
+    # buffer_size_ms (rtp.rs:32) sets the minimum depth
     window_ms = jb.get("window_ms")
+    if window_ms is None and getattr(spec, "buffer_size_ms", None) is not None:
+        window_ms = spec.buffer_size_ms
     source = RtpInputSource(
         RtpInputOptions(
             port=port,
@@ -1532,12 +1536,16 @@ def register_rtp_input(pipeline, input_id: str, spec) -> int:
             jitter_adaptive=(mode == "real_time"),
         )
     )
+    sc = getattr(spec, "side_channel", None) or {}
     pipeline.register_input(
         input_id,
         source,
         RegisterInputOptions(
             required=bool(spec.required),
             offset=(spec.offset_ms / 1000.0) if spec.offset_ms is not None else None,
+            side_channel_video=bool(sc.get("video")),
+            side_channel_audio=bool(sc.get("audio")),
+            side_channel_delay=float(sc.get("delay_ms") or 0.0) / 1000.0,
         ),
     )
     return source.port

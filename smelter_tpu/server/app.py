@@ -170,6 +170,7 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
                     source = _HlsInput(HlsInputOptions(url=spec.url))
+                    sc = spec.side_channel or {}
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -178,6 +179,10 @@ def build_app(state: ApiState) -> web.Application:
                             offset=(spec.offset_ms / 1000.0)
                             if spec.offset_ms is not None
                             else None,
+                            side_channel_video=bool(sc.get("video")),
+                            side_channel_audio=bool(sc.get("audio")),
+                            side_channel_dir=state.config.side_channel_socket_dir or None,
+                            side_channel_delay=float(sc.get("delay_ms") or 0.0) / 1000.0,
                         ),
                     )
                     state.input_kinds[input_id] = "hls"
@@ -199,6 +204,7 @@ def build_app(state: ApiState) -> web.Application:
                             stream_key=spec.stream_key or "",
                         )
                     )
+                    sc = spec.side_channel or {}
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -210,6 +216,10 @@ def build_app(state: ApiState) -> web.Application:
                             # reference applies a 2s buffer rule for RTMP
                             # inputs (queue.rs:110-115)
                             buffer_duration=2.0,
+                            side_channel_video=bool(sc.get("video")),
+                            side_channel_audio=bool(sc.get("audio")),
+                            side_channel_dir=state.config.side_channel_socket_dir or None,
+                            side_channel_delay=float(sc.get("delay_ms") or 0.0) / 1000.0,
                         ),
                     )
                     state.input_kinds[input_id] = "rtmp"
@@ -255,15 +265,23 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.io.v4l2 import V4l2Input, V4l2InputOptions
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
+                    if spec.format and spec.format.lower() not in ("yuyv",):
+                        raise ApiError(
+                            "V4L2_FORMAT_UNSUPPORTED",
+                            f"v4l2 format {spec.format!r} not supported "
+                            "(yuyv only)", 400,
+                        )
                     res = spec.resolution
                     source = V4l2Input(
                         V4l2InputOptions(
-                            device_path=spec.device_path or "/dev/video0",
+                            device_path=spec.path or spec.device_path
+                            or "/dev/video0",
                             width=res.width if res else 1280,
                             height=res.height if res else 720,
                             framerate=spec.framerate,
                         )
                     )
+                    sc = spec.side_channel or {}
                     state.pipeline.register_input(
                         input_id,
                         source,
@@ -272,6 +290,10 @@ def build_app(state: ApiState) -> web.Application:
                             offset=(spec.offset_ms / 1000.0)
                             if spec.offset_ms is not None
                             else None,
+                            side_channel_video=bool(sc.get("video")),
+                            side_channel_audio=bool(sc.get("audio")),
+                            side_channel_dir=state.config.side_channel_socket_dir or None,
+                            side_channel_delay=float(sc.get("delay_ms") or 0.0) / 1000.0,
                         ),
                     )
                     state.input_kinds[input_id] = "v4l2"
