@@ -341,6 +341,59 @@ def audio_encoder(e: api.AudioEncoderOptions) -> pout.AudioEncoderOptions:
     raise ConversionError(f"unsupported audio encoder {e}")
 
 
+def _resolve_whip_video_encoder(v) -> "api.VideoEncoderOptions":
+    """Reference OutputWhipVideoOptions.encoder_preferences → one encoder:
+    first supported preference wins; vulkan_h264 resolves to the software
+    h264 encoder (no video ASIC on TPU hosts); `any` → h264 defaults. A
+    direct `encoder` (this build's extension) takes precedence."""
+    if getattr(v, "encoder", None) is not None:
+        return v.encoder
+    for pref in getattr(v, "encoder_preferences", None) or []:
+        if isinstance(pref, (api.FfmpegH264Encoder, api.FfmpegVp8Encoder,
+                             api.FfmpegVp9Encoder, api.FfmpegAv1Encoder)):
+            return pref
+        if isinstance(pref, api.VulkanH264Encoder):
+            return api.FfmpegH264Encoder(
+                type="ffmpeg_h264", bitrate=pref.bitrate,
+                keyframe_interval_ms=pref.keyframe_interval_ms,
+            )
+        if isinstance(pref, api.AnyVideoEncoder):
+            return api.FfmpegH264Encoder(type="ffmpeg_h264")
+    raise ConversionError(
+        "video options need `encoder` or a supported `encoder_preferences` entry"
+    )
+
+
+def _resolve_whip_audio_encoder(a) -> "api.AudioEncoderOptions":
+    if getattr(a, "encoder", None) is not None:
+        return a.encoder
+    for pref in getattr(a, "encoder_preferences", None) or []:
+        if isinstance(pref, api.OpusEncoder):
+            return pref
+        if isinstance(pref, api.AnyAudioEncoder):
+            return api.OpusEncoder(type="opus")
+    raise ConversionError(
+        "audio options need `encoder` or a supported `encoder_preferences` entry"
+    )
+
+
+def whip_output_video_options(v, container: str) -> pout.OutputVideoOptions:
+    return pout.OutputVideoOptions(
+        resolution=Resolution(v.resolution.width, v.resolution.height),
+        encoder=video_encoder(_resolve_whip_video_encoder(v), container),
+        initial_root=video_scene(v.initial),
+        end_condition=end_condition(v.send_eos_when),
+    )
+
+
+def whip_output_audio_options(a) -> pout.OutputAudioOptions:
+    return pout.OutputAudioOptions(
+        encoder=audio_encoder(_resolve_whip_audio_encoder(a)),
+        initial_mixer_config=audio_config(a.initial, a.mixing_strategy, a.channels),
+        end_condition=end_condition(a.send_eos_when),
+    )
+
+
 def output_video_options(
     v: api.OutputVideoOptions, container: str
 ) -> pout.OutputVideoOptions:

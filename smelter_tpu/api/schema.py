@@ -388,19 +388,68 @@ class RtmpOutput(ApiModel):
     audio: Optional[OutputAudioOptions] = None
 
 
+class VulkanH264Encoder(ApiModel):
+    """Accepted for wire parity (reference WhipVideoEncoderOptions::VulkanH264);
+    no video ASIC on TPU hosts, so it resolves to the software h264 encoder."""
+
+    type: Literal["vulkan_h264"]
+    bitrate: Optional[Union[int, Dict[str, int]]] = None
+    keyframe_interval_ms: Optional[float] = None
+
+
+class AnyVideoEncoder(ApiModel):
+    type: Literal["any"]
+
+
+WhipVideoEncoderPreference = Annotated[
+    Union[FfmpegH264Encoder, FfmpegVp8Encoder, FfmpegVp9Encoder,
+          FfmpegAv1Encoder, VulkanH264Encoder, AnyVideoEncoder],
+    Field(discriminator="type"),
+]
+
+
+class AnyAudioEncoder(ApiModel):
+    type: Literal["any"]
+
+
+WhipAudioEncoderPreference = Annotated[
+    Union[OpusEncoder, AnyAudioEncoder], Field(discriminator="type")
+]
+
+
+class WhipOutputVideoOptions(ApiModel):
+    """Reference OutputWhipVideoOptions: `encoder_preferences` list; this
+    build also accepts a direct `encoder` (one of the two must be set)."""
+
+    resolution: Resolution
+    send_eos_when: Optional[OutputEndCondition] = None
+    encoder: Optional[VideoEncoderOptions] = None
+    encoder_preferences: Optional[List[WhipVideoEncoderPreference]] = None
+    initial: VideoScene
+
+
+class WhipOutputAudioOptions(ApiModel):
+    mixing_strategy: Optional[AudioMixingStrategy] = None
+    send_eos_when: Optional[OutputEndCondition] = None
+    encoder: Optional[AudioEncoderOptions] = None
+    encoder_preferences: Optional[List[WhipAudioEncoderPreference]] = None
+    channels: Optional[AudioChannels] = None
+    initial: AudioScene
+
+
 class WhipOutput(ApiModel):
     type: Literal["whip_client"]
     endpoint_url: str
     bearer_token: Optional[str] = None
-    video: Optional[OutputVideoOptions] = None
-    audio: Optional[OutputAudioOptions] = None
+    video: Optional[WhipOutputVideoOptions] = None
+    audio: Optional[WhipOutputAudioOptions] = None
 
 
 class WhepOutput(ApiModel):
     type: Literal["whep_server"]
     bearer_token: Optional[str] = None
-    video: Optional[OutputVideoOptions] = None
-    audio: Optional[OutputAudioOptions] = None
+    video: Optional[WhipOutputVideoOptions] = None
+    audio: Optional[WhipOutputAudioOptions] = None
 
 
 class MoqClientOutput(ApiModel):

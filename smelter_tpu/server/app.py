@@ -580,12 +580,12 @@ def build_app(state: ApiState) -> web.Application:
                     return {}
                 if isinstance(spec, (api.WhepOutput, api.WhipOutput)):
                     video = (
-                        convert.output_video_options(spec.video, "webrtc")
+                        convert.whip_output_video_options(spec.video, "webrtc")
                         if spec.video
                         else None
                     )
                     audio = (
-                        convert.output_audio_options(spec.audio)
+                        convert.whip_output_audio_options(spec.audio)
                         if spec.audio
                         else None
                     )

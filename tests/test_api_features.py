@@ -397,3 +397,55 @@ def test_aac_rtp_input_register_requires_config(tmp_path):
     finally:
         s.state.pipeline.close()
         s.stop()
+
+
+def test_whip_output_encoder_preferences_shape():
+    """Reference OutputWhipVideoOptions uses `encoder_preferences` (list,
+    first supported wins; vulkan_h264 resolves to software h264, `any` to
+    defaults) instead of `encoder` — both shapes must convert."""
+    import pydantic
+
+    from smelter_tpu.api import convert
+    from smelter_tpu.api import schema as api
+
+    adapter = pydantic.TypeAdapter(api.RegisterOutput)
+    spec = adapter.validate_python({
+        "type": "whip_client",
+        "endpoint_url": "https://example.com/whip",
+        "video": {
+            "resolution": {"width": 640, "height": 360},
+            "encoder_preferences": [
+                {"type": "vulkan_h264", "keyframe_interval_ms": 1000},
+                {"type": "ffmpeg_vp9"},
+                {"type": "any"},
+            ],
+            "initial": {"root": {"type": "view"}},
+        },
+        "audio": {
+            "encoder_preferences": [
+                {"type": "opus", "forward_error_correction": True},
+                {"type": "any"},
+            ],
+            "initial": {"inputs": []},
+        },
+    })
+    video = convert.whip_output_video_options(spec.video, "webrtc")
+    # vulkan_h264 resolves to the software h264 encoder with its params
+    assert video.encoder.codec == "h264"
+    assert video.encoder.keyframe_interval_s == 1.0
+    audio = convert.whip_output_audio_options(spec.audio)
+    assert audio.encoder.codec == "opus"
+    assert "fec=1" in audio.encoder.ffmpeg_options
+
+    # neither encoder nor preferences -> clear error
+    bad = adapter.validate_python({
+        "type": "whip_client",
+        "endpoint_url": "https://example.com/whip",
+        "video": {
+            "resolution": {"width": 640, "height": 360},
+            "initial": {"root": {"type": "view"}},
+        },
+    })
+    import pytest as _pytest
+    with _pytest.raises(convert.ConversionError):
+        convert.whip_output_video_options(bad.video, "webrtc")
