@@ -627,6 +627,8 @@ class ImageSpec(ApiModel):
     url: Optional[str] = None
     path: Optional[str] = None
     asset_type: Literal["png", "jpeg", "svg", "gif", "auto"] = "auto"
+    # reference ImageSpec::Svg resolution: raster size for SVG assets
+    resolution: Optional[Resolution] = None
 
 
 class WebRendererSpec(ApiModel):

@@ -60,6 +60,7 @@ class ImageStore:
         url: Optional[str] = None,
         data: Optional[bytes] = None,
         kind: Optional[str] = None,
+        resolution=None,   # (w, h) — SVG raster size (vector-scaled)
     ) -> ImageAsset:
         if image_id in self._assets:
             raise ImageError(f"image {image_id!r} already registered")
@@ -75,7 +76,7 @@ class ImageStore:
                 data = resp.content
             else:
                 raise ImageError("one of path/url/data required")
-        asset = _decode(data, kind)
+        asset = _decode(data, kind, resolution)
         self._assets[image_id] = asset
         return asset
 
@@ -98,9 +99,10 @@ class ImageStore:
         return image_id in self._assets
 
 
-def _decode(data: bytes, kind: Optional[str]) -> ImageAsset:
+def _decode(data: bytes, kind: Optional[str],
+            resolution=None) -> ImageAsset:
     if kind == "svg" or (kind is None and data.lstrip()[:5] in (b"<svg ", b"<?xml")):
-        return _decode_svg(data)
+        return _decode_svg(data, resolution)
     img = PILImage.open(io.BytesIO(data))
     if getattr(img, "is_animated", False):
         frames: List[np.ndarray] = []
@@ -116,13 +118,13 @@ def _decode(data: bytes, kind: Optional[str]) -> ImageAsset:
     return ImageAsset("bitmap", [rgba], [0.0], rgba.shape[1], rgba.shape[0])
 
 
-def _decode_svg(data: bytes) -> ImageAsset:
+def _decode_svg(data: bytes, resolution=None) -> ImageAsset:
     """SVG rasterization via librsvg + cairo through ctypes — the same
     renderer class as the reference's resvg (`transformations/svg_image.rs`).
     Falls back to cairosvg if installed; rejects SVG only when neither
     backend exists."""
     try:
-        rgba = _rsvg_render(data)
+        rgba = _rsvg_render(data, resolution)
         return ImageAsset("svg", [rgba], [0.0], rgba.shape[1], rgba.shape[0])
     except (OSError, AttributeError, ImageError) as first_exc:
         try:
@@ -140,8 +142,10 @@ def _decode_svg(data: bytes) -> ImageAsset:
 _rsvg_libs = None
 
 
-def _rsvg_render(data: bytes) -> np.ndarray:
-    """Render an SVG document at its natural size to straight-alpha RGBA."""
+def _rsvg_render(data: bytes, resolution=None) -> np.ndarray:
+    """Render an SVG document to straight-alpha RGBA — at its natural size,
+    or vector-scaled to `resolution` (reference ImageSpec::Svg.resolution:
+    cairo scale before render, not a raster resize)."""
     import ctypes
 
     global _rsvg_libs
@@ -167,6 +171,8 @@ def _rsvg_render(data: bytes) -> np.ndarray:
         cairo.cairo_image_surface_get_stride.argtypes = [ctypes.c_void_p]
         cairo.cairo_surface_flush.argtypes = [ctypes.c_void_p]
         cairo.cairo_destroy.argtypes = [ctypes.c_void_p]
+        cairo.cairo_scale.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double]
         cairo.cairo_surface_destroy.argtypes = [ctypes.c_void_p]
         gobject.g_object_unref.argtypes = [ctypes.c_void_p]
         _rsvg_libs = (rsvg, cairo, gobject)
@@ -185,10 +191,16 @@ def _rsvg_render(data: bytes) -> np.ndarray:
         dim = _Dim()
         rsvg.rsvg_handle_get_dimensions(ctypes.c_void_p(handle),
                                         ctypes.byref(dim))
-        w = max(int(dim.width), 1)
-        h = max(int(dim.height), 1)
+        nat_w = max(int(dim.width), 1)
+        nat_h = max(int(dim.height), 1)
+        if resolution is not None:
+            w, h = int(resolution[0]), int(resolution[1])
+        else:
+            w, h = nat_w, nat_h
         surface = cairo.cairo_image_surface_create(0, w, h)  # ARGB32
         cr = cairo.cairo_create(surface)
+        if (w, h) != (nat_w, nat_h):
+            cairo.cairo_scale(cr, w / nat_w, h / nat_h)
         ok = rsvg.rsvg_handle_render_cairo(ctypes.c_void_p(handle), cr)
         cairo.cairo_surface_flush(surface)
         if not ok:

@@ -736,6 +736,10 @@ def build_app(state: ApiState) -> web.Application:
                     path=spec.path,
                     url=spec.url,
                     kind=None if spec.asset_type == "auto" else spec.asset_type,
+                    resolution=(
+                        (spec.resolution.width, spec.resolution.height)
+                        if spec.resolution is not None else None
+                    ),
                 )
 
             await _run_blocking(do)

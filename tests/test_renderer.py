@@ -443,3 +443,22 @@ def test_svg_image_renders_in_scene():
     # green field with a white disc in the center
     assert out[4, 4, 1] > 150 and out[4, 4, 0] < 60
     assert out[24, 32, 0] > 200 and out[24, 32, 1] > 200 and out[24, 32, 2] > 200
+
+
+def test_svg_resolution_vector_scales():
+    """ImageSpec::Svg.resolution (reference image.rs:30): SVG assets
+    rasterize at the requested size via a cairo vector scale, not a
+    raster resize."""
+    from smelter_tpu.render.image import ImageStore
+
+    svg = (b'<svg xmlns="http://www.w3.org/2000/svg" width="40" height="20">'
+           b'<rect width="40" height="20" fill="#ff0000"/></svg>')
+    store = ImageStore()
+    nat = store.register("nat", data=svg, kind="svg")
+    assert (nat.width, nat.height) == (40, 20)
+    store2 = ImageStore()
+    big = store2.register("big", data=svg, kind="svg", resolution=(400, 200))
+    assert (big.width, big.height) == (400, 200)
+    frame = big.frames[0]
+    assert frame.shape[:2] == (200, 400)
+    assert tuple(frame[100, 200][:3]) == (255, 0, 0)
