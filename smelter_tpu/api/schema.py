@@ -370,6 +370,7 @@ class HlsOutput(ApiModel):
     max_playlist_size: Optional[int] = None
     video: Optional[OutputVideoOptions] = None
     audio: Optional[OutputAudioOptions] = None
+    ffmpeg_options: Optional[Dict[str, str]] = None
 
 
 class RtpOutput(ApiModel):

@@ -505,12 +505,15 @@ class HlsOutputSink(Mp4OutputSink):
     """HLS output: segments + playlist via the FFmpeg hls muxer
     (reference `hls/hls_output.rs`). ``path`` is the .m3u8 playlist path."""
 
-    def __init__(self, path: str, max_playlist_size: Optional[int] = None) -> None:
+    def __init__(self, path: str, max_playlist_size: Optional[int] = None,
+                 ffmpeg_options: Optional[dict] = None) -> None:
         opts = "hls_time=2,hls_flags=independent_segments"
         if max_playlist_size:
             opts += f",hls_list_size={max_playlist_size}"
         else:
             opts += ",hls_list_size=0"
+        for k, v in (ffmpeg_options or {}).items():
+            opts += f",{k}={v}"
         super().__init__(path, format="hls", opts=opts)
 
 

@@ -521,7 +521,8 @@ def build_app(state: ApiState) -> web.Application:
                         if spec.audio
                         else None
                     )
-                    sink = HlsOutputSink(spec.path, spec.max_playlist_size)
+                    sink = HlsOutputSink(spec.path, spec.max_playlist_size,
+                                         ffmpeg_options=spec.ffmpeg_options)
                     state.pipeline.register_output(output_id, sink, video, audio)
                     state.output_kinds[output_id] = "hls"
                     return {}
