@@ -291,29 +291,46 @@ class RtmpServerInput(InputSource):
         vch, ach = ctx.video_channel, ctx.audio_channel
         try:
             self._sock.settimeout(0.5)
-            conn = None
-            while not self._stop.is_set() and conn is None:
-                try:
-                    conn, addr = self._sock.accept()
-                except socket.timeout:
-                    continue
-                except OSError:
+            while not self._stop.is_set():
+                conn = None
+                while not self._stop.is_set() and conn is None:
+                    try:
+                        conn, addr = self._sock.accept()
+                    except socket.timeout:
+                        continue
+                    except OSError:
+                        return
+                if conn is None:
                     return
-            if conn is None:
-                return
-            conn.settimeout(10.0)
-            if self.options.tls:
-                from smelter_tpu.io.rtmp.tls import server_context
+                # a connection that fails TLS/handshake (port scanner,
+                # wrong protocol) must NOT kill the registered input —
+                # close it and keep listening for a real publisher
+                try:
+                    conn.settimeout(10.0)
+                    if self.options.tls:
+                        from smelter_tpu.io.rtmp.tls import server_context
 
-                tls_ctx = server_context(
-                    self.options.tls_cert_path or None,
-                    self.options.tls_key_path or None,
-                )
-                conn = tls_ctx.wrap_socket(conn, server_side=True)
-            _server_handshake(conn)
-            self._serve_publisher(conn, ctx)
-        except Exception:
-            logger.exception("rtmp input session failed")
+                        tls_ctx = server_context(
+                            self.options.tls_cert_path or None,
+                            self.options.tls_key_path or None,
+                        )
+                        conn = tls_ctx.wrap_socket(conn, server_side=True)
+                    _server_handshake(conn)
+                except Exception:
+                    logger.warning(
+                        "rtmp connection from %s failed before handshake "
+                        "completed; still listening", addr, exc_info=True
+                    )
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    continue
+                try:
+                    self._serve_publisher(conn, ctx)
+                except Exception:
+                    logger.exception("rtmp publisher session failed")
+                return  # publisher session ended → EOS (reference behavior)
         finally:
             for ch in (vch, ach):
                 if ch is not None:

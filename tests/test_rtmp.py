@@ -725,3 +725,65 @@ def test_enhanced_rtmp_client_publish_loopback(tmp_path, codec, fourcc_kind):
     assert len(frames) >= 40, len(frames)
     # red content survives the h265/vp9 → h264 transcode: high V plane
     assert float(np.mean([float(f[2].mean()) for f in frames])) > 170
+
+
+def test_rtmp_input_survives_garbage_connections(tmp_path):
+    """A port scanner / wrong-protocol client connecting to a registered
+    RTMP input must not kill it — a real publisher afterwards still
+    works (the old code closed the input's channels on first handshake
+    failure)."""
+    import socket as _socket
+
+    from smelter_tpu.io.rtmp import RtmpInputOptions, RtmpServerInput
+    from smelter_tpu.pipeline.input import InputCtx
+    from smelter_tpu.utils.channels import Channel
+
+    source = RtmpServerInput(RtmpInputOptions(port=0, app="live", stream_key="k"))
+    vch = Channel(256)
+    ctx = InputCtx(input_id="g", video_channel=vch, audio_channel=None)
+    source.start(ctx)
+    try:
+        port = source.port
+        # garbage connections: empty close, noise bytes, truncated handshake
+        for payload in (b"", b"GET / HTTP/1.1\r\n\r\n", b"\x03" + b"x" * 100):
+            s = _socket.create_connection(("127.0.0.1", port), timeout=5)
+            if payload:
+                s.sendall(payload)
+            s.close()
+        time.sleep(0.5)
+        # now a real publisher (libavformat's RTMP client) must still work
+        venc = VideoEncoder(Codec.H264, 128, 96, 30)
+        mux = Muxer(f"rtmp://127.0.0.1:{port}/live/k", format="flv")
+        mux.add_video(Codec.H264, 128, 96, 30, 1, venc.extradata())
+        mux.write_header()
+        y = np.full((96, 128), 90, np.uint8)
+        u = np.full((48, 64), 128, np.uint8)
+        for i in range(30):
+            y[:] = 40 + i * 6
+            venc.send(y, u, u, i / 30)
+            while True:
+                pkt = venc.receive()
+                if pkt in (None, "eof"):
+                    break
+                mux.write(0, pkt.data, pkt.pts_s, pkt.dts_s, pkt.is_keyframe)
+        venc.send_eof()
+        while True:
+            pkt = venc.receive()
+            if pkt in (None, "eof"):
+                break
+            mux.write(0, pkt.data, pkt.pts_s, pkt.dts_s, pkt.is_keyframe)
+        mux.close()
+        venc.close()
+        got = 0
+        deadline = time.time() + 30
+        while time.time() < deadline and got < 10:
+            try:
+                vch.recv(timeout=1)
+                got += 1
+            except TimeoutError:
+                continue
+            except Exception:
+                break
+        assert got >= 10, f"only {got} frames after garbage connections"
+    finally:
+        source.stop()
