@@ -57,12 +57,16 @@ class NegotiatedMedia:
     audio_pt: Optional[int]      # opus
 
 
-def negotiate(offer: sdp_mod.SessionDescription) -> NegotiatedMedia:
+def negotiate(offer: sdp_mod.SessionDescription,
+              video_codecs: Optional[list] = None) -> NegotiatedMedia:
     """Codec selection in the reference's preference order
     (`webrtc/negotiated_codecs.rs` / `offer_codec_filter.rs`): H264 first,
     then VP8, then VP9; AV1 accepted beyond-reference (av1-rtp-spec
-    payloaders in io/rtp.py)."""
-    video = offer.find_codec("video", ["h264", "vp8", "vp9", "av1"])
+    payloaders in io/rtp.py). `video_codecs` restricts AND orders the
+    candidates (the wire `decoder_preferences` filter)."""
+    video = offer.find_codec(
+        "video", video_codecs or ["h264", "vp8", "vp9", "av1"]
+    )
     audio = offer.find_codec("audio", ["opus"])
     return NegotiatedMedia(
         video_pt=video[0] if video else None,
@@ -222,9 +226,11 @@ class WhipServerInput(InputSource):
     the HTTP layer."""
 
     def __init__(self, bearer_token: Optional[str] = None,
-                 jitter_window_s: Optional[float] = None) -> None:
+                 jitter_window_s: Optional[float] = None,
+                 video_codecs: Optional[list] = None) -> None:
         self.bearer_token = bearer_token
         self.jitter_window_s = jitter_window_s
+        self.video_codecs = video_codecs  # wire decoder_preferences order
         self.ctx: Optional[InputCtx] = None
         self.session: Optional[WebRtcSession] = None
         self._bridge: Optional[_RtpReceiverBridge] = None
@@ -242,7 +248,7 @@ class WhipServerInput(InputSource):
         if self.session is not None:
             self.disconnect()
         offer = sdp_mod.parse(offer_sdp)
-        neg = negotiate(offer)
+        neg = negotiate(offer, video_codecs=self.video_codecs)
         if neg.video_pt is None and neg.audio_pt is None:
             raise ValueError("no supported codecs in offer (need H264/VP8/Opus)")
         session = WebRtcSession(is_offerer=False)

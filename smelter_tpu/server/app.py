@@ -305,10 +305,27 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
                     token = spec.bearer_token or secrets.token_urlsafe(24)
+                    # decoder_preferences restricts AND orders negotiation
+                    # (reference offer_codec_filter.rs)
+                    prefs = ((spec.video or {}).get("decoder_preferences")
+                             or []) if spec.video else []
+                    codec_map = {"ffmpeg_h264": "h264", "vulkan_h264": "h264",
+                                 "ffmpeg_vp8": "vp8", "ffmpeg_vp9": "vp9",
+                                 "ffmpeg_av1": "av1",
+                                 "any": None}
+                    codecs = []
+                    for pref in prefs:
+                        mapped = codec_map.get(str(pref), "")
+                        if mapped is None:   # "any": no restriction
+                            codecs = None
+                            break
+                        if mapped and mapped not in codecs:
+                            codecs.append(mapped)
                     source = WhipServerInput(
                         bearer_token=token,
                         jitter_window_s=(spec.buffer_size_ms / 1000.0)
                         if spec.buffer_size_ms is not None else None,
+                        video_codecs=codecs or None,
                     )
                     sc = spec.side_channel or {}
                     state.pipeline.register_input(

@@ -776,3 +776,45 @@ def test_whep_server_negotiates_registered_codec_only():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         out2.handle_offer(h264_only)
+
+
+def test_whip_input_decoder_preferences_restrict_negotiation():
+    """WHIP input `decoder_preferences` (reference offer_codec_filter.rs):
+    the preference list restricts AND orders codec selection; an offer
+    without any preferred codec is rejected."""
+    from smelter_tpu.io.webrtc.whip import WhipServerInput
+    from smelter_tpu.pipeline.input import InputCtx
+    from smelter_tpu.utils.channels import Channel
+
+    def offer_with(codecs):
+        rtpmap = {}
+        pts = []
+        base = {"h264": (96, "H264/90000"), "vp8": (97, "VP8/90000"),
+                "vp9": (98, "VP9/90000")}
+        for c in codecs:
+            pt, m = base[c]
+            pts.append(pt)
+            rtpmap[pt] = m
+        return sdp_mod.build(
+            "uf", "pw", "AA:BB", setup="actpass",
+            media=[sdp_mod.MediaDescription(
+                kind="video", mid="0", payload_types=pts,
+                rtpmap=rtpmap, fmtp={},
+            )],
+            directions=["sendonly"], candidate=("127.0.0.1", 9),
+        )
+
+    # prefer vp9 over h264: an offer with both must pick vp9
+    src = WhipServerInput(video_codecs=["vp9", "h264"])
+    src.start(InputCtx(input_id="w", video_channel=Channel(4),
+                       audio_channel=None))
+    try:
+        answer = src.handle_offer(offer_with(["h264", "vp9"]))
+        assert "VP9/90000" in answer and "H264" not in answer
+        src.disconnect()
+        # an offer with only vp8 has no preferred codec -> rejected
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            src.handle_offer(offer_with(["vp8"]))
+    finally:
+        src.stop()
