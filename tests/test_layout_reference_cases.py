@@ -663,3 +663,31 @@ def test_text_wrap_glyph_breaks_inside_words():
                             width=120.0, wrap=comp.TextWrap.GLYPH))
     # glyph wrap must break the single long word into multiple lines
     assert glyph.height > word.height or glyph.height > 30
+
+
+def test_border_radius_clipping_mask():
+    """view.rs:621 border_radius_clipping: a child escaping a rounded,
+    overflow-hidden parent carries the parent's ROUNDED clip mask (radius
+    propagates into the mask, not just the rect)."""
+    from smelter_tpu.scene.layout_types import BorderRadius
+
+    scene = comp.View(children=[
+        comp.View(
+            background_color=GREEN,
+            position=comp.StaticPosition(width=300.0),
+            border_radius=BorderRadius(40, 40, 40, 40),
+            overflow=comp.Overflow.HIDDEN,
+            children=[comp.View(
+                background_color=YELLOW,
+                position=comp.AbsolutePosition(
+                    width=500.0, height=100.0, left=-100.0, top=100.0),
+            )],
+        ),
+    ])
+    layouts = _flatten(scene, CANVAS)
+    yellow = [l for l in layouts
+              if isinstance(l.content, RenderColor)
+              and l.content.color == YELLOW][0]
+    rounded = [m for m in yellow.masks
+               if m.width == 300 and m.radius.top_left == 40.0]
+    assert rounded, yellow.masks
