@@ -157,6 +157,7 @@ class JitterBuffer:
         self._next_seq: Optional[int] = None
         self._max_ext_seq: Optional[int] = None
         self._seq_rollovers = 0
+        self._late_streak = 0
 
     def _update_jitter(self, pkt: RtpPacket, now: float) -> None:
         transit = now - pkt.timestamp / self.clock_rate
@@ -193,9 +194,22 @@ class JitterBuffer:
             # already skipped past: the gap was counted as lost when skip_to
             # advanced _next_seq — count the late arrival separately instead
             # of inflating the loss figure a second time
+            self._late_streak += 1
+            if self._late_streak >= 10:
+                # every recent packet "too late": the sender restarted (or
+                # hostile random-seq packets inflated the rollover state) —
+                # resync like RFC 3550 source probation instead of locking
+                # the stream out forever
+                self._buffer.clear()
+                self._next_seq = None
+                self._max_ext_seq = None
+                self._seq_rollovers = 0
+                self._late_streak = 0
+                return self.push(pkt)
             if self.stats is not None:
                 self.stats.on_discarded(1)
             return []  # too late
+        self._late_streak = 0
         self._buffer[ext] = (now, pkt)
         if self.stats is not None:
             oldest = min(t for t, _ in self._buffer.values())

@@ -613,8 +613,11 @@ def test_rtp_input_survives_garbage_datagrams():
             else:            # truncated RTP header
                 atk.sendto(b"\x80\x60" + bytes(rng.randrange(256)
                            for _ in range(rng.randrange(0, 10))), dest)
-        # now a real stream must still decode end-to-end
-        vpkts = _encode_test_frames(n=10)
+        # now a real stream must still decode end-to-end (the jitter
+        # buffer's RFC 3550-style resync gives up to ~10 packets to the
+        # late-streak detector when garbage inflated its rollover state,
+        # so send comfortably more than that)
+        vpkts = _encode_test_frames(n=30)
         payloader = H264Payloader(ssrc=1, mtu=1200)
         time.sleep(0.3)
         for p in vpkts:
@@ -623,13 +626,13 @@ def test_rtp_input_survives_garbage_datagrams():
             time.sleep(0.005)
         atk.close()
         got = 0
-        deadline = time.time() + 20
-        while time.time() < deadline and got < 8:
+        deadline = time.time() + 30
+        while time.time() < deadline and got < 15:
             try:
                 vch.recv(timeout=1)
                 got += 1
             except TimeoutError:
                 continue
-        assert got >= 8, f"only {got} frames decoded after garbage spray"
+        assert got >= 15, f"only {got} frames decoded after garbage spray"
     finally:
         source.stop()
