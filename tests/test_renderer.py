@@ -462,3 +462,39 @@ def test_svg_resolution_vector_scales():
     frame = big.frames[0]
     assert frame.shape[:2] == (200, 400)
     assert tuple(frame[100, 200][:3]) == (255, 0, 0)
+
+
+def test_shader_base_params_contract():
+    """Mirror of shader.rs base_params_* cases: the shader contract exposes
+    output resolution, time, and texture count exactly (the reference's
+    BaseShaderParameters push constants: time / output_resolution /
+    texture_count; plane_id is a WGSL vertex-stage detail with no analogue
+    in the JAX DSL)."""
+    r = _renderer(2)
+    source = """
+def main(inputs, params, resolution, time):
+    # encode the contract into the output color:
+    #   R = texture_count / 8, G = time (s) / 4, B = resolution.width / 1024
+    h, w = resolution[1], resolution[0]
+    n = len(inputs)
+    col = jnp.array([n / 8.0, time / 4.0, w / 1024.0, 1.0], jnp.float32)
+    return jnp.broadcast_to(col, (h, w, 4))
+"""
+    r.register_shader("contract", source)
+    r.update_scene(
+        "out",
+        comp.Shader(
+            shader_id="contract",
+            children=[comp.InputStream(input_id="input_0"),
+                      comp.InputStream(input_id="input_1")],
+            width=512.0, height=288.0,
+        ),
+        Resolution(512, 288),
+        PixelFormat.RGBA,
+    )
+    out = r.render(_frames(2, pts=2.0)).frames["out"]
+    rgb = frame_to_rgb_u8(out)
+    px = rgb[144, 256]
+    assert abs(int(px[0]) - round(2 / 8 * 255)) <= 2, px    # texture_count=2
+    assert abs(int(px[1]) - round(2.0 / 4 * 255)) <= 2, px  # time=2.0s
+    assert abs(int(px[2]) - round(512 / 1024 * 255)) <= 2, px  # width=512
