@@ -498,3 +498,45 @@ def main(inputs, params, resolution, time):
     assert abs(int(px[0]) - round(2 / 8 * 255)) <= 2, px    # texture_count=2
     assert abs(int(px[1]) - round(2.0 / 4 * 255)) <= 2, px  # time=2.0s
     assert abs(int(px[2]) - round(512 / 1024 * 255)) <= 2, px  # width=512
+
+
+def test_bgra_and_argb_pixel_format_inputs_render_exact():
+    """Mirror of pixel_input_format_tests.rs: BGRA and ARGB inputs render
+    through a View pass-through with an exact channel swizzle (opaque
+    alpha — this build keeps premultiplied compositing internally and
+    emits opaque video frames, program.py:1036)."""
+    import numpy as np
+
+    w, h = 8, 2
+    base = np.arange(1, w * h * 4 + 1, dtype=np.uint8).reshape(h, w, 4)
+
+    for fmt, to_rgb in (
+        (PixelFormat.BGRA, lambda px: (px[2], px[1], px[0])),   # B G R A
+        (PixelFormat.ARGB, lambda px: (px[1], px[2], px[3])),   # A R G B
+    ):
+        data = base.copy()
+        # force opaque alpha at the format's alpha byte
+        if fmt == PixelFormat.BGRA:
+            data[..., 3] = 255
+        else:
+            data[..., 0] = 255
+        r = Renderer()
+        r.register_input("px")
+        r.update_scene(
+            "out",
+            comp.View(children=[comp.InputStream(input_id="px")]),
+            Resolution(w, h),
+            PixelFormat.RGBA,
+        )
+        out = r.render(FrameSet(pts=0.0, frames={
+            "px": Frame(data=data, format=fmt,
+                        resolution=Resolution(w, h), pts=0.0),
+        })).frames["out"]
+        rgba = np.asarray(out.data)
+        for y in range(h):
+            for x in range(w):
+                want = to_rgb(base[y, x])
+                got = tuple(int(v) for v in rgba[y, x, :3])
+                assert got == tuple(int(v) for v in want), (fmt, y, x, got, want)
+                assert int(rgba[y, x, 3]) == 255
+        r.close()
