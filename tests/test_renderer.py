@@ -540,3 +540,36 @@ def test_bgra_and_argb_pixel_format_inputs_render_exact():
                 assert got == tuple(int(v) for v in want), (fmt, y, x, got, want)
                 assert int(rgba[y, x, 3]) == 255
         r.close()
+
+
+def test_yuyv_uyvy_interleaved_inputs_render():
+    """Interleaved 4:2:2 camera formats (YUYV/UYVY — v4l2's native wire
+    format) through a render pass: constant gray (Y=180, U=V=128) must
+    come out as the matching RGB gray with both byte orders."""
+    import numpy as np
+
+    w, h = 16, 4
+    # limited-range Y=180 -> (180-16)/219*255 ~= 191
+    want = round((180 - 16) / 219 * 255)
+    for fmt, quad in (
+        (PixelFormat.INTERLEAVED_YUYV422, [180, 128, 180, 128]),
+        (PixelFormat.INTERLEAVED_UYVY422, [128, 180, 128, 180]),
+    ):
+        data = np.tile(np.array(quad, np.uint8), (h, w // 2, 1))
+        r = Renderer()
+        r.register_input("cam")
+        r.update_scene(
+            "out",
+            comp.View(children=[comp.InputStream(input_id="cam")]),
+            Resolution(w, h),
+            PixelFormat.RGBA,
+        )
+        out = r.render(FrameSet(pts=0.0, frames={
+            "cam": Frame(data=data, format=fmt,
+                         resolution=Resolution(w, h), pts=0.0),
+        })).frames["out"]
+        rgba = np.asarray(out.data)
+        assert abs(int(rgba[2, 8, 0]) - want) <= 2, (fmt, rgba[2, 8])
+        assert abs(int(rgba[2, 8, 1]) - want) <= 2, (fmt, rgba[2, 8])
+        assert abs(int(rgba[2, 8, 2]) - want) <= 2, (fmt, rgba[2, 8])
+        r.close()
