@@ -691,3 +691,37 @@ def test_border_radius_clipping_mask():
     rounded = [m for m in yellow.masks
                if m.width == 300 and m.radius.top_left == 40.0]
     assert rounded, yellow.masks
+
+
+def test_overflow_hidden_with_input_stream_children():
+    """view.rs:103 overflow_hidden_with_input_stream_children: input
+    streams in a View take their NATURAL resolution as static size
+    (reference scene.rs:104 `StatefulComponent::InputStream => input.size`);
+    three 180x200 inputs overflow the 300-wide parent and are clipped to
+    its rect."""
+    scene = comp.View(children=[
+        comp.View(background_color=RED,
+                  position=comp.StaticPosition(width=100.0)),
+        comp.View(
+            background_color=GREEN,
+            position=comp.StaticPosition(width=300.0),
+            children=[comp.InputStream(input_id=f"i{k}") for k in range(3)],
+        ),
+    ])
+    inputs = {f"i{k}": Resolution(180, 200) for k in range(3)}
+    layouts = _flatten(scene, CANVAS, inputs=inputs)
+    kids = [l for l in layouts if isinstance(l.content, RenderChildNode)]
+    assert len(kids) == 3
+    # natural 180x200 each, laid out in a row from the parent's x=100
+    assert sorted((k.left, k.top, k.width, k.height) for k in kids) == [
+        (100, 0, 180, 200),
+        (280, 0, 180, 200),
+        (460, 0, 180, 200),
+    ]
+    # the parent rect (100..400) clips the ESCAPING children; the first
+    # (fully inside) needs no mask and the flatten elides it
+    by_left = {k.left: k for k in kids}
+    assert by_left[100.0].masks == ()
+    for left in (280.0, 460.0):
+        assert any(m.left == 100 and m.width == 300
+                   for m in by_left[left].masks), by_left[left].masks
