@@ -573,3 +573,31 @@ def test_yuyv_uyvy_interleaved_inputs_render():
         assert abs(int(rgba[2, 8, 1]) - want) <= 2, (fmt, rgba[2, 8])
         assert abs(int(rgba[2, 8, 2]) - want) <= 2, (fmt, rgba[2, 8])
         r.close()
+
+
+def test_yuv_uniform_color_roundtrip_quantization():
+    """Mirror of yuv_tests.rs yuv_test_uniform_color: a solid RGB(50,0,0)
+    View rendered to YUV420 and converted back lands within 1-2 codes of
+    the original (limited-range quantization), and the RGBA output path
+    is exact."""
+    import numpy as np
+
+    from smelter_tpu.ops.color_convert import planar_yuv_to_rgba
+
+    w, h = 8, 2
+    scene = comp.View(background_color=RGBAColor(50, 0, 0, 255))
+
+    r = Renderer()
+    r.update_scene("yuv", scene, Resolution(w, h), PixelFormat.PLANAR_YUV420)
+    r.update_scene("rgb", scene, Resolution(w, h), PixelFormat.RGBA)
+    out = r.render(FrameSet(pts=0.0, frames={}))
+
+    y, u, v = [np.asarray(p) for p in out.frames["yuv"].data]
+    back = np.asarray(planar_yuv_to_rgba(y, u, v)) * 255.0
+    assert np.all(np.abs(back[..., 0] - 50.0) <= 2.0), back[..., 0]
+    assert np.all(back[..., 1] <= 2.0) and np.all(back[..., 2] <= 2.0)
+
+    rgba = np.asarray(out.frames["rgb"].data)
+    assert np.all(rgba[..., 0] == 50) and np.all(rgba[..., 1] == 0)
+    assert np.all(rgba[..., 3] == 255)
+    r.close()
