@@ -725,3 +725,53 @@ def test_overflow_hidden_with_input_stream_children():
     for left in (280.0, 460.0):
         assert any(m.left == 100 and m.width == 300
                    for m in by_left[left].masks), by_left[left].masks
+
+
+def test_replace_component_by_adding_id_mid_transition():
+    """tiles_transitions.rs:198 replace_component_by_adding_id: anonymous
+    tiles track by position index; swapping input_3 for an id-tagged
+    input_4 makes slot 1 a NEW tile (hidden while its old occupant is
+    still animating away), while anonymous input_2 animates from slot 1's
+    old position to slot 2."""
+    from smelter_tpu.scene.scene_state import OutputScene, SceneState
+
+    state = SceneState()
+    res = Resolution(640, 360)
+    in_res = [Resolution(640, 360)] * 3
+
+    def tiles(children, transition=None):
+        return comp.Tiles(id="tiles", transition=transition, children=children)
+
+    anon = lambda k: comp.InputStream(input_id=f"input_{k}")
+    tagged = lambda k: comp.InputStream(input_id=f"input_{k}", id=f"input_{k}")
+
+    n1 = state.update_scene(
+        OutputScene("out", tiles([anon(1), anon(2), anon(3)]), res),
+        lambda t: (0, 0), lambda i: (0, 0))
+    n1.node.params.layouts(0.0, in_res)
+    state.register_render_event(0.0, {f"input_{k}": Resolution(640, 360)
+                                      for k in (1, 2, 3, 4)})
+    n2 = state.update_scene(
+        OutputScene("out",
+                    tiles([anon(1), tagged(4), anon(2)],
+                          comp.Transition(duration=0.5)), res),
+        lambda t: (0, 0), lambda i: (0, 0))
+
+    def kids_at(pts):
+        flat = n2.node.params.layouts(pts, in_res).flatten(in_res, res)
+        return [l for l in flat if isinstance(l.content, RenderChildNode)]
+
+    mid = kids_at(0.25)
+    # input_4's tile is suppressed mid-flight (slot still occupied by the
+    # departing input_2): only 2 child tiles render
+    assert len(mid) == 2, [(k.left, k.top) for k in mid]
+    # input_2 (3rd child) is halfway from slot1 (320,0) to slot2 (160,180)
+    moving = [k for k in mid if (k.left, k.top) not in ((0.0, 0.0),)]
+    assert len(moving) == 1
+    assert moving[0].left == pytest.approx(240.0)
+    assert moving[0].top == pytest.approx(90.0)
+
+    end = kids_at(0.6)
+    assert len(end) == 3
+    assert sorted((k.left, k.top) for k in end) == [
+        (0.0, 0.0), (160.0, 180.0), (320.0, 0.0)]
