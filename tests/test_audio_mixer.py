@@ -178,3 +178,31 @@ def test_resampler_phase_continuity_across_chunks():
     diffs = np.abs(np.diff(out[480:, 0]))  # skip filter warmup
     # max slope of a 440 Hz unit sine at 48 kHz is 2*pi*440/48000 ~ 0.0576
     assert diffs.max() < 0.08, diffs.max()
+
+
+def test_sum_scaler_exact_ramp_mirror():
+    """Mirror of mixer_tests.rs sum_scaler_* with the production constants
+    (mixer.rs:91-94): a clipping chunk drops the factor by 0.02 with a
+    per-sample linear ramp old + diff*i/n (mix.rs:103-111); an in-range
+    chunk leaves it; a quiet chunk raises it by 0.01."""
+    sm = SampleMixer()
+    cfg = AudioMixerConfig([AudioMixerInputConfig("a")], "sum_scale", "stereo")
+
+    def scale(vals):
+        arr = np.array([[v, -v] for v in vals], np.float64)
+        return sm.mix({"a": arr}, cfg, len(vals))
+
+    # chunk 1: clipping -> factor 1.0 -> 0.98, ramped per sample
+    out = scale([0.9, 1.1, 0.95, 0.98, 0.7])
+    assert sm.scaling_factor == pytest.approx(0.98)
+    factors = [1.0 - 0.02 * i / 5 for i in range(5)]
+    want = [min(v * f, 1.0) for v, f in zip([0.9, 1.1, 0.95, 0.98, 0.7], factors)]
+    assert np.allclose(out[:, 0], want, atol=1e-12), (out[:, 0], want)
+
+    # chunk 2: in range at the current factor -> unchanged
+    scale([0.8, 0.75, 0.9, 0.85, 0.72])
+    assert sm.scaling_factor == pytest.approx(0.98)
+
+    # chunk 3: quiet -> factor rises by VOL_UP_INCREMENT
+    scale([0.3, 0.2, 0.4, 0.35, 0.45])
+    assert sm.scaling_factor == pytest.approx(0.99)
