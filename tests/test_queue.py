@@ -268,3 +268,41 @@ def test_pause_repeats_frame():
         got.append(vout.recv())
     assert got, "paused input still produces framesets"
     assert all(b.frames["a"].frame is not None for b in got)
+
+
+def test_offset_from_start_exact_frame_selection_trace():
+    """Exact mirror of queue/tests/video.rs offset_from_start_delivered_early:
+    50 fps output, input at 15 ms cadence with a 60 ms from-start offset.
+    The reference trace: empty batches at 0/20/40 ms, then frames with
+    (offset) pts 60, 75, 90, then 105 is SKIPPED (120 is closer to the
+    120 ms tick), and nothing after the last frame until a successor or
+    EOS arrives."""
+    q, clock, vout, aout, _ = make_queue(fps=50)
+    qi = q.add_input(
+        "a", QueueInputOptions(offset=("from_start", 0.060)), has_audio=False
+    )
+    q.start(vout, aout)
+    vch = qi.current.video.channel
+    for i in range(6):
+        vch.try_send(_frame(pts=i * 0.015))
+        qi.current.video._try_enqueue()  # capacity-1 channel: pump inline
+
+    clock.advance(0.130)
+    q.on_tick()
+    got = []
+    while len(vout):
+        got.append(vout.recv())
+
+    by_pts = {round(b.pts, 3): b.frames["a"].frame for b in got}
+    # before the offset: batches exist but carry no frame for this input
+    for pts in (0.0, 0.02, 0.04):
+        assert by_pts.get(pts) is None, (pts, by_pts.get(pts))
+    # offset frames land: output 60->60, 80->75, 100->90, 120->120 (105 skipped)
+    assert by_pts[0.06] is not None
+    assert by_pts[0.06].pts == pytest.approx(0.06)
+    assert by_pts[0.08].pts == pytest.approx(0.075)
+    assert by_pts[0.1].pts == pytest.approx(0.09)
+    assert by_pts[0.12].pts == pytest.approx(0.12)
+    # the final frame (135) has no successor: the 140 ms batch must not
+    # have been emitted yet (the queue can't prove 135 is current)
+    assert 0.14 not in by_pts
