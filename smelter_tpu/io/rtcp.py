@@ -177,6 +177,23 @@ class RtcpSyncState:
     def has_anchor(self, ssrc: int) -> bool:
         return ssrc in self._anchors
 
+    def track_delta(self, ssrc: int, first_ext_ts: int,
+                    clock_rate: int) -> Optional[float]:
+        """Offset that maps a track's first-packet-rebased timeline onto
+        the shared NTP timeline: corrected_pts = local_pts + delta. The
+        delta is constant per track (pts_for(ts) - local(ts) cancels ts),
+        so depayloaded AU pts can be corrected without re-unrolling."""
+        anchor = self._anchors.get(ssrc)
+        if anchor is None or self._base_ntp is None or not clock_rate:
+            return None
+        ntp, anchor_ts = anchor
+        diff = (first_ext_ts & 0xFFFFFFFF) - anchor_ts
+        if diff < -(1 << 31):
+            diff += 1 << 32
+        elif diff > (1 << 31):
+            diff -= 1 << 32
+        return (ntp - self._base_ntp) + diff / clock_rate
+
     def pts_for(self, ssrc: int, rtp_ts_ext: int) -> Optional[float]:
         """NTP-aligned PTS (seconds since the first SR's NTP time), or None
         if no anchor for this SSRC yet."""
@@ -226,3 +243,34 @@ class RtcpSenderState:
                 octet_count=self.octet_count,
             )
         )
+
+
+class TrackSyncSlew:
+    """Applies the SR-derived cross-track offset to depayloaded AU pts.
+
+    Mirrors rtcp_sync.rs convergence semantics: the offset slews toward
+    the target by CONVERGENCE_RATIO of the media-time progress per AU
+    (bitrate-independent), and SNAPs when the target is further than
+    SNAP_THRESHOLD (SFU rewrote RTP but not RTCP, resume after pause)."""
+
+    CONVERGENCE_RATIO = 0.01      # rtcp_sync.rs:18
+    SNAP_THRESHOLD = 0.300        # rtcp_sync.rs:25 (seconds)
+
+    def __init__(self) -> None:
+        self._current = 0.0
+        self._target: Optional[float] = None
+        self._last_pts: Optional[float] = None
+
+    def set_target(self, delta: float) -> None:
+        self._target = delta
+
+    def apply(self, pts: float) -> float:
+        if self._target is not None:
+            diff = self._target - self._current
+            if self._last_pts is None or abs(diff) > self.SNAP_THRESHOLD:
+                self._current = self._target
+            else:
+                step = max(pts - self._last_pts, 0.0) * self.CONVERGENCE_RATIO
+                self._current += max(-step, min(step, diff))
+        self._last_pts = pts
+        return pts + self._current

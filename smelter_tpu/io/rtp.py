@@ -1065,6 +1065,8 @@ class RtpInputSource(InputSource):
         from smelter_tpu.io import rtcp as rtcp_mod
 
         sync = rtcp_mod.RtcpSyncState()
+        vslew = rtcp_mod.TrackSyncSlew()
+        aslew = rtcp_mod.TrackSyncSlew()
         bye = threading.Event()
 
         def on_datagram(data: bytes) -> None:
@@ -1089,6 +1091,15 @@ class RtpInputSource(InputSource):
             if vd is not None and pkt.payload_type in video_pts:
                 for ordered in vjb.push(pkt):
                     for au in vd.push(ordered):
+                        # cross-track A/V alignment from SRs (reference
+                        # rtcp_sync.rs): slewed onto the shared NTP line
+                        delta = sync.track_delta(
+                            pkt.ssrc, vd._first_ts or 0, VIDEO_CLOCK
+                        ) if vd._first_ts is not None else None
+                        if delta is not None:
+                            vslew.set_target(delta)
+                        au = AccessUnit(au.data, vslew.apply(au.pts_s),
+                                        au.is_keyframe)
                         if video_au is not None:
                             try:
                                 video_au.send(au)
@@ -1097,6 +1108,14 @@ class RtpInputSource(InputSource):
             elif ad is not None:
                 for ordered in ajb.push(pkt):
                     for au in ad.push(ordered):
+                        aclock = getattr(ad, "clock", OPUS_CLOCK)
+                        delta = sync.track_delta(
+                            pkt.ssrc, ad._first_ts or 0, aclock
+                        ) if ad._first_ts is not None else None
+                        if delta is not None:
+                            aslew.set_target(delta)
+                        au = AccessUnit(au.data, aslew.apply(au.pts_s),
+                                        au.is_keyframe)
                         if audio_au is not None:
                             try:
                                 audio_au.send(au)

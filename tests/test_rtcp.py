@@ -105,3 +105,41 @@ def test_rtp_output_pli_triggers_keyframe(tmp_path):
     sink.on_done()
     rx.close()
     assert got_kf, "PLI did not trigger a keyframe request"
+
+
+def test_track_delta_and_slew_convergence():
+    """SR-derived cross-track correction (rtcp_sync.rs semantics): the
+    constant per-track delta maps first-packet-rebased pts onto the shared
+    NTP timeline; TrackSyncSlew converges at 1% of media-time progress and
+    SNAPs past 300 ms."""
+    sync = rtcp.RtcpSyncState()
+    t0 = 3900000000
+    # video SR anchors rtp_ts 90000 at NTP t0; the track's first packet was
+    # at rtp_ts 81000 => 0.1 s BEFORE the anchor => delta = -0.1
+    sync.on_sender_report(rtcp.SenderReport(1, t0, 0, 90000, 0, 0))
+    d = sync.track_delta(1, 81000, 90000)
+    assert d == pytest.approx(-0.1)
+    # audio stream whose first packet maps 0.1 s after base => delta +0.1
+    sync.on_sender_report(rtcp.SenderReport(2, t0, 0, 48000, 0, 0))
+    da = sync.track_delta(2, 48000 + 4800, 48000)
+    assert da == pytest.approx(0.1)
+
+    # slew: small target converges at 1%/media-second, monotonic
+    slew = rtcp.TrackSyncSlew()
+    out0 = slew.apply(0.0)
+    assert out0 == 0.0
+    slew.set_target(0.05)
+    outs = [slew.apply(k * 0.02) for k in range(1, 300)]
+    # never overshoots, converges to +0.05 (needs 0.05/(0.02*1%) = 250 steps)
+    deltas = [o - k * 0.02 for k, o in zip(range(1, 300), outs)]
+    assert all(b >= a - 1e-12 for a, b in zip(deltas, deltas[1:]))
+    assert deltas[-1] == pytest.approx(0.05, abs=1e-9)
+    # per-step slew bounded by 1% of the 20 ms media step
+    steps = [b - a for a, b in zip(deltas, deltas[1:])]
+    assert max(steps) <= 0.02 * 0.01 + 1e-12
+
+    # snap: target beyond 300 ms applies immediately
+    slew2 = rtcp.TrackSyncSlew()
+    slew2.apply(0.0)
+    slew2.set_target(0.5)
+    assert slew2.apply(0.02) == pytest.approx(0.02 + 0.5)
