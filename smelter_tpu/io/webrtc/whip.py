@@ -139,6 +139,13 @@ class _RtpReceiverBridge:
         win = jitter_window_s if jitter_window_s is not None else 0.05
         self._vjb = JitterBuffer(win, stats=ctx.video_meter)
         self._ajb = JitterBuffer(win, stats=ctx.audio_meter)
+        from smelter_tpu.io import rtcp as rtcp_mod
+
+        # cross-track A/V alignment from the publisher's SRs (reference
+        # rtcp_sync.rs — browsers send SRs on both tracks)
+        self._sync = rtcp_mod.RtcpSyncState()
+        self._vslew = rtcp_mod.TrackSyncSlew()
+        self._aslew = rtcp_mod.TrackSyncSlew()
         self._vd = {
             "h264": H264Depayloader,
             "vp8": Vp8Depayloader,
@@ -164,14 +171,31 @@ class _RtpReceiverBridge:
             t.start()
             self._threads.append(t)
         session.on_rtp = self._on_rtp
+        session.on_rtcp = self._on_rtcp_in
+
+    def _on_rtcp_in(self, data: bytes) -> None:
+        from smelter_tpu.io import rtcp as rtcp_mod
+
+        for item in rtcp_mod.parse_compound(data):
+            if isinstance(item, rtcp_mod.SenderReport):
+                self._sync.on_sender_report(item)
 
     def _on_rtp(self, data: bytes) -> None:
+        from smelter_tpu.io.rtp import OPUS_CLOCK, VIDEO_CLOCK, AccessUnit
+
         pkt = RtpPacket.parse(data)
         if pkt is None:
             return
         if pkt.payload_type == self.neg.video_pt and self.video_aus is not None:
             for ordered in self._vjb.push(pkt):
                 for au in self._vd.push(ordered):
+                    first = getattr(self._vd, "_first_ts", None)
+                    if first is not None:
+                        delta = self._sync.track_delta(pkt.ssrc, first, VIDEO_CLOCK)
+                        if delta is not None:
+                            self._vslew.set_target(delta)
+                    au = AccessUnit(au.data, self._vslew.apply(au.pts_s),
+                                    au.is_keyframe)
                     try:
                         self.video_aus.send(au)
                     except Closed:
@@ -180,6 +204,13 @@ class _RtpReceiverBridge:
         elif pkt.payload_type == self.neg.audio_pt and self.audio_aus is not None:
             for ordered in self._ajb.push(pkt):
                 for au in self._ad.push(ordered):
+                    first = getattr(self._ad, "_first_ts", None)
+                    if first is not None:
+                        delta = self._sync.track_delta(pkt.ssrc, first, OPUS_CLOCK)
+                        if delta is not None:
+                            self._aslew.set_target(delta)
+                    au = AccessUnit(au.data, self._aslew.apply(au.pts_s),
+                                    au.is_keyframe)
                     try:
                         self.audio_aus.send(au)
                     except Closed:
