@@ -636,3 +636,68 @@ def test_rtp_input_survives_garbage_datagrams():
         assert got >= 15, f"only {got} frames decoded after garbage spray"
     finally:
         source.stop()
+
+
+def test_rtp_input_av_sync_from_sender_reports():
+    """End-to-end A/V alignment through a live RTP input: video starts
+    0.5 s after audio in sender time; without SRs both tracks rebase to
+    local zero (skew collapsed), with SRs the video frames shift +0.5 s
+    relative to audio (rtcp_sync.rs semantics, snap path since 0.5 > 0.3)."""
+    import socket as _socket
+
+    from smelter_tpu.io import rtcp as rtcp_mod
+    from smelter_tpu.pipeline.input import InputCtx
+    from smelter_tpu.utils.channels import Channel
+
+    source = RtpInputSource(RtpInputOptions(
+        transport="udp", video_codec="h264", audio_codec="opus",
+    ))
+    vch = Channel(256)
+    ach = Channel(512)
+    ctx = InputCtx(input_id="av", video_channel=vch, audio_channel=ach)
+    source.start(ctx)
+    try:
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        dest = ("127.0.0.1", source.port)
+        t0_ntp = (3_900_000_000, 0)
+
+        # SRs first so the correction applies from the first AU:
+        # audio rtp_ts 0 at NTP t0; video rtp_ts 0 at NTP t0 + 0.5s
+        sock.sendto(rtcp_mod.build_sender_report(rtcp_mod.SenderReport(
+            2, t0_ntp[0], 0, 0, 0, 0)), dest)
+        sock.sendto(rtcp_mod.build_sender_report(rtcp_mod.SenderReport(
+            1, t0_ntp[0], 1 << 31, 0, 0, 0)), dest)
+        time.sleep(0.2)
+
+        # audio: 10 opus-ish packets from rtp_ts 0 (20 ms apart)
+        apay = OpusPayloader(ssrc=2)
+        for i in range(10):
+            for rp in apay.payload(b"\x01\x02\x03", i * 0.020):
+                sock.sendto(rp.serialize(), dest)
+        # video: encoded frames whose rtp timestamps START at ts 0 too
+        vpkts = _encode_test_frames(n=6)
+        vpay = H264Payloader(ssrc=1, mtu=1200)
+        for p in vpkts:
+            for rp in vpay.payload(p.data, p.pts_s or 0.0):
+                sock.sendto(rp.serialize(), dest)
+            time.sleep(0.005)
+        sock.close()
+
+        frames, samples = [], []
+        deadline = time.time() + 20
+        while time.time() < deadline and (len(frames) < 4 or len(samples) < 6):
+            try:
+                frames.append(vch.recv(timeout=0.5))
+            except TimeoutError:
+                pass
+            try:
+                samples.append(ach.recv(timeout=0.5))
+            except TimeoutError:
+                pass
+        assert len(frames) >= 4 and len(samples) >= 6, (len(frames), len(samples))
+        # first audio pts ~0 (its SR maps its first ts to the base NTP);
+        # first video pts ~0.5 (started half a second later in NTP terms)
+        assert samples[0].start_pts == pytest.approx(0.0, abs=0.02)
+        assert frames[0].pts == pytest.approx(0.5, abs=0.02), frames[0].pts
+    finally:
+        source.stop()
