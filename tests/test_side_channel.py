@@ -141,3 +141,40 @@ def test_side_channel_pipeline(tmp_path):
     total = np.concatenate([b.samples for b in batches])
     assert total.shape[0] > 40000
     assert batches[0].sample_rate == 48000
+
+
+def test_rtp_input_side_channel_socket_created(tmp_path):
+    """Wire `side_channel` on an RTP input register (new glue parity with
+    mp4): the video side-channel unix socket appears under the configured
+    dir."""
+    import os
+    import time
+
+    from smelter_tpu.api import schema as api
+    from smelter_tpu.io.rtp import register_rtp_input
+    from smelter_tpu.core.types import Framerate
+    from smelter_tpu.pipeline import Pipeline, PipelineOptions
+
+    pipe = Pipeline(PipelineOptions(output_framerate=Framerate(30)))
+    pipe.options.side_channel_dir = str(tmp_path)
+    spec = api.RtpInput.model_validate({
+        "type": "rtp_stream", "port": 0,
+        "video": {"decoder": "ffmpeg_h264"},
+        "side_channel": {"video": True},
+    })
+    try:
+        register_rtp_input(pipe, "cam", spec)
+        deadline = time.time() + 10
+        sock = None
+        while time.time() < deadline and sock is None:
+            for d in (str(tmp_path), "/tmp"):
+                cand = [os.path.join(root, f)
+                        for root, _, files in os.walk(d)
+                        for f in files if f == "video_cam.sock"]
+                if cand:
+                    sock = cand[0]
+                    break
+            time.sleep(0.1)
+        assert sock is not None, "video_cam.sock never appeared"
+    finally:
+        pipe.close()
