@@ -842,9 +842,33 @@ def build_app(state: ApiState) -> web.Application:
 
     async def status(request: web.Request) -> web.Response:
         p = state.pipeline
+        c = state.config
+        fr = c.output_framerate
         return web.json_response(
             {
-                "instance_id": state.config.instance_id,
+                "instance_id": c.instance_id,
+                # reference routes/status.rs InstanceConfiguration
+                "configuration": {
+                    "api_port": c.api_port,
+                    "output_framerate": fr.num / fr.den,
+                    "mixing_sample_rate": c.mixing_sample_rate,
+                    "ahead_of_time_processing": c.ahead_of_time_processing,
+                    "never_drop_output_frames": c.never_drop_output_frames,
+                    "run_late_scheduled_events": c.run_late_scheduled_events,
+                    "download_root": c.download_dir or "/tmp",
+                    "web_renderer_enable": c.web_renderer_enable,
+                    "web_renderer_enable_gpu": False,
+                    "whip_whep_server_port": c.whip_whep_server_port,
+                    "whip_whep_enable": c.start_whip_whep_server,
+                    "webrtc_stun_servers": [
+                        x for x in os.environ.get(
+                            "SMELTER_WEBRTC_STUN_SERVERS", ""
+                        ).split(",") if x
+                    ],
+                    # XLA compiles per backend; the fast/general program
+                    # split plays the reference's rendering-mode role
+                    "rendering_mode": "gpu_optimized",
+                },
                 "inputs": [
                     {"input_id": iid, "input_type": state.input_kinds.get(iid, "raw_data")}
                     for iid in p._inputs

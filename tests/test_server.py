@@ -505,3 +505,30 @@ def test_ws_replay_buffer(server, tmp_path):
         assert "OUTPUT_DONE" in got, got
     finally:
         ws.close()
+
+
+def test_status_includes_configuration_block():
+    """Reference routes/status.rs InstanceStatus carries a `configuration`
+    object (api_port, output_framerate, AOT flags, whip/whep, stun...)."""
+    import httpx
+
+    from smelter_tpu.config import Config, LoggerConfig
+    from smelter_tpu.core.types import Framerate
+
+    cfg = Config(output_framerate=Framerate(30),
+                 logger=LoggerConfig(level="warning"))
+    s = ServerThread(cfg)
+    try:
+        with httpx.Client(base_url=s.base, timeout=30) as c:
+            body = c.get("/status").json()
+            assert "instance_id" in body
+            conf = body["configuration"]
+            assert conf["output_framerate"] == 30.0
+            assert conf["mixing_sample_rate"] == 48000
+            assert conf["rendering_mode"] == "gpu_optimized"
+            for key in ("api_port", "ahead_of_time_processing",
+                        "never_drop_output_frames", "whip_whep_enable",
+                        "webrtc_stun_servers", "download_root"):
+                assert key in conf, key
+    finally:
+        s.stop()
