@@ -97,6 +97,7 @@ class InputResampler:
         # kernel) + fractional read position carried across chunks
         self._hist = np.zeros((_SINC_TAPS, 2), np.float64)
         self._phase = 0.0
+        self._aligned = False
 
     def write_batch(self, batch: AudioSamples, input_rate: int) -> None:
         if input_rate != self.input_rate:
@@ -106,6 +107,7 @@ class InputResampler:
             self.buffer_end_pts = None
             self._hist = np.zeros((_SINC_TAPS, 2), np.float64)
             self._phase = 0.0
+            self._aligned = False
         samples = _to_stereo(np.asarray(batch.samples, np.float64))
         start = batch.start_pts
         dur = len(samples) / self.input_rate
@@ -144,6 +146,21 @@ class InputResampler:
         if buf_start >= end:
             # input entirely in the future of this chunk: pure silence
             return np.zeros((n_out, 2), np.float64)
+        if not self._aligned:
+            # fresh stream: align EXACTLY to the first served request —
+            # drain the stale prefix / zero-fill the gap instead of slewing
+            # (reference equal_sample_rate_tests.rs "fresh" semantics; the
+            # drift branches below only correct drift that develops later)
+            if drift < 0:
+                excess = int(round(-drift * self.input_rate))
+                self.buffer = self.buffer[excess:]
+            elif drift > 0:
+                missing = int(round(drift * self.input_rate))
+                self.buffer = np.concatenate(
+                    [np.zeros((missing, 2), np.float64), self.buffer]
+                )
+            self._aligned = True
+            drift = 0.0
         if drift > 0.02:
             # gap-fill: prepend zeros covering [start, buf_start)
             missing = int(round(drift * self.input_rate))

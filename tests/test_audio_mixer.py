@@ -206,3 +206,51 @@ def test_sum_scaler_exact_ramp_mirror():
     # chunk 3: quiet -> factor rises by VOL_UP_INCREMENT
     scale([0.3, 0.2, 0.4, 0.35, 0.45])
     assert sm.scaling_factor == pytest.approx(0.99)
+
+
+def test_resampler_window_overlap_semantics_mirror():
+    """Mirror of equal_sample_rate_tests.rs window semantics at 48k→48k:
+    (a) input entirely before the request → silence;
+    (b) input overlapping only the request start → audio then silence;
+    (c) input covering the request → the source signal at the right phase."""
+    rate = 48000
+    freq = 440.0
+
+    def batch(start_s, dur_s):
+        n = int(round(dur_s * rate))
+        t = (np.arange(n) + round(start_s * rate)) / rate
+        sig = 0.5 * np.sin(2 * np.pi * freq * t)
+        return AudioSamples(np.stack([sig, sig], axis=1), start_s)
+
+    # (a) input [0, 20ms) requested [40ms, 60ms): all silence
+    r = InputResampler(rate, rate)
+    r.write_batch(batch(0.0, 0.010), rate)
+    r.write_batch(batch(0.010, 0.010), rate)
+    out = r.get_samples((0.040, 0.060))
+    assert out is not None and len(out) == 960
+    assert np.max(np.abs(out[64:])) < 1e-6, "expected silence"
+
+    # (b) input [0, 30ms) requested [20ms, 40ms): first half audio,
+    # second half silence
+    r = InputResampler(rate, rate)
+    r.write_batch(batch(0.0, 0.010), rate)
+    r.write_batch(batch(0.010, 0.020), rate)
+    out = r.get_samples((0.020, 0.040))
+    assert out is not None and len(out) == 960
+    head = out[64:416, 0]
+    assert np.max(np.abs(head)) > 0.2, "expected audio in the first half"
+    tail = out[544:, 0]
+    assert np.max(np.abs(tail)) < 1e-3, "expected silence after input ends"
+
+    # (c) input [10ms, 50ms) requested [20ms, 40ms): reproduces the source
+    # at the requested pts (correlate against the ideal signal)
+    r = InputResampler(rate, rate)
+    r.write_batch(batch(0.010, 0.040), rate)
+    out = r.get_samples((0.020, 0.040))
+    assert out is not None and len(out) == 960
+    t = (np.arange(960) + round(0.020 * rate)) / rate
+    ideal = 0.5 * np.sin(2 * np.pi * freq * t)
+    seg = out[64:896, 0]
+    ref = ideal[64:896]
+    corr = float(np.dot(seg, ref) / (np.linalg.norm(seg) * np.linalg.norm(ref) + 1e-12))
+    assert corr > 0.99, corr
