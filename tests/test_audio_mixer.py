@@ -254,3 +254,19 @@ def test_resampler_window_overlap_semantics_mirror():
     ref = ideal[64:896]
     corr = float(np.dot(seg, ref) / (np.linalg.norm(seg) * np.linalg.norm(ref) + 1e-12))
     assert corr > 0.99, corr
+
+
+def test_resampler_input_after_request_is_silence():
+    """Mirror of equal_sample_rate_tests.rs input_after_request: buffered
+    input lies entirely after the requested window → pure silence, and the
+    input remains buffered for the NEXT window."""
+    rate = 48000
+    sig = 0.5 * np.ones((960, 2), np.float64)
+    r = InputResampler(rate, rate)
+    r.write_batch(AudioSamples(sig, 0.040), rate)  # input [40ms, 60ms)
+    out = r.get_samples((0.0, 0.020))
+    assert out is not None and np.max(np.abs(out)) == 0.0
+    # the buffered audio still plays when its window arrives
+    out2 = r.get_samples((0.040, 0.060))
+    assert out2 is not None
+    assert np.max(np.abs(out2)) > 0.4
