@@ -42,7 +42,11 @@ from smelter_tpu.ops.compose import compose_layouts
 from smelter_tpu.ops.resample import build_mips, resize_matmul
 from smelter_tpu.render.program import split_layout
 from smelter_tpu.scene import components as comp
-from smelter_tpu.scene.layout_types import RenderChildNode, RenderColor
+from smelter_tpu.scene.layout_types import (
+    BorderRadius,
+    RenderChildNode,
+    RenderColor,
+)
 from smelter_tpu.scene.scene_state import BuildCtx, LayoutNode, build_stateful
 
 
@@ -53,6 +57,11 @@ def _tiles_layouts(n_inputs: int, in_res: Resolution, out_res: Resolution):
         children=[comp.InputStream(input_id=f"in_{i}") for i in range(n_inputs)],
         background_color=RGBAColor(8, 8, 8),
     )
+    return _scene_layouts(scene, n_inputs, in_res, out_res)
+
+
+def _scene_layouts(scene, n_inputs: int, in_res: Resolution, out_res: Resolution):
+    """Flattened RenderLayouts for an arbitrary scene over n input streams."""
     ctx = BuildCtx(
         prev_state={},
         last_render_pts=0.0,
@@ -320,56 +329,87 @@ def make_multichip_step(
     in_res: Resolution = Resolution(192, 108),
     out_res: Resolution = Resolution(384, 216),
 ):
-    """Full sharded compose step over a ("streams", "space") mesh.
+    """The PRODUCTION flagship compose, sharded over a ("streams", "space")
+    mesh.
 
-    Per-stream stages (rescale to tile) shard along "streams"; the canvas
-    assembly reshards to row-sharding along "space" (XLA inserts the ICI
-    collectives); output rows stay "space"-sharded.
+    The traced function is the exact object `make_flagship_compose` returns
+    (Tiles scene -> `_analyze_opaque_grid` -> partition concat assembly —
+    the same program the single-chip renderer runs), so multi-chip is the
+    single-chip program plus sharding annotations:
+
+      - inputs shard along "streams": the per-stream MXU rescale matmuls run
+        fully parallel with zero communication (the contracted dims are
+        unsharded, so no cross-chip reductions — output is bit-identical to
+        single-chip; asserted per-pixel in tests/test_multichip.py)
+      - the concat canvas assembly reshards tiles over ICI (XLA inserts the
+        all-gather/ppermute collectives)
+      - output canvas rows land "space"-sharded
+
+    Reference oracle: the single-GPU renderer
+    (smelter-render/src/state.rs:220-252) — here the single-chip jit of the
+    same fn. Returns (jitted_fn, example_args).
+    """
+    P = jax.sharding.PartitionSpec
+    fn, example_args = make_flagship_compose(n_inputs, in_res, out_res)
+    in_spec = jax.sharding.NamedSharding(mesh, P("streams", None, None))
+    out_spec = jax.sharding.NamedSharding(mesh, P("space", None))
+    jitted = jax.jit(
+        fn,
+        in_shardings=(in_spec, in_spec, in_spec),
+        out_shardings=(out_spec, out_spec, out_spec),
+    )
+    return jitted, example_args
+
+
+def make_multichip_general_step(
+    mesh: jax.sharding.Mesh,
+    n_inputs: int = 8,
+    in_res: Resolution = Resolution(128, 72),
+    out_res: Resolution = Resolution(256, 144),
+):
+    """A NON-grid scene (rotated, bordered absolute-positioned children)
+    through the production general RGBA compose (`ops/compose.py`), sharded
+    over the same ("streams", "space") mesh.
+
+    Exercises the multi-chip path the grid fast path cannot: per-input
+    YUV->RGBA conversion + mips shard along "streams", the SDF layer blend
+    gathers sources over ICI, and the final RGBA->YUV420 output is
+    "space"-row-sharded. Same function single-chip and multi-chip, so output
+    parity is per-pixel (<=1 u8, asserted in tests/test_multichip.py).
 
     Returns (jitted_fn, example_args).
     """
     P = jax.sharding.PartitionSpec
-
-    n = n_inputs
-    rows = int(math.floor(math.sqrt(n)))
-    while n % rows:
-        rows -= 1
-    cols = n // rows
-    tile_h = out_res.height // rows
-    tile_w = out_res.width // cols
-
+    w, h = out_res.width, out_res.height
+    children = []
+    for i in range(n_inputs):
+        children.append(
+            comp.View(
+                position=comp.AbsolutePosition(
+                    width=w * 0.30,
+                    height=h * 0.30,
+                    top=(h * 0.55) * ((i // 4) / 1.0 if n_inputs > 4 else 0.0)
+                    + h * 0.05,
+                    left=(w * 0.22) * (i % 4) + w * 0.04,
+                    rotation_degrees=7.0 + 11.0 * i,
+                ),
+                border_width=3.0,
+                border_color=RGBAColor(220, 60, 60, 255),
+                border_radius=BorderRadius(6.0, 6.0, 6.0, 6.0),
+                background_color=RGBAColor(0, 0, 0, 255),
+                children=[comp.InputStream(input_id=f"in_{i}")],
+            )
+        )
+    scene = comp.View(
+        background_color=RGBAColor(12, 24, 48, 255), children=children
+    )
+    flat = _scene_layouts(scene, n_inputs, in_res, out_res)
+    fn, example_args = _make_general_compose(flat, n_inputs, in_res, out_res)
     in_spec = jax.sharding.NamedSharding(mesh, P("streams", None, None))
-
-    def step(y, u, v):
-        # stage 1: per-stream rescale (sharded along streams, MXU matmuls)
-        ty = _round_u8(resize_matmul(y, tile_h, tile_w))
-        tu = _round_u8(resize_matmul(u, tile_h // 2, tile_w // 2))
-        tv = _round_u8(resize_matmul(v, tile_h // 2, tile_w // 2))
-
-        # stage 2: assemble canvas (resharding gathers tiles over ICI)
-        def assemble(tiles, th, tw):
-            grid = tiles.reshape(rows, cols, th, tw)
-            return grid.transpose(0, 2, 1, 3).reshape(rows * th, cols * tw)
-
-        canvas_y = assemble(ty, tile_h, tile_w)
-        canvas_u = assemble(tu, tile_h // 2, tile_w // 2)
-        canvas_v = assemble(tv, tile_h // 2, tile_w // 2)
-        # stage 3: output rows sharded along "space"
-        row_shard = jax.sharding.NamedSharding(mesh, P("space", None))
-        canvas_y = jax.lax.with_sharding_constraint(canvas_y, row_shard)
-        canvas_u = jax.lax.with_sharding_constraint(canvas_u, row_shard)
-        canvas_v = jax.lax.with_sharding_constraint(canvas_v, row_shard)
-        return canvas_y, canvas_u, canvas_v
-
     out_spec = jax.sharding.NamedSharding(mesh, P("space", None))
     jitted = jax.jit(
-        step,
+        fn,
         in_shardings=(in_spec, in_spec, in_spec),
         out_shardings=(out_spec, out_spec, out_spec),
-    )
-    example_args = (
-        jnp.zeros((n, in_res.height, in_res.width), jnp.uint8),
-        jnp.full((n, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
-        jnp.full((n, in_res.height // 2, in_res.width // 2), 128, jnp.uint8),
     )
     return jitted, example_args

@@ -9,6 +9,7 @@ import pytest
 from smelter_tpu.core.types import Resolution
 from smelter_tpu.parallel.flagship import (
     make_flagship_compose,
+    make_multichip_general_step,
     make_multichip_step,
     make_multioutput_step,
 )
@@ -31,6 +32,10 @@ def _planes(n, res, seed=0):
 
 
 def test_multichip_step_matches_single_chip(devices):
+    """The sharded step runs the PRODUCTION Tiles frame program (the same
+    traced fn as make_flagship_compose), so the single-chip jit of that fn
+    is the oracle (reference: smelter-render/src/state.rs:220-252) and
+    parity is per-pixel."""
     in_res, out_res = Resolution(192, 108), Resolution(384, 216)
     mesh = jax.sharding.Mesh(np.asarray(devices).reshape(2, 4),
                              ("streams", "space"))
@@ -40,15 +45,39 @@ def test_multichip_step_matches_single_chip(devices):
     sy, su, sv = (np.asarray(p) for p in step(y, u, v))
     assert sy.shape == (216, 384)
 
-    # single-chip reference: same tile geometry via the flagship grid path
     fn, _ = make_flagship_compose(16, in_res, out_res)
     ry, ru, rv = (np.asarray(p) for p in jax.jit(fn)(y, u, v))
-    # same resize math on both paths -> tiles land identically (the grid
-    # order may differ between Tiles layout and row-major assembly, so
-    # compare content statistics rather than exact tile placement)
-    assert sy.shape == ry.shape
-    assert abs(float(sy.mean()) - float(ry.mean())) < 2.0
-    assert abs(float(su.mean()) - float(ru.mean())) < 2.0
+    for sharded, ref in ((sy, ry), (su, ru), (sv, rv)):
+        diff = np.abs(sharded.astype(np.int32) - ref.astype(np.int32))
+        assert int(diff.max()) <= 1, int(diff.max())
+    # non-degenerate output (real tile content, not a constant canvas)
+    assert float(sy.std()) > 10.0
+
+
+def test_multichip_general_scene_matches_single_chip(devices):
+    """Non-grid scene (rotation + borders + radius) through the production
+    general RGBA compose, sharded vs single-chip: per-pixel parity."""
+    in_res, out_res = Resolution(128, 72), Resolution(256, 144)
+    mesh = jax.sharding.Mesh(np.asarray(devices).reshape(2, 4),
+                             ("streams", "space"))
+    step, _ = make_multichip_general_step(mesh, n_inputs=8, in_res=in_res,
+                                          out_res=out_res)
+    y, u, v = _planes(8, in_res, seed=7)
+    sharded = [np.asarray(p) for p in step(y, u, v)]
+    assert sharded[0].shape == (144, 256)
+
+    single_mesh = jax.sharding.Mesh(
+        np.asarray(devices[:1]).reshape(1, 1), ("streams", "space")
+    )
+    ref_step, _ = make_multichip_general_step(
+        single_mesh, n_inputs=8, in_res=in_res, out_res=out_res
+    )
+    ref = [np.asarray(p) for p in ref_step(y, u, v)]
+    for s, r in zip(sharded, ref):
+        diff = np.abs(s.astype(np.int32) - r.astype(np.int32))
+        assert int(diff.max()) <= 1, int(diff.max())
+    # rotated bordered content actually rendered
+    assert float(sharded[0].std()) > 10.0
 
 
 def test_multioutput_step_shards_outputs(devices):
