@@ -504,7 +504,12 @@ class ShaderRegistry:
     id, exposing `main(inputs, params, resolution, time) -> (H, W, 4) f32`.
 
     TPU-native analogue of the reference WGSL ShaderSpec
-    (`smelter-render/src/transformations/shader.rs`).
+    (`smelter-render/src/transformations/shader.rs`). Sources are
+    AST-allowlisted, executed against a closed builtins set, and
+    abstractly traced at registration (see `render/shader_validation.py`,
+    mirroring `shader/validation.rs`); the texture cap mirrors
+    `shader.rs:15` SHADER_INPUT_TEXTURES_AMOUNT and is enforced at scene
+    plan time.
     """
 
     MAX_TEXTURES = 16
@@ -513,20 +518,12 @@ class ShaderRegistry:
         self._shaders: Dict[str, Callable] = {}
 
     def register(self, shader_id: str, source: str) -> None:
+        from smelter_tpu.render import shader_validation as sv
+
         if shader_id in self._shaders:
             raise ValueError(f"shader {shader_id!r} already registered")
-        namespace: Dict[str, object] = {
-            "jnp": jnp,
-            "jax": jax,
-            "math": math,
-            "np": np,
-        }
-        exec(compile(source, f"<shader:{shader_id}>", "exec"), namespace)
-        fn = namespace.get("main")
-        if not callable(fn):
-            raise ValueError(
-                f"shader {shader_id!r} must define main(inputs, params, resolution, time)"
-            )
+        fn = sv.compile_sandboxed(shader_id, source)
+        sv.validate_traced(shader_id, fn, self.MAX_TEXTURES)
         self._shaders[shader_id] = fn
 
     def register_fn(self, shader_id: str, fn: Callable) -> None:
@@ -671,6 +668,13 @@ class OutputProgram:
                 key_parts.append((nid, "image", res))
                 return res
             if isinstance(p, ShaderNode):
+                if len(node.children) > ShaderRegistry.MAX_TEXTURES:
+                    # reference shader.rs:15 SHADER_INPUT_TEXTURES_AMOUNT
+                    raise ValueError(
+                        f"shader {p.shader_id!r} has {len(node.children)} "
+                        "input textures; the limit is "
+                        f"{ShaderRegistry.MAX_TEXTURES}"
+                    )
                 child_res = [visit(ch) for ch in node.children]
                 shader_params[nid] = p.shader_param
                 res = Resolution(int(p.size[0]), int(p.size[1]))

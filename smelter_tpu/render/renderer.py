@@ -131,8 +131,15 @@ class Renderer:
 
     def _validate_components(self, root: comp.Component) -> None:
         def visit(c: comp.Component):
-            if isinstance(c, comp.Shader) and not self.shaders.has(c.shader_id):
-                raise ValueError(f"shader {c.shader_id!r} not registered")
+            if isinstance(c, comp.Shader):
+                if not self.shaders.has(c.shader_id):
+                    raise ValueError(f"shader {c.shader_id!r} not registered")
+                if len(c.children) > self.shaders.MAX_TEXTURES:
+                    # reference shader.rs:15 SHADER_INPUT_TEXTURES_AMOUNT
+                    raise ValueError(
+                        f"shader {c.shader_id!r} has {len(c.children)} input "
+                        f"textures; the limit is {self.shaders.MAX_TEXTURES}"
+                    )
             if isinstance(c, comp.Image) and not self.images.has(c.image_id):
                 raise ValueError(f"image {c.image_id!r} not registered")
             if isinstance(c, comp.InputStream) and c.input_id not in self._inputs:

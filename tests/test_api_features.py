@@ -167,6 +167,24 @@ def test_shader_via_http(tmp_path):
             assert c.post(
                 "/api/shader/swap/register", json={"source": source}
             ).status_code == 200
+            # sandboxing: host-escape sources are rejected with 400 at
+            # registration (validation.rs register-time semantics)
+            evil = c.post(
+                "/api/shader/evil/register",
+                json={
+                    "source": "def main(i, p, r, t):\n"
+                    "    return __import__('os').system('true')\n"
+                },
+            )
+            assert evil.status_code == 400, evil.text
+            badshape = c.post(
+                "/api/shader/badshape/register",
+                json={
+                    "source": "def main(inputs, params, resolution, time):\n"
+                    "    return jnp.zeros((10, 10, 4), jnp.float32)\n"
+                },
+            )
+            assert badshape.status_code == 400, badshape.text
             assert c.post(
                 "/api/input/a/register",
                 json={"type": "mp4", "path": src, "required": True, "offset_ms": 0},
