@@ -290,7 +290,10 @@ class RtmpServerInput(InputSource):
     def _run(self, ctx: InputCtx) -> None:
         vch, ach = ctx.video_channel, ctx.audio_channel
         try:
-            self._sock.settimeout(0.5)
+            try:
+                self._sock.settimeout(0.5)
+            except OSError:
+                return  # stop() closed the listener before the loop started
             while not self._stop.is_set():
                 conn = None
                 while not self._stop.is_set() and conn is None:

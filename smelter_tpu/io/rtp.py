@@ -1124,7 +1124,10 @@ class RtpInputSource(InputSource):
 
         try:
             if self.options.transport == "udp":
-                self._sock.settimeout(0.25)
+                try:
+                    self._sock.settimeout(0.25)
+                except OSError:
+                    return  # stop() closed the socket before the loop started
                 while not self._stop.is_set() and not bye.is_set():
                     try:
                         data, _addr = self._sock.recvfrom(65536)
@@ -1136,7 +1139,10 @@ class RtpInputSource(InputSource):
                         continue
                     on_datagram(data)
             else:
-                self._sock.settimeout(0.25)
+                try:
+                    self._sock.settimeout(0.25)
+                except OSError:
+                    return  # stop() closed the socket before the loop started
                 conn = None
                 while not self._stop.is_set() and conn is None:
                     try:
@@ -1375,7 +1381,10 @@ class RtpOutputSink(OutputSink):
             raise ValueError(f"unknown transport {options.transport!r}")
 
     def _feedback_loop(self) -> None:
-        self._sock.settimeout(0.25)
+        try:
+            self._sock.settimeout(0.25)
+        except OSError:
+            return  # closed before the loop started
         while not self._stop.is_set():
             try:
                 data, _ = self._sock.recvfrom(2048)
@@ -1386,7 +1395,10 @@ class RtpOutputSink(OutputSink):
             self.handle_inbound(data)
 
     def _accept_loop(self) -> None:
-        self._sock.settimeout(0.25)
+        try:
+            self._sock.settimeout(0.25)
+        except OSError:
+            return  # closed before the loop started
         while not self._stop.is_set():
             try:
                 conn, _ = self._sock.accept()

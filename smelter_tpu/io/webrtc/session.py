@@ -120,7 +120,10 @@ class WebRtcSession:
             except OSError:
                 continue
             finally:
-                self.sock.settimeout(old_timeout)
+                try:
+                    self.sock.settimeout(old_timeout)
+                except OSError:
+                    pass  # socket closed concurrently by close()
         return None
 
     def add_remote_candidates(self, candidates: list) -> None:
@@ -224,7 +227,10 @@ class WebRtcSession:
     # -- receive/demux ---------------------------------------------------------------
 
     def _recv_loop(self) -> None:
-        self.sock.settimeout(0.25)
+        try:
+            self.sock.settimeout(0.25)
+        except OSError:
+            return  # close() already ran (unregister racing thread start)
         while not self._stop.is_set():
             try:
                 data, addr = self.sock.recvfrom(65536)

@@ -139,9 +139,12 @@ async def _run_blocking(fn, *args):
     return await loop.run_in_executor(None, fn, *args)
 
 
+_STATE_KEY = web.AppKey("state", object)
+
+
 def build_app(state: ApiState) -> web.Application:
     app = web.Application(client_max_size=50 * 1024 * 1024)
-    app["state"] = state
+    app[_STATE_KEY] = state
 
     # ------------------------------------------------------------- inputs
 
