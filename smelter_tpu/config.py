@@ -33,6 +33,45 @@ def _env_float(name: str, default: float) -> float:
     return float(v) if v else default
 
 
+def _env_port(name: str) -> Optional[int]:
+    """Optional port; invalid values warn and fall back to None
+    (reference config.rs:294-304 inspect_err + ok)."""
+    v = os.environ.get(name)
+    if not v:
+        return None
+    try:
+        port = int(v)
+        if not 0 < port < 65536:
+            raise ValueError(port)
+        return port
+    except ValueError:
+        logging.getLogger("smelter.config").warning(
+            "CONFIG ERROR: %s has to be valid port number", name
+        )
+        return None
+
+
+def _env_port_range(name: str) -> Optional[tuple]:
+    """"START:END" with START < END; invalid values warn and fall back to
+    None (reference config.rs:283-292 + port_range_from_str:510-519)."""
+    v = os.environ.get(name)
+    if not v:
+        return None
+    try:
+        start_s, end_s = v.split(":", 1)
+        start, end = int(start_s), int(end_s)
+        if not (0 < start < end < 65536):
+            raise ValueError(v)
+        return (start, end)
+    except ValueError:
+        logging.getLogger("smelter.config").warning(
+            'CONFIG ERROR: "%s" is not a valid port range for %s: '
+            'Port range needs to be in the "START:END" format, where '
+            "START < END.", v, name,
+        )
+        return None
+
+
 def _env_framerate(name: str, default: Framerate) -> Framerate:
     """Accepts "30" or "30000/1001" (reference config.rs framerate parsing)."""
     v = os.environ.get(name)
@@ -49,6 +88,11 @@ class LoggerConfig:
     level: str = "info"
     format: str = "compact"   # json | compact | pretty
     log_file: Optional[str] = None
+    # per-sink overrides (reference config.rs:170-176: SMELTER_LOGGER_LEVEL
+    # is the base, SMELTER_STDIO_LOGGER_LEVEL / SMELTER_FILE_LOGGER_LEVEL
+    # refine the stdout and file sinks independently)
+    stdio_level: Optional[str] = None
+    file_level: Optional[str] = None
 
 
 @dataclass
@@ -72,6 +116,14 @@ class Config:
     whip_whep_server_port: int = 9000
     start_rtmp_server: bool = False
     rtmp_server_port: int = 1935
+    rtmp_tls_cert_file: str = ""
+    rtmp_tls_key_file: str = ""
+    # WebRTC UDP strategy (reference config.rs:283-316 + webrtc/
+    # setting_engine.rs): mux all sessions on one port, or restrict
+    # ephemeral session sockets to a range; mux wins when both are set
+    webrtc_udp_mux_port: Optional[int] = None
+    webrtc_udp_port_range: Optional[tuple] = None
+    webrtc_nat_1to1_ips: tuple = ()
     start_moq_server: bool = False
     moq_server_port: int = 9001
     moq_disable_tls_verification: bool = False
@@ -119,7 +171,7 @@ def read_config() -> Config:
     aot = _env_bool("SMELTER_AHEAD_OF_TIME_PROCESSING_ENABLE", offline)
     never_drop = _env_bool("SMELTER_NEVER_DROP_OUTPUT_FRAMES", offline)
     buffer_ms = os.environ.get("SMELTER_INPUT_BUFFER_DURATION_MS")
-    return Config(
+    cfg = Config(
         instance_id=os.environ.get(
             "SMELTER_INSTANCE_ID", f"smelter_tpu-{uuid.uuid4().hex[:12]}"
         ),
@@ -142,6 +194,15 @@ def read_config() -> Config:
         whip_whep_server_port=_env_int("SMELTER_WHIP_WHEP_SERVER_PORT", 9000),
         start_rtmp_server=_env_bool("SMELTER_START_RTMP_SERVER", False),
         rtmp_server_port=_env_int("SMELTER_RTMP_SERVER_PORT", 1935),
+        rtmp_tls_cert_file=os.environ.get("SMELTER_RTMP_TLS_CERT_FILE", ""),
+        rtmp_tls_key_file=os.environ.get("SMELTER_RTMP_TLS_KEY_FILE", ""),
+        webrtc_udp_mux_port=_env_port("SMELTER_WEBRTC_UDP_MUX_PORT"),
+        webrtc_udp_port_range=_env_port_range("SMELTER_WEBRTC_UDP_PORT_RANGE"),
+        webrtc_nat_1to1_ips=tuple(
+            ip.strip()
+            for ip in os.environ.get("SMELTER_WEBRTC_1_TO_1_NAT_IPS", "").split(",")
+            if ip.strip()
+        ),
         start_moq_server=_env_bool("SMELTER_START_MOQ_SERVER", False),
         moq_server_port=_env_int("SMELTER_MOQ_SERVER_PORT", 9001),
         moq_disable_tls_verification=_env_bool(
@@ -154,16 +215,40 @@ def read_config() -> Config:
             level=os.environ.get("SMELTER_LOGGER_LEVEL", "info"),
             format=os.environ.get("SMELTER_LOGGER_FORMAT", "compact"),
             log_file=os.environ.get("SMELTER_LOG_FILE"),
+            stdio_level=os.environ.get("SMELTER_STDIO_LOGGER_LEVEL"),
+            file_level=os.environ.get("SMELTER_FILE_LOGGER_LEVEL"),
         ),
     )
+    if cfg.webrtc_udp_mux_port is not None and cfg.webrtc_udp_port_range:
+        logging.getLogger("smelter.config").warning(
+            'CONFIG ERROR: Options "SMELTER_WEBRTC_UDP_MUX_PORT" and '
+            '"SMELTER_WEBRTC_UDP_PORT_RANGE" are conflicting. Ignoring '
+            '"SMELTER_WEBRTC_UDP_PORT_RANGE"'
+        )
+        cfg.webrtc_udp_port_range = None
+    return cfg
 
 
 def init_logger(cfg: LoggerConfig) -> None:
-    """Structured logging setup (reference `src/logger.rs`)."""
-    level = getattr(logging, cfg.level.upper(), logging.INFO)
-    handlers: list = [logging.StreamHandler()]
+    """Structured logging setup (reference `src/logger.rs`); the stdio and
+    file sinks take SMELTER_STDIO_LOGGER_LEVEL / SMELTER_FILE_LOGGER_LEVEL
+    refinements over the base level (config.rs:170-176)."""
+
+    def _level(name: Optional[str], fallback: int) -> int:
+        if not name:
+            return fallback
+        return getattr(logging, name.upper(), fallback)
+
+    level = _level(cfg.level, logging.INFO)
+    stdio = logging.StreamHandler()
+    stdio.setLevel(_level(cfg.stdio_level, level))
+    handlers: list = [stdio]
     if cfg.log_file:
-        handlers.append(logging.FileHandler(cfg.log_file))
+        fh = logging.FileHandler(cfg.log_file)
+        fh.setLevel(_level(cfg.file_level, level))
+        handlers.append(fh)
+    # the root logger must pass records through to the most verbose sink
+    level = min([level] + [h.level for h in handlers])
     if cfg.format == "json":
         fmt = (
             '{"ts":"%(asctime)s","level":"%(levelname)s",'

@@ -207,9 +207,22 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
             ctypes.c_double, ctypes.c_double, ctypes.c_int32,
         ]
-        lib.sm_set_log_level(16)  # AV_LOG_ERROR
+        lib.sm_set_log_level(_ffmpeg_log_level())
         _lib = lib
         return lib
+
+
+def _ffmpeg_log_level() -> int:
+    """SMELTER_FFMPEG_LOGGER_LEVEL bridge to the native FFmpeg service
+    (reference `src/config.rs:189-194` FfmpegLogLevel, default warn)."""
+    levels = {
+        "error": 16,   # AV_LOG_ERROR
+        "warn": 24,    # AV_LOG_WARNING
+        "info": 32,    # AV_LOG_INFO
+        "debug": 48,   # AV_LOG_DEBUG
+    }
+    name = os.environ.get("SMELTER_FFMPEG_LOGGER_LEVEL", "").strip().lower()
+    return levels.get(name, levels["warn"])
 
 
 class CodecError(RuntimeError):

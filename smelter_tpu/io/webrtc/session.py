@@ -43,6 +43,144 @@ def _local_ip() -> str:
         s.close()
 
 
+# -- UDP port strategy (reference webrtc/setting_engine.rs) ------------------
+#
+# Mirrors WebrtcSettingEngineCtx: AnyPort (default ephemeral sockets),
+# PortRange (ephemeral sockets restricted to [start, end]), or
+# MuxOnSinglePort (every session shares ONE socket; inbound packets demux
+# to sessions by the ICE ufrag in STUN USERNAME, then by source address).
+# nat_1to1_ips substitutes the advertised host-candidate IP.
+
+_udp_config: dict = {"mux_port": None, "port_range": None, "nat_1to1_ips": ()}
+_udp_lock = threading.Lock()
+_mux_instance: Optional["UdpMux"] = None
+
+
+def configure_udp(
+    mux_port: Optional[int] = None,
+    port_range: Optional[Tuple[int, int]] = None,
+    nat_1to1_ips: Tuple[str, ...] = (),
+) -> None:
+    """Install the process-wide WebRTC UDP strategy (config.rs:283-321).
+    Mux wins over range when both are given (config.rs:305-315)."""
+    with _udp_lock:
+        _udp_config["mux_port"] = mux_port
+        _udp_config["port_range"] = None if mux_port is not None else port_range
+        _udp_config["nat_1to1_ips"] = tuple(nat_1to1_ips)
+
+
+class UdpMux:
+    """One shared UDP socket for every WebRTC session
+    (setting_engine.rs MuxOnSinglePort / webrtc-rs UDPMuxDefault).
+
+    Demux: STUN binding requests carry USERNAME "<local_ufrag>:<remote>",
+    which identifies the session; once a request from an address is routed,
+    all later packets (DTLS/SRTP) from that address go to the same session.
+    """
+
+    def __init__(self, port: int) -> None:
+        self.port = port
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(("0.0.0.0", port))
+        self._by_ufrag: dict = {}
+        self._by_addr: dict = {}
+        self._lock = threading.Lock()
+        self._refs = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._recv_loop, name="webrtc-mux", daemon=True
+        )
+        self._thread.start()
+
+    def register(self, session: "WebRtcSession") -> None:
+        with self._lock:
+            self._by_ufrag[session.local_ufrag] = session
+            self._refs += 1
+
+    def unregister(self, session: "WebRtcSession") -> bool:
+        """Returns True when this was the last session (mux closed)."""
+        with self._lock:
+            self._by_ufrag.pop(session.local_ufrag, None)
+            self._by_addr = {
+                a: s for a, s in self._by_addr.items() if s is not session
+            }
+            self._refs -= 1
+            last = self._refs <= 0
+        if last:
+            self._stop.set()
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+        return last
+
+    def _route_stun(self, data: bytes, addr) -> Optional["WebRtcSession"]:
+        msg = stun.parse(data)
+        if msg is None:
+            return None
+        user = msg.attr(stun.ATTR_USERNAME)
+        if user:
+            local = user.split(b":", 1)[0].decode("utf-8", "replace")
+            with self._lock:
+                session = self._by_ufrag.get(local)
+            if session is not None:
+                with self._lock:
+                    self._by_addr[addr] = session
+                return session
+        with self._lock:
+            return self._by_addr.get(addr)
+
+    def _recv_loop(self) -> None:
+        try:
+            self.sock.settimeout(0.25)
+        except OSError:
+            return
+        while not self._stop.is_set():
+            try:
+                data, addr = self.sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            if not data:
+                continue
+            first = data[0]
+            if first < 4:
+                session = self._route_stun(data, addr)
+                if session is not None:
+                    session._handle_stun(data, addr)
+            else:
+                with self._lock:
+                    session = self._by_addr.get(addr)
+                if session is None:
+                    continue
+                if 20 <= first <= 63:
+                    session._handle_dtls(data, addr)
+                elif 128 <= first <= 191:
+                    session._handle_srtp(data)
+
+
+def _get_mux(port: int) -> UdpMux:
+    global _mux_instance
+    with _udp_lock:
+        if _mux_instance is None or _mux_instance._stop.is_set():
+            _mux_instance = UdpMux(port)
+        return _mux_instance
+
+
+def _bind_in_range(sock: socket.socket, start: int, end: int) -> int:
+    """Bind within [start, end] (setting_engine.rs EphemeralUDP range)."""
+    for port in range(start, end + 1):
+        try:
+            sock.bind(("0.0.0.0", port))
+            return port
+        except OSError:
+            continue
+    raise OSError(
+        f"no free WebRTC UDP port in configured range {start}:{end}"
+    )
+
+
 class WebRtcSession:
     """One peer transport. Construct, exchange SDP, then start()."""
 
@@ -54,10 +192,22 @@ class WebRtcSession:
         self.remote_candidates: list = []
         # offerer takes the DTLS client (active) role; answerer passive
         self.dtls = DtlsEndpoint(is_server=not is_offerer)
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.bind(("0.0.0.0", 0))
-        self.port = self.sock.getsockname()[1]
-        self.ip = _local_ip()
+        self._mux: Optional[UdpMux] = None
+        if _udp_config["mux_port"] is not None:
+            self._mux = _get_mux(_udp_config["mux_port"])
+            self.sock = self._mux.sock
+            self.port = self._mux.port
+            self._mux.register(self)
+        else:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            rng = _udp_config["port_range"]
+            if rng:
+                self.port = _bind_in_range(self.sock, rng[0], rng[1])
+            else:
+                self.sock.bind(("0.0.0.0", 0))
+                self.port = self.sock.getsockname()[1]
+        nat_ips = _udp_config["nat_1to1_ips"]
+        self.ip = nat_ips[0] if nat_ips else _local_ip()
         self.peer_addr: Optional[Tuple[str, int]] = None
         self.srflx: Optional[Tuple[str, int]] = None  # NAT-mapped (STUN)
         self.srtp_tx: Optional[SrtpSession] = None
@@ -84,6 +234,11 @@ class WebRtcSession:
         SMELTER_WEBRTC_STUN_SERVERS, config.rs:269-281; default Google
         STUN). Returns the srflx (ip, port) or None (no server reachable —
         host candidates still work on a LAN)."""
+        if self._mux is not None:
+            # muxed deployments advertise a known forwarded port (usually
+            # with SMELTER_WEBRTC_1_TO_1_NAT_IPS); inline STUN would fight
+            # the shared recv loop for responses
+            return None
         servers = stun_servers
         if servers is None:
             raw = os.environ.get(
@@ -146,9 +301,12 @@ class WebRtcSession:
     # -- lifecycle -------------------------------------------------------------
 
     def start(self) -> None:
-        t = threading.Thread(target=self._recv_loop, name="webrtc-recv", daemon=True)
-        t.start()
-        self._threads.append(t)
+        if self._mux is None:
+            t = threading.Thread(
+                target=self._recv_loop, name="webrtc-recv", daemon=True
+            )
+            t.start()
+            self._threads.append(t)
         if self.is_offerer:
             t2 = threading.Thread(target=self._ice_client_loop,
                                   name="webrtc-ice", daemon=True)
@@ -157,10 +315,13 @@ class WebRtcSession:
 
     def close(self) -> None:
         self._stop.set()
-        try:
-            self.sock.close()
-        except OSError:
-            pass
+        if self._mux is not None:
+            self._mux.unregister(self)  # shared socket closes with last session
+        else:
+            try:
+                self.sock.close()
+            except OSError:
+                pass
         self.dtls.close()
 
     # -- send ---------------------------------------------------------------------

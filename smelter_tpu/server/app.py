@@ -76,6 +76,13 @@ class ApiState:
     def __init__(self, config: Config) -> None:
         self.config = config
         self.lock = threading.Lock()
+        from smelter_tpu.io.webrtc.session import configure_udp
+
+        configure_udp(
+            mux_port=config.webrtc_udp_mux_port,
+            port_range=config.webrtc_udp_port_range,
+            nat_1to1_ips=config.webrtc_nat_1to1_ips,
+        )
         self.pipeline = self._new_pipeline()
         self.start_time: Optional[float] = None
         self.input_kinds: dict = {}
@@ -200,11 +207,18 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.io.rtmp import RtmpInputOptions, RtmpServerInput
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
+                    # SMELTER_RTMP_TLS_CERT_FILE/KEY_FILE turn the server
+                    # RTMPS (reference config.rs:335-351 rtmp_tls_config)
+                    tls_cert = state.config.rtmp_tls_cert_file
+                    tls_key = state.config.rtmp_tls_key_file
                     source = RtmpServerInput(
                         RtmpInputOptions(
                             port=spec.port or 0,
                             app=spec.app or "",
                             stream_key=spec.stream_key or "",
+                            tls=bool(tls_cert and tls_key),
+                            tls_cert_path=tls_cert,
+                            tls_key_path=tls_key,
                         )
                     )
                     sc = spec.side_channel or {}

@@ -214,3 +214,49 @@ def test_two_outputs_different_scenes(tmp_path):
     y, u, v, _, _ = f2[30]
     assert float(u[5, 5]) > 180        # corner is blue background
     assert float(v[30, 40]) > 180      # center box is red content
+
+
+def test_config_tail_env_vars(monkeypatch):
+    """Env parity tail (reference config.rs:170-351): RTMPS cert paths,
+    WebRTC UDP strategy, NAT IPs, per-sink logger levels, FFmpeg level."""
+    from smelter_tpu.config import read_config
+
+    monkeypatch.setenv("SMELTER_RTMP_TLS_CERT_FILE", "/tmp/c.pem")
+    monkeypatch.setenv("SMELTER_RTMP_TLS_KEY_FILE", "/tmp/k.pem")
+    monkeypatch.setenv("SMELTER_WEBRTC_UDP_PORT_RANGE", "40000:40100")
+    monkeypatch.setenv("SMELTER_WEBRTC_1_TO_1_NAT_IPS", "203.0.113.5, 198.51.100.7")
+    monkeypatch.setenv("SMELTER_STDIO_LOGGER_LEVEL", "debug")
+    monkeypatch.setenv("SMELTER_FILE_LOGGER_LEVEL", "error")
+    cfg = read_config()
+    assert cfg.rtmp_tls_cert_file == "/tmp/c.pem"
+    assert cfg.rtmp_tls_key_file == "/tmp/k.pem"
+    assert cfg.webrtc_udp_port_range == (40000, 40100)
+    assert cfg.webrtc_udp_mux_port is None
+    assert cfg.webrtc_nat_1to1_ips == ("203.0.113.5", "198.51.100.7")
+    assert cfg.logger.stdio_level == "debug"
+    assert cfg.logger.file_level == "error"
+
+    # mux wins over range when both are set (config.rs:305-315)
+    monkeypatch.setenv("SMELTER_WEBRTC_UDP_MUX_PORT", "41000")
+    cfg = read_config()
+    assert cfg.webrtc_udp_mux_port == 41000
+    assert cfg.webrtc_udp_port_range is None
+
+    # invalid values warn and fall back (config.rs inspect_err semantics)
+    monkeypatch.setenv("SMELTER_WEBRTC_UDP_MUX_PORT", "not-a-port")
+    monkeypatch.setenv("SMELTER_WEBRTC_UDP_PORT_RANGE", "9:1")
+    cfg = read_config()
+    assert cfg.webrtc_udp_mux_port is None
+    assert cfg.webrtc_udp_port_range is None
+
+
+def test_ffmpeg_logger_level_mapping(monkeypatch):
+    from smelter_tpu.io.codec import _ffmpeg_log_level
+
+    assert _ffmpeg_log_level() == 24  # default warn (config.rs:189-194)
+    monkeypatch.setenv("SMELTER_FFMPEG_LOGGER_LEVEL", "debug")
+    assert _ffmpeg_log_level() == 48
+    monkeypatch.setenv("SMELTER_FFMPEG_LOGGER_LEVEL", "ERROR")
+    assert _ffmpeg_log_level() == 16
+    monkeypatch.setenv("SMELTER_FFMPEG_LOGGER_LEVEL", "bogus")
+    assert _ffmpeg_log_level() == 24

@@ -787,3 +787,47 @@ def test_rtmp_input_survives_garbage_connections(tmp_path):
         assert got >= 10, f"only {got} frames after garbage connections"
     finally:
         source.stop()
+
+
+def test_rtmp_tls_env_files_enable_rtmps(tmp_path, monkeypatch):
+    """SMELTER_RTMP_TLS_CERT_FILE/KEY_FILE wire cert paths into RTMPS server
+    inputs registered through the API (reference config.rs:335-351)."""
+    from smelter_tpu.config import read_config
+    from smelter_tpu.io.rtmp.tls import _self_signed_pem
+
+    cert_pem, key_pem = _self_signed_pem()
+    cert_file = tmp_path / "cert.pem"
+    key_file = tmp_path / "key.pem"
+    cert_file.write_bytes(cert_pem)
+    key_file.write_bytes(key_pem)
+    monkeypatch.setenv("SMELTER_RTMP_TLS_CERT_FILE", str(cert_file))
+    monkeypatch.setenv("SMELTER_RTMP_TLS_KEY_FILE", str(key_file))
+
+    import httpx
+
+    from tests.test_server import ServerThread
+
+    cfg = read_config()
+    assert cfg.rtmp_tls_cert_file == str(cert_file)
+    cfg.logger.level = "warning"
+    s = ServerThread(cfg)
+    try:
+        with httpx.Client(base_url=s.base, timeout=60) as c:
+            r = c.post("/api/input/cam/register", json={"type": "rtmp_server"})
+            assert r.status_code == 200, r.text
+            port = r.json()["port"]
+            # the accepted connection must demand TLS: a TLS client handshake
+            # succeeds against the configured self-signed cert
+            import socket as sk
+            import ssl
+
+            raw = sk.create_connection(("127.0.0.1", port), timeout=10)
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            tls = ctx.wrap_socket(raw)
+            assert tls.version() is not None
+            tls.close()
+            assert c.post("/api/input/cam/unregister", json={}).status_code == 200
+    finally:
+        s.stop()

@@ -4,6 +4,7 @@ loopback, and full WHIP publish → compose → MP4 through the HTTP server
 reference's WHIP tests against its own axum server)."""
 
 import os
+import socket
 import struct
 import threading
 import time
@@ -818,3 +819,89 @@ def test_whip_input_decoder_preferences_restrict_negotiation():
             src.handle_offer(offer_with(["vp8"]))
     finally:
         src.stop()
+
+
+def test_udp_port_range_and_nat_ips():
+    """SMELTER_WEBRTC_UDP_PORT_RANGE + SMELTER_WEBRTC_1_TO_1_NAT_IPS
+    (reference setting_engine.rs PortRange + nat_1to1_ips): session sockets
+    bind inside the range and the advertised host candidate IP is the NAT
+    substitute."""
+    from smelter_tpu.io.webrtc import session as sess_mod
+
+    sess_mod.configure_udp(
+        port_range=(39500, 39510), nat_1to1_ips=("203.0.113.5",)
+    )
+    s1 = s2 = None
+    try:
+        s1 = WebRtcSession(is_offerer=True)
+        s2 = WebRtcSession(is_offerer=True)
+        assert 39500 <= s1.port <= 39510
+        assert 39500 <= s2.port <= 39510
+        assert s1.port != s2.port
+        assert s1.candidate[0] == "203.0.113.5"
+    finally:
+        for s in (s1, s2):
+            if s is not None:
+                s.close()
+        sess_mod.configure_udp()
+
+
+def test_udp_mux_media_loopback():
+    """SMELTER_WEBRTC_UDP_MUX_PORT (setting_engine.rs MuxOnSinglePort):
+    multiple server sessions share ONE UDP socket; packets demux by the
+    ICE ufrag in STUN USERNAME, then by source address — full ICE + DTLS +
+    SRTP still flows."""
+    from smelter_tpu.io.rtp import RtpPacket
+    from smelter_tpu.io.webrtc import session as sess_mod
+
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("0.0.0.0", 0))
+    mux_port = probe.getsockname()[1]
+    probe.close()
+
+    sess_mod.configure_udp(mux_port=mux_port)
+    try:
+        answerer = WebRtcSession(is_offerer=False)
+        extra = WebRtcSession(is_offerer=False)
+        assert answerer.port == extra.port == mux_port
+        assert answerer.sock is extra.sock
+    finally:
+        sess_mod.configure_udp()
+
+    offerer = WebRtcSession(is_offerer=True)  # plain client socket
+    try:
+        offer_desc = sdp_mod.parse(sdp_mod.build(
+            offerer.local_ufrag, offerer.local_pwd, offerer.fingerprint(),
+            setup="actpass", media=sdp_mod.default_offer_media(),
+            directions=["sendrecv", "sendrecv"], candidate=offerer.candidate,
+        ))
+        answer_desc = sdp_mod.parse(sdp_mod.build(
+            answerer.local_ufrag, answerer.local_pwd, answerer.fingerprint(),
+            setup="passive", media=sdp_mod.default_offer_media(),
+            directions=["sendrecv", "sendrecv"],
+            candidate=("127.0.0.1", answerer.port),
+            ice_lite=True,
+        ))
+        answerer.set_remote(offer_desc)
+        offerer.set_remote(answer_desc)
+
+        got = []
+        answerer.on_rtp = got.append
+        answerer.start()
+        offerer.start()
+        assert offerer.established.wait(timeout=15), "offerer DTLS failed"
+        assert answerer.established.wait(timeout=15), "answerer DTLS failed"
+        for i in range(10):
+            offerer.send_rtp(
+                RtpPacket(96, i, i * 3000, 7, bytes([i]) * 50).serialize()
+            )
+        deadline = time.time() + 5
+        while time.time() < deadline and len(got) < 10:
+            time.sleep(0.05)
+        assert len(got) >= 8, len(got)
+    finally:
+        offerer.close()
+        extra.close()
+        answerer.close()
+    # last unregister closed the shared socket
+    assert answerer._mux._refs <= 0
