@@ -288,9 +288,18 @@ int sm_demux_open2(const char *url, const char *options) {
 }
 
 int sm_demux_interrupt(int h) {
-    Demux *d = g_demux.get(h);
-    if (!d) return fail("bad demux handle");
-    d->interrupted->store(1, std::memory_order_relaxed);
+    /* copy the interrupted shared_ptr out under the table mutex: a raw
+     * Demux* from get() could be freed by a concurrent sm_demux_close
+     * (reader thread closing at EOF while stop() interrupts) between the
+     * lookup and the store — the shared_ptr copy keeps the atomic alive */
+    std::shared_ptr<std::atomic<int>> flag;
+    {
+        std::lock_guard<std::mutex> lk(g_demux.mu);
+        auto it = g_demux.items.find(h);
+        if (it == g_demux.items.end()) return fail("bad demux handle");
+        flag = it->second->interrupted;
+    }
+    flag->store(1, std::memory_order_relaxed);
     return 0;
 }
 

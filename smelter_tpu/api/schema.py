@@ -591,7 +591,6 @@ class MoqServerInput(ApiModel):
     type: Literal["moq_server"]
     auth_token: str
     required: Optional[bool] = None
-    offset_ms: Optional[float] = None
     decoder_map: Optional[Dict[str, str]] = None
     side_channel: Optional[Dict[str, object]] = None
 

@@ -97,7 +97,13 @@ class MoqClientOutput(OutputSink):
         port = parsed.port or 443
         token = dict(urllib.parse.parse_qsl(parsed.query)).get("token", "")
         path = (parsed.path or "/").lstrip("/")
-        self._client = QuicClient(host, port, [wire.ALPN], server_name=host)
+        # verify_tls=True performs real chain+hostname verification against
+        # the system trust store (io/quic/tls.py:_verify_peer_chain) — the
+        # reference's quinn/rustls default, disabled by
+        # SMELTER_MOQ_DISABLE_TLS_VERIFICATION
+        self._client = QuicClient(
+            host, port, [wire.ALPN], server_name=host, verify_peer=verify_tls
+        )
         handle = self._client.connect(timeout=15.0)
         self.session = MoqSession(handle, is_quic_client=True)
         self.publisher = BroadcastPublisher(self.session, self.broadcast_path)

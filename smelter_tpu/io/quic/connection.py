@@ -277,6 +277,7 @@ class QuicConnection:
         cert_der: Optional[bytes] = None,
         key_pem: Optional[bytes] = None,
         transport_params: Optional[pkt.TransportParams] = None,
+        verify_peer: bool = False,
     ) -> None:
         self.is_client = is_client
         self.scid = os.urandom(8)
@@ -331,6 +332,7 @@ class QuicConnection:
             server_name=server_name,
             cert_der=cert_der,
             key_pem=key_pem,
+            verify_peer=verify_peer,
         )
         self.tls.on_handshake_secrets = self._install_handshake_secrets
         self.tls.on_app_secrets = self._install_app_secrets

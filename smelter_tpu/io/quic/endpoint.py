@@ -129,13 +129,15 @@ class QuicClient(_EndpointBase):
     """One outbound QUIC connection."""
 
     def __init__(self, host: str, port: int, alpn: List[str],
-                 server_name: Optional[str] = None) -> None:
+                 server_name: Optional[str] = None,
+                 verify_peer: bool = False) -> None:
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         sock.bind(("0.0.0.0", 0))
         super().__init__(sock)
         addr = (socket.gethostbyname(host), port)
         self.conn = QuicConnection(
-            is_client=True, alpn=alpn, server_name=server_name or host
+            is_client=True, alpn=alpn, server_name=server_name or host,
+            verify_peer=verify_peer,
         )
         self.handle = QuicConnectionHandle(self.conn, self, addr)
 

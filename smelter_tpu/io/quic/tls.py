@@ -210,6 +210,7 @@ class TlsSession:
         server_name: Optional[str] = None,
         cert_der: Optional[bytes] = None,
         key_pem: Optional[bytes] = None,
+        verify_peer: bool = False,
     ) -> None:
         self.is_client = is_client
         self.alpn = alpn
@@ -219,7 +220,9 @@ class TlsSession:
         self.server_name = server_name
         self.cert_der = cert_der
         self.key_pem = key_pem
+        self.verify_peer = verify_peer
         self.peer_cert_der: Optional[bytes] = None
+        self.peer_cert_chain_der: List[bytes] = []
         self.outputs: List[TlsOutput] = []
         self.on_handshake_secrets: Optional[Callable[[bytes, bytes], None]] = None
         self.on_app_secrets: Optional[Callable[[bytes, bytes], None]] = None
@@ -372,59 +375,120 @@ class TlsSession:
             body = msg[4:]
             ctx_len = body[0]
             pos = 1 + ctx_len
-            pos += 3  # cert list length
-            cert_len = int.from_bytes(body[pos : pos + 3], "big"); pos += 3
-            self.peer_cert_der = body[pos : pos + cert_len]
+            list_len = int.from_bytes(body[pos : pos + 3], "big"); pos += 3
+            end = pos + list_len
+            self.peer_cert_chain_der = []
+            while pos + 3 <= end:
+                cert_len = int.from_bytes(body[pos : pos + 3], "big"); pos += 3
+                self.peer_cert_chain_der.append(body[pos : pos + cert_len])
+                pos += cert_len
+                if pos + 2 > end:
+                    break
+                ext_len = struct.unpack("!H", body[pos : pos + 2])[0]
+                pos += 2 + ext_len
+            self.peer_cert_der = (
+                self.peer_cert_chain_der[0] if self.peer_cert_chain_der else None
+            )
+            if self.verify_peer:
+                self._verify_peer_chain()
             self._transcript += msg
         elif htype == HT_CERTIFICATE_VERIFY:
-            body = msg[4:]
-            sig_alg = struct.unpack("!H", body[:2])[0]
-            sig_len = struct.unpack("!H", body[2:4])[0]
-            sig = body[4 : 4 + sig_len]
-            signed = self._CV_CONTEXT_SERVER + self._th()
-            if self.peer_cert_der is None:
-                raise TlsError("CertificateVerify before Certificate")
-            cert = x509.load_der_x509_certificate(self.peer_cert_der)
-            pub = cert.public_key()
-            try:
-                if sig_alg == SIG_ECDSA_P256_SHA256:
-                    pub.verify(sig, signed, ec.ECDSA(hashes.SHA256()))
-                elif sig_alg == SIG_RSA_PSS_SHA256:
-                    from cryptography.hazmat.primitives.asymmetric import padding
-
-                    pub.verify(
-                        sig, signed,
-                        padding.PSS(mgf=padding.MGF1(hashes.SHA256()),
-                                    salt_length=32),
-                        hashes.SHA256(),
-                    )
-                else:
-                    raise TlsError(f"unsupported signature algorithm {sig_alg:#x}")
-            except TlsError:
-                raise
-            except Exception as exc:
-                raise TlsError(f"CertificateVerify failed: {exc}") from exc
-            self._transcript += msg
+            self._handle_certificate_verify(msg)
         elif htype == HT_FINISHED:
-            expect = self._finished_verify(self._s_hs, self._th())
-            if msg[4:] != expect:
-                raise TlsError("server Finished verify_data mismatch")
-            self._transcript += msg
-            # client app secrets use transcript through server Finished
-            c_ap, s_ap = self._compute_app_secrets()
-            # client Finished (transcript through server Finished)
-            verify = self._finished_verify(self._c_hs, self._th())
-            fin = _handshake_msg(HT_FINISHED, verify)
-            self._transcript += fin
-            self.outputs.append(TlsOutput(EPOCH_HANDSHAKE, fin))
-            self._sent_finished = True
-            if self.on_app_secrets:
-                self.on_app_secrets(c_ap, s_ap)
-            self.complete = True
-            if self.on_handshake_complete:
-                self.on_handshake_complete()
+            self._handle_server_finished(msg)
         else:
             raise TlsError(f"unexpected handshake message {htype}")
+
+    def _verify_peer_chain(self) -> None:
+        """Chain + hostname verification against the system trust store
+        (quinn/rustls default behavior in the reference's MoQ client;
+        SMELTER_MOQ_DISABLE_TLS_VERIFICATION turns it off). The CA bundle
+        can be overridden with SSL_CERT_FILE."""
+        import ipaddress
+
+        from cryptography.x509.verification import PolicyBuilder, Store
+
+        if not self.peer_cert_chain_der:
+            raise TlsError("server sent no certificate")
+        bundle = os.environ.get(
+            "SSL_CERT_FILE", "/etc/ssl/certs/ca-certificates.crt"
+        )
+        try:
+            with open(bundle, "rb") as f:
+                roots = x509.load_pem_x509_certificates(f.read())
+        except OSError as exc:
+            raise TlsError(
+                f"TLS verification enabled but no CA bundle at {bundle}: {exc}"
+            ) from exc
+        name = self.server_name or ""
+        try:
+            subject = x509.IPAddress(ipaddress.ip_address(name))
+        except ValueError:
+            subject = x509.DNSName(name)
+        verifier = (
+            PolicyBuilder().store(Store(roots)).build_server_verifier(subject)
+        )
+        leaf = x509.load_der_x509_certificate(self.peer_cert_chain_der[0])
+        intermediates = [
+            x509.load_der_x509_certificate(c)
+            for c in self.peer_cert_chain_der[1:]
+        ]
+        try:
+            verifier.verify(leaf, intermediates)
+        except Exception as exc:
+            raise TlsError(
+                f"server certificate verification failed for "
+                f"{name!r}: {exc}"
+            ) from exc
+
+    def _handle_certificate_verify(self, msg: bytes) -> None:
+        body = msg[4:]
+        sig_alg = struct.unpack("!H", body[:2])[0]
+        sig_len = struct.unpack("!H", body[2:4])[0]
+        sig = body[4 : 4 + sig_len]
+        signed = self._CV_CONTEXT_SERVER + self._th()
+        if self.peer_cert_der is None:
+            raise TlsError("CertificateVerify before Certificate")
+        cert = x509.load_der_x509_certificate(self.peer_cert_der)
+        pub = cert.public_key()
+        try:
+            if sig_alg == SIG_ECDSA_P256_SHA256:
+                pub.verify(sig, signed, ec.ECDSA(hashes.SHA256()))
+            elif sig_alg == SIG_RSA_PSS_SHA256:
+                from cryptography.hazmat.primitives.asymmetric import padding
+
+                pub.verify(
+                    sig, signed,
+                    padding.PSS(mgf=padding.MGF1(hashes.SHA256()),
+                                salt_length=32),
+                    hashes.SHA256(),
+                )
+            else:
+                raise TlsError(f"unsupported signature algorithm {sig_alg:#x}")
+        except TlsError:
+            raise
+        except Exception as exc:
+            raise TlsError(f"CertificateVerify failed: {exc}") from exc
+        self._transcript += msg
+
+    def _handle_server_finished(self, msg: bytes) -> None:
+        expect = self._finished_verify(self._s_hs, self._th())
+        if msg[4:] != expect:
+            raise TlsError("server Finished verify_data mismatch")
+        self._transcript += msg
+        # client app secrets use transcript through server Finished
+        c_ap, s_ap = self._compute_app_secrets()
+        # client Finished (transcript through server Finished)
+        verify = self._finished_verify(self._c_hs, self._th())
+        fin = _handshake_msg(HT_FINISHED, verify)
+        self._transcript += fin
+        self.outputs.append(TlsOutput(EPOCH_HANDSHAKE, fin))
+        self._sent_finished = True
+        if self.on_app_secrets:
+            self.on_app_secrets(c_ap, s_ap)
+        self.complete = True
+        if self.on_handshake_complete:
+            self.on_handshake_complete()
 
     # -- server message handling ---------------------------------------------------
 

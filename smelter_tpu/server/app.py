@@ -421,9 +421,8 @@ def build_app(state: ApiState) -> web.Application:
                         source,
                         RegisterInputOptions(
                             required=bool(spec.required),
-                            offset=(spec.offset_ms / 1000.0)
-                            if spec.offset_ms is not None
-                            else None,
+                            # no offset_ms: the reference MoqServerInput
+                            # schema has none (input/moq_server.rs)
                             side_channel_video=bool(sc.get("video")),
                             side_channel_audio=bool(sc.get("audio")),
                             side_channel_dir=state.config.side_channel_socket_dir

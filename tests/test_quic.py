@@ -272,3 +272,38 @@ def test_quic_hostile_datagrams_do_not_kill_endpoint(tls_pair):
     finally:
         client.close()
         server.close()
+
+
+def test_quic_verify_peer_rejects_self_signed(tls_pair):
+    """verify_peer performs real chain verification against the system
+    trust store (tls.py:_verify_peer_chain): a self-signed server cert must
+    fail the client handshake instead of being silently accepted."""
+    cert, key = tls_pair
+    server = QuicServer(0, cert, key, ["qt"], on_connection=lambda h: None)
+    server.start()
+    client = QuicClient("127.0.0.1", server.port, ["qt"], verify_peer=True)
+    try:
+        with pytest.raises(ConnectionError):
+            client.connect(timeout=10)
+    finally:
+        client.close()
+        server.close()
+
+
+def test_moq_client_output_verify_tls_rejects_self_signed(tmp_path):
+    """MoqClientOutput(verify_tls=True) actually verifies (the flag used to
+    be accepted and dropped): connecting to a self-signed local MoQ server
+    must fail."""
+    from smelter_tpu.io.moq import MoqServer, MoqServerState
+    from smelter_tpu.io.moq.output import MoqClientOutput
+
+    state = MoqServerState()
+    server = MoqServer(0, state, cert_dir=str(tmp_path / "certs"))
+    try:
+        with pytest.raises((ConnectionError, OSError)):
+            MoqClientOutput(
+                f"moql://127.0.0.1:{server.port}/in?token=t",
+                "bcast", verify_tls=True,
+            )
+    finally:
+        server.close()
