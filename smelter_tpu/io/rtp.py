@@ -153,6 +153,11 @@ class JitterBuffer:
         self.clock_rate = clock_rate
         self._jitter = 0.0            # RFC 3550 jitter, in seconds
         self._last_transit: Optional[float] = None
+        # play-out anchor for effective-buffer stats (reference
+        # jitter_buffer.rs reference_time/ntp_sync_point): first packet maps
+        # its media timestamp to the wall clock
+        self._anchor_wall: Optional[float] = None
+        self._anchor_media: Optional[int] = None
         self._buffer: Dict[int, Tuple[float, RtpPacket]] = {}
         self._next_seq: Optional[int] = None
         self._max_ext_seq: Optional[int] = None
@@ -212,9 +217,26 @@ class JitterBuffer:
         self._late_streak = 0
         self._buffer[ext] = (now, pkt)
         if self.stats is not None:
-            oldest = min(t for t, _ in self._buffer.values())
-            self.stats.on_packet(len(pkt.payload) + 12, now - oldest)
+            # write-side effective buffer (jitter_buffer.rs:180-191): margin
+            # between this packet's play-out deadline (pts + buffer window)
+            # and the wall clock, at the moment it lands
+            self.stats.on_packet(
+                len(pkt.payload) + 12,
+                max(0.0, self._playout_at(pkt, now) + self.window - now),
+            )
         return self._release()
+
+    def _playout_at(self, pkt: RtpPacket, now: float) -> float:
+        """Wall-clock play-out time of a packet, from the first packet's
+        media-timestamp anchor (stats only; queue offsets are applied
+        downstream)."""
+        if self._anchor_wall is None:
+            self._anchor_wall = now
+            self._anchor_media = pkt.timestamp
+        rel = (pkt.timestamp - (self._anchor_media or 0)) & 0xFFFFFFFF
+        if rel >= 1 << 31:  # media timestamp wrapped / reordered before anchor
+            rel -= 1 << 32
+        return self._anchor_wall + rel / self.clock_rate
 
     def _release(self) -> List[RtpPacket]:
         out: List[RtpPacket] = []
@@ -223,6 +245,17 @@ class JitterBuffer:
             assert self._next_seq is not None
             item = self._buffer.pop(self._next_seq, None)
             if item is not None:
+                if self.stats is not None:
+                    # pop-side margin + current buffer size
+                    # (jitter_buffer.rs:244-252 EffectiveBufferOnPop +
+                    # InputBufferSize)
+                    self.stats.on_pop(
+                        max(
+                            0.0,
+                            self._playout_at(item[1], now) + self.window - now,
+                        ),
+                        self.window,
+                    )
                 out.append(item[1])
                 self._next_seq += 1
                 continue

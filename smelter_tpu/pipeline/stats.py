@@ -87,30 +87,47 @@ class TrackStats:
 
 
 class RtpTrackStats(TrackStats):
-    """RTP-family track meter (`RtpJitterBufferStatsReport`): packet totals,
-    bitrates, and a 10-second sliding window of jitter-buffer occupancy."""
+    """RTP-family track meter (`RtpJitterBufferStatsReport`,
+    `stats/input/rtp.rs:60-180`): packet totals, bitrates, and 10-second
+    sliding windows of the effective buffer sampled at jitter-buffer WRITE
+    (network-side margin: output pts + buffer vs wall clock as the packet
+    lands) and at POP (slack left after reorder/buffering, rtp.rs:64-76),
+    plus the input-buffer size sampled on pop."""
 
     def __init__(self) -> None:
         super().__init__()
         self.packets_received = 0
         self.packets_lost = 0
         self.packets_discarded = 0
-        self._window: deque = deque()  # (t, lost_delta, buffer_seconds)
+        # (t, lost_delta, received_delta, eff_write, eff_pop, buffer_size)
+        self._window: deque = deque()
         self._lock = threading.Lock()
 
-    def on_packet(self, nbytes: int, buffer_seconds: float) -> None:
+    def on_packet(self, nbytes: int, effective_on_write: float) -> None:
+        """A packet landed in the jitter buffer (rtp.rs EffectiveBufferOnWrite
+        + RtpPacketReceived + BytesReceived)."""
         self.bitrate.add(nbytes)
         now = time.monotonic()
         with self._lock:
             self.packets_received += 1
-            self._window.append((now, 0, buffer_seconds))
+            self._window.append((now, 0, 1, effective_on_write, None, None))
+            self._prune(now)
+
+    def on_pop(self, effective_on_pop: float, buffer_seconds: float) -> None:
+        """A packet left the jitter buffer toward the decoder (rtp.rs
+        EffectiveBufferOnPop + InputBufferSize, jitter_buffer.rs:247-252)."""
+        now = time.monotonic()
+        with self._lock:
+            self._window.append(
+                (now, 0, 0, None, effective_on_pop, buffer_seconds)
+            )
             self._prune(now)
 
     def on_lost(self, count: int = 1) -> None:
         now = time.monotonic()
         with self._lock:
             self.packets_lost += count
-            self._window.append((now, count, None))
+            self._window.append((now, count, 0, None, None, None))
             self._prune(now)
 
     def on_discarded(self, count: int = 1) -> None:
@@ -131,13 +148,27 @@ class RtpTrackStats(TrackStats):
             entries = list(self._window)
             received = self.packets_received
             lost = self.packets_lost
-        buf = [b for _, _, b in entries if b is not None]
+
+        def agg(values, name):
+            vals = [v for v in values if v is not None]
+            if not vals:
+                return {
+                    f"{name}_avg_seconds": 0.0,
+                    f"{name}_max_seconds": 0.0,
+                    f"{name}_min_seconds": 0.0,
+                }
+            return {
+                f"{name}_avg_seconds": round(sum(vals) / len(vals), 6),
+                f"{name}_max_seconds": round(max(vals), 6),
+                f"{name}_min_seconds": round(min(vals), 6),
+            }
+
         win = {
-            "packets_received": sum(1 for _, l, b in entries if b is not None),
-            "packets_lost": sum(l for _, l, _ in entries),
-            "input_buffer_avg_seconds": round(sum(buf) / len(buf), 6) if buf else 0.0,
-            "input_buffer_max_seconds": round(max(buf), 6) if buf else 0.0,
-            "input_buffer_min_seconds": round(min(buf), 6) if buf else 0.0,
+            "packets_received": sum(r for _, _, r, _, _, _ in entries),
+            "packets_lost": sum(l for _, l, _, _, _, _ in entries),
+            **agg([w for *_, w, _, _ in entries], "effective_buffer_on_write"),
+            **agg([p for *_, p, _ in entries], "effective_buffer_on_pop"),
+            **agg([b for *_, b in entries], "input_buffer"),
         }
         return {
             "packets_received": received,

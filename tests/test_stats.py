@@ -63,7 +63,20 @@ def test_rtp_track_stats_counts_losses_via_jitter_buffer():
     assert rep["packets_received"] == 4
     assert rep["packets_lost"] == 1
     assert rep["bitrate_1_minute"] > 0
-    assert rep["last_10_seconds"]["packets_received"] == 4
+    win = rep["last_10_seconds"]
+    assert win["packets_received"] == 4
+    # field-level parity with RtpJitterBufferSlidingWindowStatsReport
+    # (stats/input/rtp.rs:140-176): effective buffer sampled on write AND
+    # on pop, input buffer size sampled on pop
+    for name in ("effective_buffer_on_write", "effective_buffer_on_pop",
+                 "input_buffer"):
+        for stat in ("avg", "max", "min"):
+            assert f"{name}_{stat}_seconds" in win, win
+    # all 4 packets were released (popped): pop-side samples exist and the
+    # input buffer size equals the 50 ms window
+    assert win["input_buffer_max_seconds"] == 0.05
+    # write-side margin is bounded by pts-anchor + window
+    assert 0.0 <= win["effective_buffer_on_write_max_seconds"] <= 0.5
 
 
 def test_pipeline_stats_reports_mp4_protocols(tmp_path):
