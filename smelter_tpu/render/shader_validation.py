@@ -191,14 +191,18 @@ def compile_sandboxed(shader_id: str, source: str) -> Callable:
     return fn
 
 
-class _AbstractParam:
+class _AbstractParam(float):
     """Permissive stand-in for ``params`` during registration tracing.
 
-    Shader params arrive only at scene time, so registration traces with a
-    value that behaves like both a mapping and a scalar: any lookup yields
-    another _AbstractParam, and JAX coerces it to a f32 scalar via
-    ``__jax_array__`` when it lands in arithmetic.
-    """
+    Shader params are STATIC Python values at trace time (the frame program
+    passes the API's shader_param object straight into ``main``), so the
+    proxy is a float subclass — arithmetic and jnp calls treat it as 1.0 —
+    that also answers mapping-style lookups with more of itself, covering
+    ``params["gain"]``, ``params.get(...)``, and nested dicts without
+    knowing the real param schema."""
+
+    def __new__(cls):
+        return super().__new__(cls, 1.0)
 
     def __getitem__(self, key):
         return _AbstractParam()
@@ -206,43 +210,11 @@ class _AbstractParam:
     def get(self, key, default=None):
         return _AbstractParam()
 
-    def __len__(self):
-        return 1
-
     def __iter__(self):
         return iter((_AbstractParam(),))
 
-    def __jax_array__(self):
-        return jnp.zeros((), jnp.float32)
-
-    def __float__(self):
-        return 0.0
-
-    def __int__(self):
-        return 0
-
-    def __index__(self):
-        return 0
-
-    def __bool__(self):
-        return True
-
-
-def _param_binop(name):
-    def op(self, *others):
-        return getattr(jnp.zeros((), jnp.float32), name)(
-            *(jnp.asarray(o) if isinstance(o, _AbstractParam) else o for o in others)
-        )
-
-    return op
-
-
-for _name in (
-    "__add__", "__radd__", "__sub__", "__rsub__", "__mul__", "__rmul__",
-    "__truediv__", "__rtruediv__", "__pow__", "__rpow__", "__mod__",
-    "__rmod__", "__neg__", "__pos__",
-):
-    setattr(_AbstractParam, _name, _param_binop(_name))
+    def __len__(self):
+        return 1
 
 
 def validate_traced(
