@@ -6,9 +6,11 @@ real time (60 fps) with p95 per-frame compose latency < 8 ms.
 Prints ONE JSON line:
   {"metric": "...", "value": fps, "unit": "fps", "vs_baseline": fps/60, ...}
 
-Latency here is device compose latency for one frame (upload of fresh input
-bytes included via device_put each iteration, overlapping dispatch), measured
-steady-state after compilation.
+Two measurement families, both steady-state after compilation:
+  - compute-only (inputs pre-uploaded): device compose latency/throughput
+  - live ingest (ingest_*): FRESH host bytes device_put every frame —
+    ~47 MB/frame host->HBM — overlapped with compose through a depth-3
+    in-flight window (the north star's actual decode->upload->compose shape)
 """
 
 import glob
@@ -181,6 +183,52 @@ def main() -> None:
     batched_ms = (time.perf_counter() - t0) / (n_disp * B) * 1000.0
     batched_fps = 1000.0 / batched_ms
 
+    # -- live ingest: fresh host bytes EVERY frame ---------------------------
+    # The north star's actual shape: per-frame host->HBM upload of all 16
+    # inputs overlapped with compose (tools/bench_overlap.py pattern,
+    # depth-3 in-flight window). device_put of a numpy array always
+    # transfers, so every frame really moves ~47 MB to the device.
+    from collections import deque
+
+    DEPTH = 3
+    # blocked mode first: upload + compose + sync per frame (latency bound)
+    ingest_lat = []
+    for i in range(min(ITERS, 8)):
+        t0 = time.perf_counter()
+        dev = jax.device_put(host_frames[i % 2])
+        out = jfn(*dev)
+        sync(out)
+        ingest_lat.append(time.perf_counter() - t0)
+    ingest_lat_ms = sorted(x * 1000.0 for x in ingest_lat)
+    ingest_p50 = statistics.median(ingest_lat_ms)
+    ingest_p95 = ingest_lat_ms[int(len(ingest_lat_ms) * 0.95) - 1]
+
+    # pipelined mode: bounded in-flight window, uploads overlap compute
+    inflight: deque = deque()
+    n_ingest = max(8, ITERS // 4)
+    t0 = time.perf_counter()
+    for i in range(n_ingest):
+        dev = jax.device_put(host_frames[i % 2])
+        out = jfn(*dev)
+        inflight.append(out)
+        if len(inflight) > DEPTH:
+            jax.block_until_ready(inflight.popleft())
+    sync(out)
+    ingest_ms = (time.perf_counter() - t0) / n_ingest * 1000.0
+    ingest_fps = 1000.0 / ingest_ms
+    if ingest_p50 < ingest_ms:  # async tunnel: blocked returns early
+        ingest_p50 = ingest_ms
+        ingest_p95 = max(ingest_p95, ingest_ms)
+
+    # host->device link bandwidth, so the ingest numbers are attributable:
+    # on a TPU VM the PCIe link sustains GB/s and ingest adds ~1 ms; on the
+    # tunneled dev chip the link is the bottleneck, not the design.
+    frame_bytes = sum(p.nbytes for p in host_frames[0])
+    t0 = time.perf_counter()
+    for i in range(4):
+        jax.block_until_ready(jax.device_put(host_frames[i % 2]))
+    link_mbps = (4 * frame_bytes / (time.perf_counter() - t0)) / 1e6
+
     fps = max(throughput_fps, batched_fps)
     result = {
         "metric": "compose_fps_16x1080p_to_4k_1chip",
@@ -193,6 +241,12 @@ def main() -> None:
         "throughput_fps": round(throughput_fps, 2),
         "batched4_ms_per_frame": round(batched_ms, 3),
         "batched4_throughput_fps": round(batched_fps, 2),
+        "ingest_ms_per_frame": round(ingest_ms, 3),
+        "ingest_fps": round(ingest_fps, 2),
+        "ingest_p50_ms": round(ingest_p50, 3),
+        "ingest_p95_ms": round(ingest_p95, 3),
+        "ingest_frame_mb": round(frame_bytes / 1e6, 1),
+        "host_link_MBps": round(link_mbps, 1),
         "n_inputs": N_INPUTS,
         "device": str(jax.devices()[0]),
     }
