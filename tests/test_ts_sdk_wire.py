@@ -1,19 +1,19 @@
-"""Reference TS SDK wire-compatibility replay.
+"""TS SDK wire-compatibility replay.
 
-Node.js is not available in this image, so the reference TS SDK cannot be
-executed live against this server; instead this replays the EXACT request
-sequence the SDK emits, hand-derived from its source:
+Node.js is not available in this image, so the TS SDK under ts/ cannot be
+executed live; instead this replays the EXACT request sequence its
+serializers emit against a real server:
 
-- routes + bodies: `ts/smelter-core/src/api.ts` (ApiClient.updateScene/
-  registerOutput/registerInput)
+- routes + bodies: `ts/smelter-core/src/api.ts` (ApiClient) — statically
+  cross-checked against the server route table by test_ts_sdk_source.py
 - component JSON: the sceneBuilder of each component
-  (`ts/smelter/src/components/{View,Rescaler,InputStream,Text}.ts`) —
-  snake_case keys, hex-string colors, undefined keys dropped by
-  JSON.stringify
+  (`ts/smelter/src/components/*.ts`) — snake_case keys, hex-string colors,
+  undefined keys dropped by JSON.stringify; every emitted key statically
+  verified against the deny-unknown-fields schema by test_ts_sdk_source.py
 - output-specific input ids: `ts/smelter/src/types/refs/inputRef.ts`
   (`__output_specific_input:{n}:{outputId}` raw ids registered by
   components like <Mp4 />)
-- update shape: `ts/smelter-core/src/live/output.ts:83-92`
+- update shape: `ts/smelter-core/src/live/output.ts` Output.scene()
   ({video: {root}, audio})
 """
 

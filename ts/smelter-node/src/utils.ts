@@ -1,0 +1,16 @@
+export async function sleep(timeoutMs: number): Promise<void> {
+  await new Promise<void>(resolve => setTimeout(resolve, timeoutMs));
+}
+
+/** Retry `fn` up to `attempts` times; rethrows the final failure. */
+export async function retry<T>(fn: () => Promise<T>, attempts: number): Promise<T> {
+  let lastError: unknown;
+  for (let attempt = 0; attempt < attempts; attempt++) {
+    try {
+      return await fn();
+    } catch (error) {
+      lastError = error;
+    }
+  }
+  throw lastError;
+}
