@@ -545,6 +545,15 @@ class ShaderRegistry:
 
 _DUMMY = np.zeros((2, 2, 4), np.float32)
 
+
+def _frame_rgba_np(frame) -> np.ndarray:
+    """Host-side RGBA view of an input frame (any upload format), for the
+    web-renderer uplink — pure numpy, never touches the device."""
+    from smelter_tpu.pipeline.side_channel import _frame_to_rgba_bytes
+
+    h, w = frame.resolution.height, frame.resolution.width
+    return np.frombuffer(_frame_to_rgba_bytes(frame), np.uint8).reshape(h, w, 4)
+
 # Process-wide trace serialization. A rare (~1-in-3 live soaks) trace-time
 # shape corruption was observed in the banded-shear rotation when two
 # background compiles traced concurrently (never single-threaded; see
@@ -688,13 +697,38 @@ class OutputProgram:
                 for ch in node.children:
                     visit(ch)
                 inst = self.web.get(p.instance_id) if self.web else None
+                method = (
+                    inst.spec.embedding_method
+                    if inst is not None
+                    else "chromium_embedding"
+                )
+                if (
+                    inst is not None
+                    and inst.active
+                    and method == "chromium_embedding"
+                ):
+                    # uplink: push InputStream children INTO the page
+                    # (embedder.rs embed_sources); non-input children
+                    # would need per-frame device readback, so they fall
+                    # back to the page-only view in this mode
+                    embeds = []
+                    for ch in node.children:
+                        cp = ch.params
+                        entry = None
+                        if isinstance(cp, InputStreamNode):
+                            f = input_frames.get(cp.input_id)
+                            if f is not None:
+                                entry = (f.pts, _frame_rgba_np(f))
+                        embeds.append(entry)
+                    if any(e is not None for e in embeds):
+                        inst.embed_sources(embeds)
                 frame = inst.frame() if inst is not None else None
                 if frame is None:
-                    key_parts.append((nid, "web", None))
+                    key_parts.append((nid, "web", None, method))
                     return None
                 aux[nid] = frame
                 res = Resolution(frame.shape[1], frame.shape[0])
-                key_parts.append((nid, "web", res))
+                key_parts.append((nid, "web", res, method))
                 return res
             if isinstance(p, LayoutNode):
                 child_res = [visit(ch) for ch in node.children]
@@ -929,11 +963,14 @@ class OutputProgram:
         access = _InputAccess(used)
         static_statics: Dict[int, Tuple[LayoutStatic, ...]] = {}
         layout_sources: Dict[int, Tuple[int, ...]] = {}
+        web_methods: Dict[int, str] = {}
         # statics are re-derived from the structure key captured at plan time
         for part in key:
             if isinstance(part, tuple) and len(part) >= 3 and part[1] == "layout":
                 static_statics[part[0]] = part[2]
                 layout_sources[part[0]] = part[5] if len(part) > 5 else ()
+            elif isinstance(part, tuple) and len(part) >= 4 and part[1] == "web":
+                web_methods[part[0]] = part[3]
 
         root_nid = node_id(root)
         nodes = self._nodes
@@ -1001,18 +1038,48 @@ class OutputProgram:
                         return [out]
                     return build_mips(out, _mip_levels(Resolution(*res)))
                 if isinstance(p, WebNode):
-                    for ch in node.children:
-                        eval_node(ch)
-                    if nid not in aux_textures:
-                        return None  # transparent fallback
-                    tex = aux_textures[nid]
-                    rgba = cc.u8_to_f32(tex)
-                    rgba = jnp.concatenate(
-                        [rgba[..., :3] * rgba[..., 3:4], rgba[..., 3:4]],
-                        axis=-1,
-                    )
-                    res = Resolution(tex.shape[1], tex.shape[0])
-                    return build_mips(rgba, _mip_levels(res))
+                    method = web_methods.get(nid, "chromium_embedding")
+                    child_outs = [eval_node(ch) for ch in node.children]
+                    page = None
+                    if nid in aux_textures:
+                        tex = aux_textures[nid]
+                        rgba = cc.u8_to_f32(tex)
+                        page = jnp.concatenate(
+                            [rgba[..., :3] * rgba[..., 3:4], rgba[..., 3:4]],
+                            axis=-1,
+                        )
+                    if method == "chromium_embedding":
+                        # children were pushed into the page itself
+                        # (embed_sources); the page frame is the result
+                        if page is None:
+                            return None
+                        res = Resolution(page.shape[1], page.shape[0])
+                        return build_mips(page, _mip_levels(res))
+                    # native embedding: composite children above/below the
+                    # page content (web_renderer.rs NativeEmbedding*Content)
+                    children = [c[0] if isinstance(c, list) else c
+                                for c in child_outs if c is not None]
+                    if page is None and not children:
+                        return None
+                    if page is None:
+                        canvas = jnp.zeros_like(children[0])
+                        layers = children
+                    elif method == "native_embedding_under_content":
+                        canvas = jnp.zeros_like(page)
+                        layers = children + [page]
+                    else:  # native_embedding_over_content
+                        canvas = jnp.zeros_like(page)
+                        layers = [page] + children
+                    from smelter_tpu.ops.resample import resize_bilinear
+
+                    for layer in layers:
+                        if layer.shape[:2] != canvas.shape[:2]:
+                            layer = resize_bilinear(
+                                layer, canvas.shape[0], canvas.shape[1]
+                            )
+                        canvas = layer + canvas * (1.0 - layer[..., 3:4])
+                    res = Resolution(canvas.shape[1], canvas.shape[0])
+                    return build_mips(canvas, _mip_levels(res))
                 if isinstance(p, LayoutNode):
                     # sources are looked up by node id (collapse may reference
                     # grandchildren); only referenced nodes are evaluated, so

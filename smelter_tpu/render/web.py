@@ -154,6 +154,12 @@ class WebRendererSpec:
     instance_id: str
     url: str
     resolution: Tuple[int, int]  # (width, height)
+    # reference WebEmbeddingMethod (resource/web_renderer.rs:23-35):
+    #   chromium_embedding — child frames are pushed INTO the page and the
+    #     page composites them (canvas per source, embedder.rs embed_sources)
+    #   native_embedding_over_content / native_embedding_under_content —
+    #     the renderer composites children natively above/below the page
+    embedding_method: str = "chromium_embedding"
 
 
 class WebRendererInstance:
@@ -260,6 +266,61 @@ class WebRendererInstance:
         """Latest page frame as straight-alpha RGBA, or None (transparent
         fallback / nothing rendered yet)."""
         return self.shared.get()
+
+    # -- uplink: child frames INTO the page (embedder.rs:83 embed_sources) --------
+
+    _EMBED_JS = """
+(function (id, w, h, b64) {
+  let c = document.getElementById(id);
+  if (!c) {
+    c = document.createElement('canvas');
+    c.id = id;
+    c.className = 'smelter-source';
+    document.body.appendChild(c);
+  }
+  if (c.width !== w) c.width = w;
+  if (c.height !== h) c.height = h;
+  const bin = atob(b64);
+  const arr = new Uint8ClampedArray(bin.length);
+  for (let i = 0; i < bin.length; i++) arr[i] = bin.charCodeAt(i);
+  c.getContext('2d').putImageData(new ImageData(arr, w, h), 0, 0);
+  return true;
+})(%r, %d, %d, %r)
+"""
+
+    def embed_sources(self, frames) -> None:
+        """Push child frames into the page (chromium_embedding): each source
+        lands on a `<canvas id="smelter_source_{i}">` the page can style and
+        composite — the CDP analogue of the reference's shared-memory +
+        onRegisterEmbedder JS API (embedder.rs chromium_embedding).
+
+        ``frames``: list of (pts, rgba_u8_array) per child, None entries
+        skipped. Sends are fire-and-forget on the CDP channel and deduped
+        by pts so a static scene costs nothing."""
+        if not self.active or self._cdp is None:
+            return
+        if not hasattr(self, "_embedded_pts"):
+            self._embedded_pts = {}
+        for index, entry in enumerate(frames):
+            if entry is None:
+                continue
+            pts, rgba = entry
+            if self._embedded_pts.get(index) == pts:
+                continue
+            self._embedded_pts[index] = pts
+            h, w = rgba.shape[:2]
+            b64 = base64.b64encode(
+                np.ascontiguousarray(rgba).tobytes()
+            ).decode("ascii")
+            script = self._EMBED_JS % (f"smelter_source_{index}", w, h, b64)
+            try:
+                self._cdp.notify(
+                    "Runtime.evaluate",
+                    {"expression": script, "returnByValue": False},
+                    session_id=self._session_id,
+                )
+            except Exception:
+                logger.debug("embed_sources send failed", exc_info=True)
 
     def close(self) -> None:
         if self._cdp is not None:

@@ -802,6 +802,8 @@ def build_app(state: ApiState) -> web.Application:
                     instance_id=instance_id,
                     url=spec.url,
                     resolution=(spec.resolution.width, spec.resolution.height),
+                    embedding_method=spec.embedding_method
+                    or "chromium_embedding",
                 ))
                 # reference behavior: registration succeeds; without a
                 # browser the instance renders transparent

@@ -35,6 +35,8 @@ class MockCdpServer:
         import websockets.sync.server as ws_server
 
         self.navigated = []
+        self.evaluations = []          # Runtime.evaluate expressions
+        self.evaluated = threading.Event()
         self.acked = threading.Event()
         self._server = ws_server.serve(self._handle, "127.0.0.1", 0)
         self.port = self._server.socket.getsockname()[1]
@@ -50,6 +52,11 @@ class MockCdpServer:
         for raw in ws:
             msg = json.loads(raw)
             method = msg["method"]
+            if method == "Runtime.evaluate":
+                self.evaluations.append(msg["params"]["expression"])
+                self.evaluated.set()
+            if "id" not in msg:
+                continue  # notification (fire-and-forget)
             result = {}
             if method == "Target.createTarget":
                 result = {"targetId": "t1"}
@@ -132,3 +139,103 @@ def test_webview_transparent_fallback(monkeypatch):
     out = np.asarray(r.render(FrameSet(pts=0.0, frames={})).frames["out"].data)
     assert abs(int(out[10, 10, 0]) - 10) <= 2
     assert abs(int(out[10, 10, 2]) - 30) <= 2
+
+
+def _red_input_frame(w=32, h=24):
+    from smelter_tpu.core.types import Frame
+
+    rgba = np.zeros((h, w, 4), np.uint8)
+    rgba[..., 0] = 200
+    rgba[..., 3] = 255
+    return Frame(data=rgba, format=PixelFormat.RGBA,
+                 resolution=Resolution(w, h), pts=0.0)
+
+
+def test_webview_chromium_embedding_pushes_child_frames(monkeypatch):
+    """chromium_embedding (embedder.rs embed_sources / chromium_embedding):
+    InputStream children of a WebView are pushed INTO the page as canvas
+    blits over CDP, and the page frame alone is the node's output."""
+    mock = MockCdpServer()
+    monkeypatch.setenv("SMELTER_WEB_RENDERER_CDP_URL", mock.url)
+    try:
+        r = Renderer()
+        r.register_input("cam")
+        inst = r.web.register(WebRendererSpec(
+            instance_id="page", url="https://example.com/",
+            resolution=(64, 48), embedding_method="chromium_embedding",
+        ))
+        assert inst.active
+        r.update_scene(
+            "out",
+            comp.View(background_color=RGBAColor(0, 0, 0, 255),
+                      children=[comp.WebView(
+                          instance_id="page",
+                          children=[comp.InputStream(input_id="cam")])]),
+            Resolution(64, 48), PixelFormat.RGBA,
+        )
+        frame = _red_input_frame()
+        out = np.asarray(
+            r.render(FrameSet(pts=0.0, frames={"cam": frame})).frames["out"].data
+        )
+        assert mock.evaluated.wait(10), "no Runtime.evaluate reached the page"
+        script = mock.evaluations[0]
+        assert "smelter_source_0" in script
+        assert ", 32, 24," in script  # child frame dimensions
+        # the canvas payload is the child's RGBA bytes
+        b64 = script.rsplit("'", 2)[-2]
+        pixels = np.frombuffer(base64.b64decode(b64), np.uint8).reshape(24, 32, 4)
+        assert pixels[12, 16, 0] == 200 and pixels[12, 16, 3] == 255
+        # output shows the PAGE (children composite inside the page)
+        px = out[24, 32]
+        assert px[0] > 200 and 100 < px[1] < 160, px.tolist()
+        # same pts again: deduped, no second blit
+        n_before = len(mock.evaluations)
+        r.render(FrameSet(pts=0.0, frames={"cam": frame}))
+        assert len(mock.evaluations) == n_before
+        r.web.unregister("page")
+    finally:
+        mock.close()
+
+
+def test_webview_native_embedding_over_content(monkeypatch):
+    """native_embedding_over_content ("overlay inputs OVER the website
+    content", web_renderer.rs:30-34): children composite natively above
+    the page, so the red child must be visible over the opaque orange
+    mock page."""
+    mock = MockCdpServer()
+    monkeypatch.setenv("SMELTER_WEB_RENDERER_CDP_URL", mock.url)
+    try:
+        r = Renderer()
+        r.register_input("cam")
+        inst = r.web.register(WebRendererSpec(
+            instance_id="page", url="https://example.com/",
+            resolution=(64, 48),
+            embedding_method="native_embedding_over_content",
+        ))
+        assert inst.active
+        import time
+
+        deadline = 50
+        while inst.frame() is None and deadline:
+            time.sleep(0.1)
+            deadline -= 1
+        r.update_scene(
+            "out",
+            comp.View(background_color=RGBAColor(0, 0, 0, 255),
+                      children=[comp.WebView(
+                          instance_id="page",
+                          children=[comp.InputStream(input_id="cam")])]),
+            Resolution(64, 48), PixelFormat.RGBA,
+        )
+        out = np.asarray(
+            r.render(FrameSet(pts=0.0, frames={"cam": _red_input_frame()}))
+            .frames["out"].data
+        )
+        # child is red and covers the page in this mode
+        px = out[24, 32]
+        assert px[0] > 150 and px[1] < 80, px.tolist()
+        # no uplink in native mode
+        assert not mock.evaluations
+        r.web.unregister("page")
+    finally:
+        mock.close()
