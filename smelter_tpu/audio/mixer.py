@@ -241,6 +241,17 @@ class SampleMixer:
         config: AudioMixerConfig,
         samples_count: int,
     ) -> np.ndarray:
+        from smelter_tpu.utils import tracing
+
+        with tracing.span("audio.mix"):
+            return self._mix(input_samples, config, samples_count)
+
+    def _mix(
+        self,
+        input_samples: Dict[str, np.ndarray],
+        config: AudioMixerConfig,
+        samples_count: int,
+    ) -> np.ndarray:
         summed = self.sum_samples(input_samples, samples_count, config.inputs)
         if config.mixing_strategy == "sum_scale":
             mixed = self._scale(summed)

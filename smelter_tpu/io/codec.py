@@ -372,7 +372,13 @@ class VideoDecoder:
         self._buf = None
 
     def send(self, data: bytes, pts_s: float) -> None:
-        _check(self._lib.sm_vdec_send(self._h, data, len(data), pts_s), self._lib)
+        from smelter_tpu.utils import tracing
+
+        with tracing.span("codec.video_decode"):
+            _check(
+                self._lib.sm_vdec_send(self._h, data, len(data), pts_s),
+                self._lib,
+            )
 
     def send_eof(self) -> None:
         _check(self._lib.sm_vdec_send_eof(self._h), self._lib)
@@ -523,6 +529,13 @@ class VideoEncoder:
 
     def send(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, pts_s: float,
              force_keyframe: bool = False) -> None:
+        from smelter_tpu.utils import tracing
+
+        with tracing.span("codec.video_encode"):
+            self._send(y, u, v, pts_s, force_keyframe)
+
+    def _send(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, pts_s: float,
+              force_keyframe: bool = False) -> None:
         ysz = self.width * self.height
         csz = self._cw * self._chh
         self._stage[:ysz] = np.ascontiguousarray(y, dtype=np.uint8).ravel()

@@ -287,4 +287,8 @@ def collect_stats(pipeline) -> dict:
             report["inputs"].setdefault(iid, {})["buffer"] = buf
     except Exception:
         pass
+    # per-subsystem spans (SURVEY §5 tracing row; utils/tracing.py)
+    from smelter_tpu.utils import tracing
+
+    report["spans"] = tracing.report()
     return report

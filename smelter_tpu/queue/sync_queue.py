@@ -614,11 +614,14 @@ class Queue:
             self._thread.join(timeout=5.0)
 
     def _run(self) -> None:
+        from smelter_tpu.utils import tracing
+
         while not self._should_close.is_set():
-            if self.start_pts is None:
-                self.cleanup_before_start()
-            else:
-                self.on_tick()
+            with tracing.span("queue.tick"):
+                if self.start_pts is None:
+                    self.cleanup_before_start()
+                else:
+                    self.on_tick()
             self.clock.sleep(self.options.tick_duration)
 
     # -- pre-start --------------------------------------------------------------------

@@ -941,6 +941,12 @@ class OutputProgram:
 
     def _build(self, key: tuple, plan: FramePlan, input_frames) -> Callable:
         """Build + jit the full render program for the current structure."""
+        from smelter_tpu.utils import tracing
+
+        with tracing.span("render.build_program"):
+            return self._build_inner(key, plan, input_frames)
+
+    def _build_inner(self, key: tuple, plan: FramePlan, input_frames) -> Callable:
         root = self.root
         out_format = self.out_format
         resolution = self.resolution

@@ -172,7 +172,9 @@ class Renderer:
         """Compose all outputs for this tick. Missing inputs fall back to
         their last frame until `stream_fallback_timeout`, then render absent
         (reference render_loop.rs:29-32)."""
-        with self._lock:
+        from smelter_tpu.utils import tracing
+
+        with tracing.span("render.frame"), self._lock:
             pts = frame_set.pts
             # refresh last-frame cache
             for iid, frame in frame_set.frames.items():
