@@ -53,6 +53,27 @@ class SenderReport:
 
 
 @dataclass
+class ReportBlock:
+    """RFC 3550 §6.4.1 reception report block."""
+
+    ssrc: int
+    fraction_lost: int      # 0..255 (fixed point /256)
+    cumulative_lost: int
+    highest_seq: int        # extended highest sequence number received
+    jitter: int             # interarrival jitter, timestamp units
+    lsr: int                # middle 32 bits of the last SR's NTP timestamp
+    dlsr: int               # delay since last SR, 1/65536 s units
+
+
+@dataclass
+class ReceiverReport:
+    """RFC 3550 §6.4.2 RR — reception quality feedback from a receiver."""
+
+    ssrc: int
+    reports: List[ReportBlock]
+
+
+@dataclass
 class Pli:
     sender_ssrc: int
     media_ssrc: int
@@ -80,6 +101,23 @@ def build_sender_report(sr: SenderReport) -> bytes:
         sr.ssrc, sr.ntp_sec, sr.ntp_frac, sr.rtp_timestamp,
         sr.packet_count, sr.octet_count,
     )
+
+
+def build_receiver_report(rr: ReceiverReport) -> bytes:
+    n = len(rr.reports)
+    out = struct.pack("!BBHI", 0x80 | n, PT_RR, 1 + 6 * n, rr.ssrc)
+    for block in rr.reports:
+        lost24 = block.cumulative_lost & 0xFFFFFF
+        out += struct.pack(
+            "!IIIIII",
+            block.ssrc,
+            ((block.fraction_lost & 0xFF) << 24) | lost24,
+            block.highest_seq & 0xFFFFFFFF,
+            block.jitter & 0xFFFFFFFF,
+            block.lsr & 0xFFFFFFFF,
+            block.dlsr & 0xFFFFFFFF,
+        )
+    return out
 
 
 def build_pli(sender_ssrc: int, media_ssrc: int) -> bytes:
@@ -130,6 +168,27 @@ def parse_compound(data: bytes) -> List[object]:
         if pt == PT_SR and len(body) >= 28:
             vals = struct.unpack("!IIIIII", body[4:28])
             out.append(SenderReport(*vals))
+        elif pt == PT_RR and len(body) >= 8:
+            ssrc = struct.unpack("!I", body[4:8])[0]
+            blocks: List[ReportBlock] = []
+            count = b0 & 0x1F
+            for i in range(count):
+                off = 8 + 24 * i
+                if off + 24 > len(body):
+                    break
+                (bssrc, lost_word, highest, jitter, lsr, dlsr) = struct.unpack(
+                    "!IIIIII", body[off : off + 24]
+                )
+                blocks.append(ReportBlock(
+                    ssrc=bssrc,
+                    fraction_lost=lost_word >> 24,
+                    cumulative_lost=lost_word & 0xFFFFFF,
+                    highest_seq=highest,
+                    jitter=jitter,
+                    lsr=lsr,
+                    dlsr=dlsr,
+                ))
+            out.append(ReceiverReport(ssrc, blocks))
         elif pt == PT_PSFB and (b0 & 0x1F) == 1 and len(body) >= 12:
             sender, media = struct.unpack("!II", body[4:12])
             out.append(Pli(sender, media))
@@ -274,3 +333,92 @@ class TrackSyncSlew:
                 self._current += max(-step, min(step, diff))
         self._last_pts = pts
         return pts + self._current
+
+
+class ReceptionTracker:
+    """Per-SSRC reception statistics feeding RTCP Receiver Reports
+    (RFC 3550 §6.4.1 + appendix A.8 — the receiver-side feedback the
+    reference gets from webrtc-rs: fraction lost, cumulative lost, extended
+    highest seq, interarrival jitter, LSR/DLSR for sender RTT)."""
+
+    def __init__(self, ssrc: int, clock_rate: int) -> None:
+        self.ssrc = ssrc
+        self.clock_rate = clock_rate
+        self._base_seq: Optional[int] = None
+        self._max_seq: Optional[int] = None
+        self._cycles = 0
+        self.received = 0
+        self._expected_prior = 0
+        self._received_prior = 0
+        self.jitter = 0.0  # timestamp units
+        self._last_transit: Optional[float] = None
+        self._lsr = 0
+        self._lsr_arrival: Optional[float] = None
+
+    def on_packet(self, seq: int, rtp_ts: int,
+                  now: Optional[float] = None) -> None:
+        now = time.time() if now is None else now
+        if self._max_seq is None:
+            self._base_seq = seq
+            self._max_seq = seq
+        else:
+            if seq < (self._max_seq & 0xFFFF) and (self._max_seq & 0xFFFF) - seq > 0x8000:
+                self._cycles += 1 << 16
+            ext = self._cycles + seq
+            if ext > self._max_seq:
+                self._max_seq = ext
+        self.received += 1
+        # interarrival jitter (RFC 3550 §6.4.1 / A.8)
+        transit = now * self.clock_rate - rtp_ts
+        if self._last_transit is not None:
+            d = abs(transit - self._last_transit)
+            self.jitter += (d - self.jitter) / 16.0
+        self._last_transit = transit
+
+    def on_sender_report(self, sr: SenderReport,
+                         now: Optional[float] = None) -> None:
+        self._lsr = ((sr.ntp_sec & 0xFFFF) << 16) | (sr.ntp_frac >> 16)
+        self._lsr_arrival = time.time() if now is None else now
+
+    def report_block(self, now: Optional[float] = None) -> ReportBlock:
+        now = time.time() if now is None else now
+        base = self._base_seq or 0
+        max_seq = self._max_seq if self._max_seq is not None else base
+        expected = max_seq - base + 1
+        lost = max(0, expected - self.received)
+        expected_interval = expected - self._expected_prior
+        received_interval = self.received - self._received_prior
+        self._expected_prior = expected
+        self._received_prior = self.received
+        lost_interval = expected_interval - received_interval
+        if expected_interval <= 0 or lost_interval <= 0:
+            fraction = 0
+        else:
+            fraction = min(255, (lost_interval << 8) // expected_interval)
+        dlsr = 0
+        if self._lsr_arrival is not None:
+            dlsr = int((now - self._lsr_arrival) * 65536.0) & 0xFFFFFFFF
+        return ReportBlock(
+            ssrc=self.ssrc,
+            fraction_lost=fraction,
+            cumulative_lost=min(lost, 0xFFFFFF),
+            highest_seq=max_seq & 0xFFFFFFFF,
+            jitter=int(self.jitter) & 0xFFFFFFFF,
+            lsr=self._lsr,
+            dlsr=dlsr,
+        )
+
+
+def rtt_from_report(block: ReportBlock,
+                    now: Optional[float] = None) -> Optional[float]:
+    """Sender-side RTT from a received report block (RFC 3550 §6.4.1):
+    rtt = now(middle-32 NTP) - LSR - DLSR. None when no SR was mirrored."""
+    if block.lsr == 0:
+        return None
+    now = time.time() if now is None else now
+    ntp = now + NTP_EPOCH_OFFSET
+    now32 = ((int(ntp) & 0xFFFF) << 16) | (int((ntp % 1.0) * 65536.0) & 0xFFFF)
+    rtt32 = (now32 - block.lsr - block.dlsr) & 0xFFFFFFFF
+    if rtt32 > 0x7FFFFFFF:  # clock skew / garbage
+        return None
+    return rtt32 / 65536.0

@@ -45,6 +45,36 @@ class SrtpSession:
         self._roc: Dict[int, int] = {}
         self._last_seq: Dict[int, int] = {}
         self._rtcp_index = 0
+        # RFC 3711 §3.3.2 replay protection: per-SSRC sliding window over
+        # the 48-bit packet index (ROC||SEQ), updated only after auth passes
+        self._replay: Dict[int, Tuple[int, int]] = {}  # ssrc -> (max_index, bitmask)
+
+    REPLAY_WINDOW = 64
+
+    def _check_replay(self, ssrc: int, index: int) -> None:
+        """Raise on a replayed or too-old packet index (pre-auth check)."""
+        state = self._replay.get(ssrc)
+        if state is None:
+            return
+        max_index, mask = state
+        if index > max_index:
+            return
+        delta = max_index - index
+        if delta >= self.REPLAY_WINDOW:
+            raise ValueError("srtp replay: packet index too old")
+        if mask & (1 << delta):
+            raise ValueError("srtp replay: duplicate packet index")
+
+    def _commit_replay(self, ssrc: int, index: int) -> None:
+        """Mark an authenticated index as seen (post-auth update)."""
+        max_index, mask = self._replay.get(ssrc, (-1, 0))
+        if index > max_index:
+            shift = index - max_index
+            mask = ((mask << shift) | 1) & ((1 << self.REPLAY_WINDOW) - 1)
+            max_index = index
+        else:
+            mask |= 1 << (max_index - index)
+        self._replay[ssrc] = (max_index, mask)
 
     # -- helpers ---------------------------------------------------------------
 
@@ -116,11 +146,14 @@ class SrtpSession:
         seq = struct.unpack("!H", body[2:4])[0]
         ssrc = struct.unpack("!I", body[8:12])[0]
         roc = self._update_rx_roc(ssrc, seq)
+        index = (roc << 16) | seq
+        self._check_replay(ssrc, index)
         expect = hmac.new(
             self.rtp_auth, body + struct.pack("!I", roc), sha1
         ).digest()[: self.TAG_LEN]
         if not hmac.compare_digest(tag, expect):
             raise ValueError("srtp auth failed")
+        self._commit_replay(ssrc, index)
         header_len = 12 + 4 * (body[0] & 0x0F)
         payload = body[header_len:]
         dec = _aes_ctr(self.rtp_key, self._rtp_iv(ssrc, roc, seq), payload)

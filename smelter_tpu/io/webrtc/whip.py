@@ -146,6 +146,12 @@ class _RtpReceiverBridge:
         self._sync = rtcp_mod.RtcpSyncState()
         self._vslew = rtcp_mod.TrackSyncSlew()
         self._aslew = rtcp_mod.TrackSyncSlew()
+        # reception stats -> RTCP Receiver Reports (RFC 3550 §6.4; the
+        # feedback loop publishers use for loss/RTT estimation)
+        import time as _time
+
+        self._trackers = {}
+        self._last_rr = _time.monotonic()  # first RR after a full interval
         self._vd = {
             "h264": H264Depayloader,
             "vp8": Vp8Depayloader,
@@ -179,6 +185,9 @@ class _RtpReceiverBridge:
         for item in rtcp_mod.parse_compound(data):
             if isinstance(item, rtcp_mod.SenderReport):
                 self._sync.on_sender_report(item)
+                tracker = self._trackers.get(item.ssrc)
+                if tracker is not None:
+                    tracker.on_sender_report(item)
 
     def _on_rtp(self, data: bytes) -> None:
         from smelter_tpu.io.rtp import OPUS_CLOCK, VIDEO_CLOCK, AccessUnit
@@ -200,6 +209,7 @@ class _RtpReceiverBridge:
                         self.video_aus.send(au)
                     except Closed:
                         pass
+            self._track_reception(pkt, VIDEO_CLOCK)
             self._maybe_nack(pkt.ssrc)
         elif pkt.payload_type == self.neg.audio_pt and self.audio_aus is not None:
             for ordered in self._ajb.push(pkt):
@@ -215,6 +225,34 @@ class _RtpReceiverBridge:
                         self.audio_aus.send(au)
                     except Closed:
                         pass
+            self._track_reception(pkt, OPUS_CLOCK)
+
+    # standard RTCP report pacing (RFC 3550 recommends ~5 s minimum for
+    # multiparty; WebRTC stacks report about once per second)
+    _RR_INTERVAL_S = 1.0
+
+    def _track_reception(self, pkt, clock_rate: int) -> None:
+        from smelter_tpu.io import rtcp as rtcp_mod
+
+        tracker = self._trackers.get(pkt.ssrc)
+        if tracker is None:
+            tracker = rtcp_mod.ReceptionTracker(pkt.ssrc, clock_rate)
+            self._trackers[pkt.ssrc] = tracker
+        tracker.on_packet(pkt.sequence_number, pkt.timestamp)
+        import time as _time
+
+        now = _time.monotonic()
+        if now - self._last_rr < self._RR_INTERVAL_S or not self._trackers:
+            return
+        self._last_rr = now
+        rr = rtcp_mod.ReceiverReport(
+            ssrc=0x534D4C54,
+            reports=[t.report_block() for t in self._trackers.values()],
+        )
+        try:
+            self.session.send_rtcp(rtcp_mod.build_receiver_report(rr))
+        except Exception:
+            logger.debug("RR send failed", exc_info=True)
 
     # at most one NACK burst per 20 ms (standard libwebrtc pacing)
     _NACK_INTERVAL_S = 0.020
@@ -380,6 +418,10 @@ class _RtpSenderBridge(OutputSink):
         self._ap: Optional[OpusPayloader] = None
         self._video_extradata = b""
         self._lock = threading.Lock()
+        # receiver feedback (RFC 3550 RRs), surfaced in /stats
+        self.last_rtt_s: Optional[float] = None
+        self.remote_fraction_lost: Optional[float] = None
+        self.remote_jitter: Optional[int] = None
 
     @property
     def is_connected(self) -> bool:
@@ -407,6 +449,15 @@ class _RtpSenderBridge(OutputSink):
                     self.on_keyframe_request()
                 elif isinstance(item, rtcp_mod.Nack):
                     self._retransmit(item.lost_seqs)
+                elif isinstance(item, rtcp_mod.ReceiverReport):
+                    # receiver feedback -> sender-side RTT + remote loss
+                    # (RFC 3550 §6.4.1 LSR/DLSR; surfaces in /stats)
+                    for block in item.reports:
+                        rtt = rtcp_mod.rtt_from_report(block)
+                        if rtt is not None:
+                            self.last_rtt_s = rtt
+                        self.remote_fraction_lost = block.fraction_lost / 256.0
+                        self.remote_jitter = block.jitter
 
         session.on_rtcp = on_rtcp
         with self._lock:

@@ -362,11 +362,20 @@ class Pipeline:
                 extras = None
                 if kind == "whip":
                     extras = lambda: {  # noqa: E731
-                        "is_connected": bool(getattr(sink, "is_connected", False))
+                        "is_connected": bool(getattr(sink, "is_connected", False)),
+                        # receiver-report feedback (RFC 3550 §6.4.1)
+                        "rtt_seconds": getattr(sink, "last_rtt_s", None),
+                        "remote_fraction_lost": getattr(
+                            sink, "remote_fraction_lost", None
+                        ),
                     }
                 elif kind == "whep":
                     extras = lambda: {  # noqa: E731
-                        "connected_peers": int(getattr(sink, "connected_peers", 0))
+                        "connected_peers": int(getattr(sink, "connected_peers", 0)),
+                        "rtt_seconds": getattr(sink, "last_rtt_s", None),
+                        "remote_fraction_lost": getattr(
+                            sink, "remote_fraction_lost", None
+                        ),
                     }
                 self.stats.register_output_report(
                     output_id, ProtocolReport(type=kind, tracks=tracks, extras=extras)

@@ -905,3 +905,133 @@ def test_udp_mux_media_loopback():
         answerer.close()
     # last unregister closed the shared socket
     assert answerer._mux._refs <= 0
+
+
+def test_srtp_replay_protection():
+    """RFC 3711 §3.3.2: a replayed (already-seen) packet index must be
+    rejected after auth; unseen reordered indices within the 64-deep window
+    still decrypt."""
+    key, salt = b"k" * 16, b"s" * 14
+    tx = SrtpSession(key, salt)
+    rx = SrtpSession(key, salt)
+    from smelter_tpu.io.rtp import RtpPacket
+
+    protected = [
+        tx.protect_rtp(RtpPacket(96, seq, seq * 3000, 7, b"p" * 40).serialize())
+        for seq in range(10)
+    ]
+    # in-order
+    for pkt in protected[:5]:
+        rx.unprotect_rtp(pkt)
+    # replay of an accepted packet -> rejected
+    with pytest.raises(ValueError, match="replay"):
+        rx.unprotect_rtp(protected[3])
+    # unseen, reordered within the window -> accepted once...
+    rx.unprotect_rtp(protected[8])
+    rx.unprotect_rtp(protected[6])
+    # ...and rejected the second time
+    with pytest.raises(ValueError, match="replay"):
+        rx.unprotect_rtp(protected[6])
+
+
+def test_rtcp_receiver_report_roundtrip_and_rtt():
+    """RR build/parse roundtrip + the sender-side RTT computation from
+    LSR/DLSR (RFC 3550 §6.4.1)."""
+    import time as _time
+
+    from smelter_tpu.io import rtcp
+
+    tracker = rtcp.ReceptionTracker(ssrc=0xABC, clock_rate=90000)
+    now = _time.time()
+    # 8 of 10 packets arrive (2 lost)
+    for seq in [0, 1, 2, 3, 5, 6, 8, 9]:
+        tracker.on_packet(seq, seq * 3000, now=now + seq * 0.01)
+    sr = rtcp.SenderReport(ssrc=0xABC, ntp_sec=0x11112222, ntp_frac=0x33334444,
+                           rtp_timestamp=0, packet_count=10, octet_count=1000)
+    tracker.on_sender_report(sr, now=now)
+    block = tracker.report_block(now=now + 0.5)
+    assert block.cumulative_lost == 2
+    assert block.fraction_lost == (2 << 8) // 10
+    assert block.highest_seq == 9
+    assert block.lsr == ((0x11112222 & 0xFFFF) << 16) | (0x33334444 >> 16)
+    assert abs(block.dlsr / 65536.0 - 0.5) < 0.01
+
+    rr = rtcp.ReceiverReport(ssrc=1, reports=[block])
+    packets = rtcp.parse_compound(rtcp.build_receiver_report(rr))
+    assert len(packets) == 1 and isinstance(packets[0], rtcp.ReceiverReport)
+    parsed = packets[0].reports[0]
+    assert parsed == block
+
+    # RTT: receiver mirrored OUR SR sent 0.1 s ago, held it 0.02 s
+    send_time = _time.time() - 0.1
+    ntp = send_time + rtcp.NTP_EPOCH_OFFSET
+    lsr = ((int(ntp) & 0xFFFF) << 16) | (int((ntp % 1.0) * 65536.0) & 0xFFFF)
+    feedback = rtcp.ReportBlock(ssrc=2, fraction_lost=0, cumulative_lost=0,
+                                highest_seq=100, jitter=0, lsr=lsr,
+                                dlsr=int(0.02 * 65536))
+    rtt = rtcp.rtt_from_report(feedback)
+    assert rtt is not None and abs(rtt - 0.08) < 0.02, rtt
+
+
+def test_whip_session_receiver_reports_flow_back():
+    """End-to-end over a session loopback: the receive bridge sends RRs and
+    the sender bridge derives RTT/remote loss from them."""
+    from smelter_tpu.io import rtcp as rtcp_mod
+    from smelter_tpu.io.rtp import RtpPacket
+
+    answerer = WebRtcSession(is_offerer=False)
+    offerer = WebRtcSession(is_offerer=True)
+    offer_desc = sdp_mod.parse(sdp_mod.build(
+        offerer.local_ufrag, offerer.local_pwd, offerer.fingerprint(),
+        setup="actpass", media=sdp_mod.default_offer_media(),
+        directions=["sendrecv", "sendrecv"], candidate=offerer.candidate,
+    ))
+    answer_desc = sdp_mod.parse(sdp_mod.build(
+        answerer.local_ufrag, answerer.local_pwd, answerer.fingerprint(),
+        setup="passive", media=sdp_mod.default_offer_media(),
+        directions=["sendrecv", "sendrecv"], candidate=answerer.candidate,
+        ice_lite=True,
+    ))
+    answerer.set_remote(offer_desc)
+    offerer.set_remote(answer_desc)
+
+    got_rr = []
+
+    def offerer_rtcp(data: bytes) -> None:
+        got_rr.extend(
+            item for item in rtcp_mod.parse_compound(data)
+            if isinstance(item, rtcp_mod.ReceiverReport)
+        )
+
+    offerer.on_rtcp = offerer_rtcp
+
+    # answerer side: a receiver bridge over the session
+    from smelter_tpu.io.webrtc.whip import NegotiatedMedia, _RtpReceiverBridge
+    from smelter_tpu.pipeline.input import InputCtx
+    from smelter_tpu.utils.channels import Channel
+
+    neg = NegotiatedMedia(video_pt=96, audio_pt=111, video_codec="h264")
+    ctx = InputCtx(input_id="w", video_channel=Channel(64), audio_channel=None)
+    bridge = _RtpReceiverBridge(answerer, ctx, neg)
+
+    answerer.start()
+    offerer.start()
+    assert offerer.established.wait(15)
+    assert answerer.established.wait(15)
+
+    # feed >1 s of spaced packets so an RR fires
+    deadline = time.time() + 8
+    i = 0
+    while time.time() < deadline and not got_rr:
+        offerer.send_rtp(
+            RtpPacket(96, i, i * 3000, 0xfeed, b"x" * 50).serialize()
+        )
+        i += 1
+        time.sleep(0.05)
+    bridge.close()
+    offerer.close()
+    answerer.close()
+    assert got_rr, "no receiver report arrived at the sender"
+    block = got_rr[0].reports[0]
+    assert block.ssrc == 0xfeed
+    assert block.highest_seq >= 1
