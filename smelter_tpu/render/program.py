@@ -90,7 +90,7 @@ def split_layout(
         # size/crop (and possibly position/rotation) animating: traced-size
         # resize into a 64px-bucketed buffer + traced placement (zoom
         # transitions; the crop is traced too, so fill-mode zooms qualify).
-        # A nonzero angle adds the traced FFT rotation (roto-zoom).
+        # A nonzero angle adds the traced barrel-shear rotation (roto-zoom).
         bh = max(64, int(math.ceil(max(layout.height, 1.0) / 64.0)) * 64)
         bw = max(64, int(math.ceil(max(layout.width, 1.0) / 64.0)) * 64)
         traced_size_buf = (bh, bw)
@@ -121,7 +121,7 @@ def split_layout(
         and n_masks == 0
     ):
         # rect/crop stable but the angle animates: static quarter-turn
-        # bucket + traced residual through the FFT-shear rotation
+        # bucket + traced residual through the traced barrel-shear rotation
         rect = (
             int(round(layout.top)),
             int(round(layout.left)),

@@ -202,7 +202,7 @@ def test_rotate_static_matches_inverse_sampling():
 
 
 def test_animated_rotation_uses_traced_path_and_matches_general(monkeypatch):
-    """Rect-stable angle animation must route to the traced FFT-shear path
+    """Rect-stable angle animation must route to the traced barrel-shear path
     (no per-frame recompiles beyond quarter buckets) and match the general
     sampled path within ringing/resample tolerance."""
     def scene(theta, trans=None):
@@ -380,7 +380,7 @@ def test_zoom_uses_traced_size_and_matches_general(monkeypatch):
 
 def test_rotozoom_combo_matches_general(monkeypatch):
     """Simultaneous move+grow+spin transitions route to the roto-zoom path
-    (traced centered resize + traced FFT rotation) and match the sampled
+    (traced centered resize + traced barrel-shear rotation) and match the sampled
     path within tolerance — including bounding squares larger than the
     canvas height."""
     def scene(left, w, h, theta, trans=None):
