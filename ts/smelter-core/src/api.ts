@@ -3,8 +3,8 @@
  * smelter_tpu/server/app.py's route table).
  */
 import { Api } from '@smelter-tpu/smelter';
-import type { ImageRef } from './api/image.js';
-import { imageRefIntoRawId } from './api/image.js';
+import type { ImageRef } from './api/refs.js';
+import { imageRefIntoRawId } from './api/refs.js';
 import type { InputRef, RegisterInputRequest } from './api/input.js';
 import { inputRefIntoRawId } from './api/input.js';
 import type { RegisterOutputRequest } from './api/output.js';

@@ -19,7 +19,7 @@ export type {
 export { default as Renderer, HostComponent } from './renderer.js';
 export { parseEvent, SmelterEventType } from './event.js';
 export type { SmelterEvent } from './event.js';
-export { InputHandle, Mp4InputHandle, WhipInputHandle, newInputHandle } from './inputHandle.js';
+export { InputHandle, Mp4InputHandle, WhipInputHandle, newInputHandle } from './handles.js';
 export type { Logger } from './logger.js';
 export { noopLogger } from './logger.js';
 export { ThrottledFunction, StateGuard, sleep } from './utils.js';

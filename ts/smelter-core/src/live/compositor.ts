@@ -1,187 +1,182 @@
 /**
  * Live compositor client ("Smelter"): registers inputs/outputs/resources
  * against a running server and keeps every output's React tree synced to
- * its scene.
+ * its scene. Outputs own their renderer + contexts (live/output.ts); this
+ * class owns the shared pieces — the API client, the global input-stream
+ * store, event routing, and the start clock.
  */
 import type { Renderers } from '@smelter-tpu/smelter';
 import { _smelterInternals } from '@smelter-tpu/smelter';
 import type { ReactElement } from 'react';
 import type { RegisterInputResponse, RegisterOutputResponse } from '../api.js';
 import { ApiClient } from '../api.js';
-import type { ImageRef } from '../api/image.js';
+import type { ImageRef } from '../api/refs.js';
 import type { RegisterInput } from '../api/input.js';
 import { intoRegisterInput } from '../api/input.js';
 import type { RegisterOutput } from '../api/output.js';
 import { intoRegisterOutput } from '../api/output.js';
 import { intoRegisterImage, intoRegisterWebRenderer } from '../api/renderer.js';
 import { parseEvent } from '../event.js';
-import type { InputHandle } from '../inputHandle.js';
-import { newInputHandle } from '../inputHandle.js';
+import type { InputHandle } from '../handles.js';
+import { newInputHandle } from '../handles.js';
 import type { Logger } from '../logger.js';
 import type { SmelterManager } from '../smelterManager.js';
 import { handleEvent } from './event.js';
 import Output from './output.js';
 
+const globalRef = (id: string) => ({ type: 'global', id }) as const;
+const globalImageRef = (id: string): ImageRef => ({ type: 'global', id });
+
 export class Smelter {
   public readonly manager: SmelterManager;
+
   private api: ApiClient;
-  private store: _smelterInternals.LiveInputStreamStore<string>;
-  private outputs: Record<string, Output> = {};
-  private inputs: Record<string, InputHandle> = {};
-  private startTime?: number;
   private logger: Logger;
+  private outputs = new Map<string, Output>();
+  private inputs = new Map<string, InputHandle>();
+  private store: _smelterInternals.LiveInputStreamStore<string>;
+  private startTime?: number;
 
   public constructor(manager: SmelterManager, logger: Logger) {
     this.manager = manager;
+    this.logger = logger;
     this.api = new ApiClient(manager);
     this.store = new _smelterInternals.LiveInputStreamStore(logger);
-    this.logger = logger;
   }
 
+  /** Connect, subscribe to events, and verify/prepare the instance. */
   public async init(): Promise<void> {
-    this.manager.registerEventListener((event: unknown) => this.handleEvent(event));
+    this.manager.registerEventListener(raw => {
+      const event = parseEvent(raw, this.logger);
+      if (event) {
+        this.logger.debug({ event }, 'server event');
+        handleEvent(this.store, Object.fromEntries(this.outputs), event);
+      }
+    });
     await this.manager.setupInstance({
       aheadOfTimeProcessing: false,
       logger: this.logger.child({ element: 'connection-manager' }),
     });
   }
 
+  /** Begin media processing; outputs' clocks anchor to this instant. */
+  public async start(): Promise<void> {
+    this.logger.info('start instance');
+    const startedAt = Date.now();
+    await this.api.start();
+    this.startTime = startedAt;
+    for (const output of this.outputs.values()) {
+      output.initClock(startedAt);
+    }
+  }
+
+  public async terminate(): Promise<void> {
+    for (const output of this.outputs.values()) {
+      await output.close();
+    }
+    await this.manager.terminate();
+  }
+
+  // ----------------------------------------------------------- outputs
+
   public async registerOutput(
     outputId: string,
     root: ReactElement,
     request: RegisterOutput
   ): Promise<RegisterOutputResponse> {
-    this.logger.info({ outputId, type: request.type }, 'Register new output');
+    this.logger.info({ outputId, type: request.type }, 'register output');
     const output = new Output(
-      outputId,
-      root,
-      request,
-      this.api,
-      this.store,
-      this.startTime,
-      this.logger
+      outputId, root, request, this.api, this.store, this.startTime, this.logger
     );
-    const apiRequest = intoRegisterOutput(request, output.scene());
-    const result = await this.api.registerOutput(outputId, apiRequest);
-    if (request.type === 'whep_server') {
-      result.endpoint_route = `/whep/${encodeURIComponent(outputId)}`;
-    }
-    this.outputs[outputId] = output;
+    const response = await this.api.registerOutput(
+      outputId, intoRegisterOutput(request, output.scene())
+    );
+    this.outputs.set(outputId, output);
     await output.ready();
-    return result;
+    if (request.type === 'whep_server' && !response.endpoint_route) {
+      response.endpoint_route = `/whep/${encodeURIComponent(outputId)}`;
+    }
+    return response;
   }
 
   public async unregisterOutput(outputId: string): Promise<object> {
-    this.logger.info({ outputId }, 'Unregister output');
-    await this.outputs[outputId]?.close();
-    delete this.outputs[outputId];
+    this.logger.info({ outputId }, 'unregister output');
+    await this.outputs.get(outputId)?.close();
+    this.outputs.delete(outputId);
     return this.api.unregisterOutput(outputId, {});
   }
 
+  // ------------------------------------------------------------ inputs
+
   public async registerInput(inputId: string, request: RegisterInput): Promise<InputHandle> {
-    this.logger.info({ inputId, type: request.type }, 'Register new input');
+    this.logger.info({ inputId, type: request.type }, 'register input');
     _smelterInternals.assertGlobalInputId(inputId);
     return this.store.runBlocking(async updateStore => {
-      const inputRef = { type: 'global', id: inputId } as const;
-      const result: RegisterInputResponse = await this.api.registerInput(
-        inputRef,
-        intoRegisterInput(request)
+      const response: RegisterInputResponse = await this.api.registerInput(
+        globalRef(inputId), intoRegisterInput(request)
       );
-      const handle = newInputHandle(inputRef, this.api, result, request.type);
-      this.inputs[inputId] = handle;
+      const handle = newInputHandle(globalRef(inputId), this.api, response, request.type);
+      this.inputs.set(inputId, handle);
       updateStore({
         type: 'add_input',
         input: {
           inputId,
-          videoDurationMs: result.video_duration_ms,
-          audioDurationMs: result.audio_duration_ms,
+          videoDurationMs: response.video_duration_ms,
+          audioDurationMs: response.audio_duration_ms,
         },
       });
       return handle;
     });
   }
 
-  public getInputById(inputId: string): InputHandle | undefined {
-    return this.inputs[inputId];
-  }
-
   public async unregisterInput(inputId: string): Promise<object> {
-    this.logger.info({ inputId }, 'Unregister input');
+    this.logger.info({ inputId }, 'unregister input');
     return this.store.runBlocking(async updateStore => {
-      const inputRef = { type: 'global', id: inputId } as const;
-      const result = this.api.unregisterInput(inputRef, {});
-      delete this.inputs[inputId];
+      const pending = this.api.unregisterInput(globalRef(inputId), {});
+      this.inputs.delete(inputId);
       updateStore({ type: 'remove_input', inputId });
-      return result;
+      return pending;
     });
   }
 
-  public async registerShader(
-    shaderId: string,
-    request: Renderers.RegisterShader
-  ): Promise<object> {
-    this.logger.info({ shaderId }, 'Register shader');
+  public getInputById(inputId: string): InputHandle | undefined {
+    return this.inputs.get(inputId);
+  }
+
+  // --------------------------------------------------------- resources
+
+  public async registerShader(shaderId: string, request: Renderers.RegisterShader) {
+    this.logger.info({ shaderId }, 'register shader');
     return this.api.registerShader(shaderId, request);
   }
 
   public async unregisterShader(shaderId: string): Promise<object> {
-    this.logger.info({ shaderId }, 'Unregister shader');
     return this.api.unregisterShader(shaderId);
   }
 
-  public async registerImage(imageId: string, request: Renderers.RegisterImage): Promise<object> {
-    this.logger.info({ imageId }, 'Register image');
+  public async registerImage(imageId: string, request: Renderers.RegisterImage) {
+    this.logger.info({ imageId }, 'register image');
     _smelterInternals.assertGlobalImageId(imageId);
-    const imageRef = { type: 'global', id: imageId } as const satisfies ImageRef;
-    return this.api.registerImage(imageRef, intoRegisterImage(request));
+    return this.api.registerImage(globalImageRef(imageId), intoRegisterImage(request));
   }
 
   public async unregisterImage(imageId: string): Promise<object> {
-    this.logger.info({ imageId }, 'Unregister image');
-    const imageRef = { type: 'global', id: imageId } as const satisfies ImageRef;
-    return this.api.unregisterImage(imageRef, {});
+    return this.api.unregisterImage(globalImageRef(imageId), {});
   }
 
   public async registerWebRenderer(
     instanceId: string,
     request: Renderers.RegisterWebRenderer
   ): Promise<object> {
-    this.logger.info({ instanceId }, 'Register web renderer');
+    this.logger.info({ instanceId }, 'register web renderer');
     return this.api.registerWebRenderer(instanceId, intoRegisterWebRenderer(request));
   }
 
   public async unregisterWebRenderer(instanceId: string): Promise<object> {
-    this.logger.info({ instanceId }, 'Unregister web renderer');
     return this.api.unregisterWebRenderer(instanceId);
-  }
-
-  public async start(): Promise<void> {
-    this.logger.info('Start smelter instance.');
-    const startTime = Date.now();
-    await this.api.start();
-    for (const output of Object.values(this.outputs)) {
-      output.initClock(startTime);
-    }
-    this.startTime = startTime;
-  }
-
-  public async terminate(): Promise<void> {
-    for (const output of Object.values(this.outputs)) {
-      await output.close();
-    }
-    await this.manager.terminate();
   }
 
   public async stats(): Promise<object> {
     return this.api.stats();
-  }
-
-  private handleEvent(rawEvent: unknown): void {
-    const event = parseEvent(rawEvent, this.logger);
-    if (!event) {
-      return;
-    }
-    this.logger.debug({ event }, 'New event received');
-    handleEvent(this.store, this.outputs, event);
   }
 }

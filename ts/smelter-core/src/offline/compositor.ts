@@ -8,7 +8,7 @@ import { _smelterInternals } from '@smelter-tpu/smelter';
 import type { ReactElement } from 'react';
 import type { RegisterInputResponse } from '../api.js';
 import { ApiClient } from '../api.js';
-import type { ImageRef } from '../api/image.js';
+import type { ImageRef } from '../api/refs.js';
 import type { RegisterInput } from '../api/input.js';
 import { intoRegisterInput } from '../api/input.js';
 import type { RegisterOutput } from '../api/output.js';

@@ -9,7 +9,7 @@ import type { RegisterMp4Input } from '@smelter-tpu/smelter';
 import type { ReactElement } from 'react';
 import { createElement } from 'react';
 import type { Api, ApiClient } from '../api.js';
-import type { ImageRef } from '../api/image.js';
+import type { ImageRef } from '../api/refs.js';
 import type { RegisterOutput } from '../api/output.js';
 import { intoAudioInputsConfiguration } from '../api/output.js';
 import type { Logger } from '../logger.js';

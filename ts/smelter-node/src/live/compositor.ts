@@ -1,6 +1,10 @@
 /**
- * Node live compositor: core Smelter + a default locally-spawned server,
- * with a StateGuard serializing init against concurrent registrations.
+ * Node live compositor. Thin facade over the core Smelter: supplies the
+ * default locally-spawned server manager + pino logging, and serializes
+ * init/terminate against in-flight registrations with a StateGuard.
+ * Resource methods all delegate through the guard's shared mode so
+ * concurrent registrations interleave freely with each other but never
+ * with init/terminate.
  */
 import type { ReactElement } from 'react';
 import type { Renderers } from '@smelter-tpu/smelter';
@@ -30,6 +34,11 @@ export default class Smelter {
     );
   }
 
+  /** Shared-mode delegation: interleaves with other calls, not with init. */
+  private guarded<T>(fn: () => Promise<T>): Promise<T> {
+    return this.scheduler.run(fn);
+  }
+
   public async init(): Promise<void> {
     await this.scheduler.runBlocking(() => this.core.init());
   }
@@ -49,7 +58,7 @@ export default class Smelter {
     root: ReactElement,
     request: RegisterOutput
   ): Promise<object> {
-    return this.scheduler.run(async () => {
+    return this.guarded(async () => {
       const result = await this.core.registerOutput(outputId, root, request);
       if (request.type === 'whep_server') {
         return { endpointRoute: result.endpoint_route };
@@ -59,7 +68,7 @@ export default class Smelter {
   }
 
   public async unregisterOutput(outputId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterOutput(outputId));
+    await this.guarded(() => this.core.unregisterOutput(outputId));
   }
 
   public async registerInput(
@@ -78,7 +87,7 @@ export default class Smelter {
     inputId: string,
     request: RegisterInput
   ): Promise<InputHandle> {
-    return this.scheduler.run(() => this.core.registerInput(inputId, request));
+    return this.guarded(() => this.core.registerInput(inputId, request));
   }
 
   public getInputById(inputId: string): InputHandle | undefined {
@@ -86,46 +95,44 @@ export default class Smelter {
   }
 
   public async unregisterInput(inputId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterInput(inputId));
+    await this.guarded(() => this.core.unregisterInput(inputId));
   }
 
   public async registerShader(
     shaderId: string,
     request: Renderers.RegisterShader
   ): Promise<void> {
-    await this.scheduler.run(() => this.core.registerShader(shaderId, request));
+    await this.guarded(() => this.core.registerShader(shaderId, request));
   }
 
   public async unregisterShader(shaderId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterShader(shaderId));
+    await this.guarded(() => this.core.unregisterShader(shaderId));
   }
 
   public async registerImage(
     imageId: string,
     request: Renderers.RegisterImage
   ): Promise<void> {
-    await this.scheduler.run(() => this.core.registerImage(imageId, request));
+    await this.guarded(() => this.core.registerImage(imageId, request));
   }
 
   public async unregisterImage(imageId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterImage(imageId));
+    await this.guarded(() => this.core.unregisterImage(imageId));
   }
 
   public async registerWebRenderer(
     instanceId: string,
     request: Renderers.RegisterWebRenderer
   ): Promise<void> {
-    await this.scheduler.run(() =>
-      this.core.registerWebRenderer(instanceId, request)
-    );
+    await this.guarded(() => this.core.registerWebRenderer(instanceId, request));
   }
 
   public async unregisterWebRenderer(instanceId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterWebRenderer(instanceId));
+    await this.guarded(() => this.core.unregisterWebRenderer(instanceId));
   }
 
   public async start(): Promise<void> {
-    await this.scheduler.run(() => this.core.start());
+    await this.guarded(() => this.core.start());
   }
 
   public async terminate(): Promise<void> {

@@ -13,44 +13,54 @@ export type SmelterOptions = {
   url: string | URL;
 };
 
+function asHttpUrl(raw: string | URL): URL {
+  const url = new URL(raw instanceof URL ? raw.toString() : raw);
+  if (!['http:', 'https:'].includes(url.protocol)) {
+    throw new Error('Expected url to use either http or https protocol');
+  }
+  return url;
+}
+
+function wsUrlFor(base: URL): URL {
+  const ws = joinUrl(base, 'ws');
+  ws.protocol = base.protocol === 'https:' ? 'wss:' : 'ws:';
+  return ws;
+}
+
 export default class RemoteInstanceManager implements SmelterManager {
-  private url: URL;
-  private wsConnection: WebSocketConnection;
+  private baseUrl: URL;
+  private events: WebSocketConnection;
 
   constructor(opts: SmelterOptions) {
-    const url = opts.url instanceof URL ? opts.url : new URL(opts.url);
-    if (url.protocol !== 'http:' && url.protocol !== 'https:') {
-      throw new Error('Expected url to use either http or https protocol');
-    }
-    this.url = url;
-    const wsUrl = joinUrl(url, 'ws');
-    wsUrl.protocol = url.protocol === 'https:' ? 'wss:' : 'ws:';
-    this.wsConnection = new WebSocketConnection(wsUrl);
+    this.baseUrl = asHttpUrl(opts.url);
+    this.events = new WebSocketConnection(wsUrlFor(this.baseUrl));
   }
 
   public async setupInstance(opts: SetupInstanceOptions): Promise<void> {
+    // poll until the server answers, clear any prior session state, then
+    // attach the event channel
     await retry(async () => {
       await sleep(500);
       return this.sendRequest({ method: 'GET', route: '/status' });
     }, 10);
     await this.sendRequest({ method: 'POST', route: '/api/reset', body: {} });
-    opts.logger.info('Sent reset request to the Smelter instance.');
-    await this.wsConnection.connect(opts.logger);
+    opts.logger.info('instance reset; connecting event channel');
+    await this.events.connect(opts.logger);
   }
 
-  public async sendRequest(request: ApiRequest): Promise<object> {
-    return sendRequest(this.url, request);
+  public sendRequest(request: ApiRequest): Promise<object> {
+    return sendRequest(this.baseUrl, request);
   }
 
-  public async sendMultipartRequest(request: MultipartRequest): Promise<object> {
-    return sendMultipartRequest(this.url, request);
+  public sendMultipartRequest(request: MultipartRequest): Promise<object> {
+    return sendMultipartRequest(this.baseUrl, request);
   }
 
   public registerEventListener(cb: (event: unknown) => void): void {
-    this.wsConnection.registerEventListener(cb);
+    this.events.registerEventListener(cb);
   }
 
   public async terminate(): Promise<void> {
-    await this.wsConnection.close();
+    await this.events.close();
   }
 }

@@ -16,7 +16,7 @@ import { SmelterContext } from '../context/index.js';
 import { newInternalStreamId } from '../context/internalStreamIdManager.js';
 import { newBlockingTask } from '../hooks.js';
 import { OfflineTimeContext } from '../context/timeContext.js';
-import type { RegisterMp4Input } from '../types/input/mp4.js';
+import type { RegisterMp4Input } from '../types/input/common.js';
 import {
   inputRefIntoRawId,
   OUTPUT_SPECIFIC_INPUT_TYPE,

@@ -45,17 +45,11 @@ export function SlideShow(props: SlideShowProps) {
 
   // keep pointing at the same slide (by key) when the child list changes
   useEffect(() => {
-    const prevRemaining = Children.toArray(prevChildrenRef.current).slice(childIndex);
     const next = Children.toArray(props.children);
-    outer: for (const prev of prevRemaining) {
-      for (const [index, child] of next.entries()) {
-        if ((child as ReactElement).key === (prev as ReactElement).key) {
-          if (childIndex !== index) {
-            setChildIndex(index);
-          }
-          break outer;
-        }
-      }
+    const remaining = Children.toArray(prevChildrenRef.current).slice(childIndex);
+    const tracked = findTrackedIndex(remaining, next);
+    if (tracked !== null && tracked !== childIndex) {
+      setChildIndex(tracked);
     }
     prevChildrenRef.current = props.children;
   }, [props.children]);
@@ -81,6 +75,21 @@ export function SlideShow(props: SlideShowProps) {
     { value: slideContext },
     childrenArray[childIndex] ?? createElement(View, {})
   );
+}
+
+/** First index in `next` whose key matches any not-yet-shown old slide. */
+function findTrackedIndex(
+  remaining: ReturnType<typeof Children.toArray>,
+  next: ReturnType<typeof Children.toArray>
+): number | null {
+  for (const prev of remaining) {
+    for (const [index, child] of next.entries()) {
+      if ((child as ReactElement).key === (prev as ReactElement).key) {
+        return index;
+      }
+    }
+  }
+  return null;
 }
 
 export function Slide(props: SlideProps) {

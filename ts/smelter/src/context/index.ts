@@ -8,7 +8,7 @@ import { AudioContext } from './audioOutputContext.js';
 import type { TimeContext } from './timeContext.js';
 import { LiveTimeContext } from './timeContext.js';
 import { LiveInputStreamStore, type InputStreamStore } from './inputStreamStore.js';
-import type { RegisterMp4Input } from '../types/input/mp4.js';
+import type { RegisterMp4Input } from '../types/input/common.js';
 import type { RegisterImage } from '../types/resource.js';
 import type { Logger } from '../types/logger.js';
 import { noopLogger } from '../types/logger.js';
@@ -30,15 +30,22 @@ export type SmelterOutputContext = {
   unregisterImage: (imageId: number) => Promise<void>;
 };
 
-export const SmelterContext = createContext<SmelterOutputContext>({
-  globalInputStreamStore: new LiveInputStreamStore<string>(noopLogger),
-  internalInputStreamStore: new LiveInputStreamStore<number>(noopLogger),
-  audioContext: new AudioContext(() => undefined),
-  timeContext: new LiveTimeContext(),
-  outputId: '',
-  logger: noopLogger,
-  registerMp4Input: async () => ({}),
-  unregisterMp4Input: async () => undefined,
-  registerImage: async () => undefined,
-  unregisterImage: async () => undefined,
-});
+function detachedContext(): SmelterOutputContext {
+  // inert default so components render outside an output tree (tests,
+  // storybook-style previews) without crashing; real contexts are provided
+  // by smelter-core's OutputRootComponent
+  return {
+    globalInputStreamStore: new LiveInputStreamStore<string>(noopLogger),
+    internalInputStreamStore: new LiveInputStreamStore<number>(noopLogger),
+    audioContext: new AudioContext(() => undefined),
+    timeContext: new LiveTimeContext(),
+    outputId: '',
+    logger: noopLogger,
+    registerMp4Input: async () => ({}),
+    unregisterMp4Input: async () => undefined,
+    registerImage: async () => undefined,
+    unregisterImage: async () => undefined,
+  };
+}
+
+export const SmelterContext = createContext<SmelterOutputContext>(detachedContext());

@@ -2,23 +2,19 @@
  * User-facing (camelCase) input registration types. smelter-core's
  * api/input.ts converts these into wire-format requests.
  */
-import type { InputHlsDecoderMap } from './input/hls.js';
-import type { InputMoqDecoderMap } from './input/moq.js';
-import type { InputMp4DecoderMap } from './input/mp4.js';
-import type { InputRtmpDecoderMap } from './input/rtmp.js';
-import type { InputRtpAudioOptions, InputRtpVideoOptions } from './input/rtp.js';
-import type { SideChannel } from './input/common.js';
-import type { InputWhepVideoOptions } from './input/whep.js';
-import type { InputWhipVideoOptions } from './input/whip.js';
+import type {
+  InputHlsDecoderMap,
+  InputMoqDecoderMap,
+  InputRtmpDecoderMap,
+  InputRtpAudioOptions,
+  InputRtpVideoOptions,
+  InputWhepVideoOptions,
+  InputWhipVideoOptions,
+  RegisterMp4Input,
+  SideChannel,
+} from './input/common.js';
 
 export * from './input/common.js';
-export * from './input/hls.js';
-export * from './input/moq.js';
-export * from './input/mp4.js';
-export * from './input/rtmp.js';
-export * from './input/rtp.js';
-export * from './input/whep.js';
-export * from './input/whip.js';
 
 export type PortOrPortRange = number | string;
 export type TransportProtocol = 'udp' | 'tcp_server';
@@ -99,7 +95,7 @@ export type RegisterV4l2Input = {
 
 export type RegisterInput =
   | ({ type: 'rtp_stream' } & RegisterRtpInput)
-  | ({ type: 'mp4' } & import('./input/mp4.js').RegisterMp4Input)
+  | ({ type: 'mp4' } & RegisterMp4Input)
   | ({ type: 'hls' } & RegisterHlsInput)
   | ({ type: 'whip_server' } & RegisterWhipServerInput)
   | ({ type: 'whep_client' } & RegisterWhepClientInput)
