@@ -135,6 +135,9 @@ class ApiState:
             self.input_kinds.clear()
             self.output_kinds.clear()
         old.close()
+        from smelter_tpu.utils import tracing
+
+        tracing.reset()  # span aggregates restart with the fresh pipeline
 
 
 def _json_ok(payload: Optional[dict] = None) -> web.Response:

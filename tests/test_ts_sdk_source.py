@@ -301,3 +301,23 @@ def test_output_specific_ref_formats_match_server_convention():
     assert "'__output_specific_input'" in input_ref
     image_ref = (TS_ROOT / "smelter/src/types/refs/imageRef.ts").read_text()
     assert "'__output_specific_image'" in image_ref
+
+
+def test_committed_json_schemas_match_models():
+    """tools/schemas/*.json must be regenerable from the current pydantic
+    models (same drift guarantee as the TS codegen check)."""
+    import json
+
+    schema_dir = TS_ROOT.parent / "tools" / "schemas"
+    result = subprocess.run(
+        [sys.executable, str(TS_ROOT.parent / "tools/generate_schemas.py"),
+         "/tmp/schemas_check"],
+        capture_output=True, text=True,
+    )
+    assert result.returncode == 0, result.stderr
+    for name in ("scene.schema.json", "openapi_specification.json"):
+        committed = json.loads((schema_dir / name).read_text())
+        fresh = json.loads(Path(f"/tmp/schemas_check/{name}").read_text())
+        assert committed == fresh, (
+            f"tools/schemas/{name} is stale — run python tools/generate_schemas.py"
+        )
