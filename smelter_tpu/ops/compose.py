@@ -350,8 +350,10 @@ def _render_rotated_rect_layout(
     tile = _prepare_rect_tile(static, params, sources)
     bh, bw_ = rotated_bbox(theta, h, w)
     rotated = rotate_static(tile, theta, bh, bw_)
-    return _blend_region(canvas, rotated, top + (h - bh) // 2,
-                         left + (w - bw_) // 2)
+    oy = top + (h - bh) // 2
+    ox = left + (w - bw_) // 2
+    rotated = _apply_masks_region(rotated, static, params, oy, ox)
+    return _blend_region(canvas, rotated, oy, ox)
 
 
 def _render_rotated_rect_layout_traced(
@@ -373,8 +375,10 @@ def _render_rotated_rect_layout_traced(
         tile, params.rotation_degrees, static.traced_rotation_q  # type: ignore[arg-type]
     )
     S = traced_work_size(h, w)
-    return _blend_region(canvas, rotated, top + (h - S) // 2,
-                         left + (w - S) // 2)
+    oy = top + (h - S) // 2
+    ox = left + (w - S) // 2
+    rotated = _apply_masks_region(rotated, static, params, oy, ox)
+    return _blend_region(canvas, rotated, oy, ox)
 
 
 def _render_moving_rect_layout(
@@ -393,6 +397,22 @@ def _render_moving_rect_layout(
     tile = _prepare_rect_tile(static, params, sources)
     tile = _apply_masks_local(tile, static, params)
     return _place_tile_traced(canvas, tile, params.top, params.left)
+
+
+def _apply_masks_region(tile, static: LayoutStatic, params: LayoutParams,
+                        origin_y: int, origin_x: int):
+    """Apply parent masks to a region-local tile at a STATIC integer origin
+    (masks are canvas-axis-aligned rounded rects, so this is elementwise —
+    the reason rotated layers with overflow clips can stay on the
+    region-local fast paths instead of the full-canvas sampled pass)."""
+    if not static.n_masks:
+        return tile
+    h, w = tile.shape[0], tile.shape[1]
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] + origin_y
+    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] + origin_x
+    py = jnp.broadcast_to(py, (h, w))
+    px = jnp.broadcast_to(px, (h, w))
+    return tile * _mask_alpha(px, py, params, static.n_masks)[..., None]
 
 
 def _apply_masks_local(tile, static: LayoutStatic, params: LayoutParams):
@@ -605,7 +625,6 @@ def compose_layouts(
             st.static_rect is not None
             and st.static_rotation is not None
             and st.content == "texture"
-            and st.n_masks == 0
         ):
             canvas = _render_rotated_rect_layout(st, p, sources, canvas)
             i += 1
@@ -614,7 +633,6 @@ def compose_layouts(
             st.static_rect is not None
             and st.traced_rotation_q is not None
             and st.content == "texture"
-            and st.n_masks == 0
         ):
             canvas = _render_rotated_rect_layout_traced(st, p, sources, canvas)
             i += 1

@@ -118,7 +118,6 @@ def split_layout(
         rot_traced
         and not fast
         and isinstance(c, RenderChildNode)
-        and n_masks == 0
     ):
         # rect/crop stable but the angle animates: static quarter-turn
         # bucket + traced residual through the traced barrel-shear rotation
@@ -144,7 +143,6 @@ def split_layout(
         fast
         and abs(layout.rotation_degrees) > 1e-9
         and isinstance(c, RenderChildNode)
-        and n_masks == 0
     ):
         # stable rotation of a texture: gather-free 3-shear path, as long as
         # the banded-shear program stays reasonably sized

@@ -439,3 +439,72 @@ def test_rotozoom_combo_matches_general(monkeypatch):
         d = np.abs(fa.astype(np.int16) - fb.astype(np.int16))
         assert d.mean() < 1.5
         assert (d > 16).mean() < 0.02
+
+
+def test_masked_rotation_stays_on_fast_path():
+    """A rotating view with an opaque background clips its child via a
+    parent mask; the masked child must STILL take the rotation fast path
+    (masks are canvas-axis-aligned -> elementwise on the region), not the
+    full-canvas sampled pass (measured 128 ms vs 1 ms at 1080p on v5e)."""
+    from harness import make_test_input
+    from smelter_tpu.core.types import FrameSet, PixelFormat, Resolution, RGBAColor
+    from smelter_tpu.render.renderer import Renderer
+    from smelter_tpu.scene import components as comp
+    from smelter_tpu.scene.components import AbsolutePosition, Transition
+
+    OUT = Resolution(640, 360)
+    IN = Resolution(320, 180)
+
+    def scene(angle, transition=None):
+        return comp.View(
+            background_color=RGBAColor(10, 10, 30, 255),
+            children=[comp.View(
+                id="box",
+                position=AbsolutePosition(width=300.0, height=160.0,
+                                          top=80.0, left=150.0,
+                                          rotation_degrees=angle),
+                background_color=RGBAColor(0, 0, 0, 255),
+                transition=transition,
+                children=[comp.InputStream(input_id="cam")],
+            )],
+        )
+
+    r = Renderer()
+    try:
+        r.register_input("cam")
+        frame = make_test_input(0, IN)
+        r.update_scene("out", scene(0.0), OUT, PixelFormat.RGBA)
+        r.render(FrameSet(pts=0.0, frames={"cam": frame}))
+        r.update_scene("out", scene(40.0, Transition(duration=4.0)), OUT,
+                       PixelFormat.RGBA)
+        # two mid-transition frames so the planner observes the angle moving
+        r.render(FrameSet(pts=0.2, frames={"cam": make_test_input(0, IN, 0.2)}))
+        r.render(FrameSet(pts=0.4, frames={"cam": make_test_input(0, IN, 0.4)}))
+        prog = r._programs["out"]
+        key, plan = prog.plan(1.0, {"cam": make_test_input(0, IN, 1.0)},
+                              r.images, r.text)
+        texture_layers = [
+            st
+            for part in key
+            if isinstance(part, tuple) and len(part) >= 3 and part[1] == "layout"
+            for st in part[2]
+            if st.content == "texture"
+        ]
+        assert texture_layers, "no texture layer in the plan"
+        st = texture_layers[0]
+        assert st.n_masks >= 1, "expected the overflow clip mask"
+        assert st.static_rect is not None and st.traced_rotation_q is not None, (
+            "masked rotating texture fell off the traced-rotation fast path"
+        )
+        # and the rendered mid-transition frame is correct: child visible,
+        # clipped to the box's axis-aligned rect
+        out = r.render(FrameSet(
+            pts=1.0, frames={"cam": make_test_input(0, IN, 1.0)}
+        )).frames["out"]
+        import numpy as np
+
+        data = np.asarray(out.data)
+        assert data[180, 320, 0] > 60  # child content at the center
+        assert data[10, 10, 2] <= 40 and abs(int(data[10, 10, 2]) - 30) < 8
+    finally:
+        r.close()
