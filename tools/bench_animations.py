@@ -54,6 +54,63 @@ def _device_module_durs(events):
     )
 
 
+def bench_tiles_relayout() -> None:
+    """Tiles grid re-layout: adding a child animates every tile at once."""
+    import jax
+
+    from harness import make_test_input
+    from smelter_tpu.core.types import FrameSet, PixelFormat, Resolution, RGBAColor
+    from smelter_tpu.render.renderer import Renderer
+    from smelter_tpu.scene import components as comp
+    from smelter_tpu.scene.components import Transition
+
+    OUT = Resolution(1920, 1080)
+    IN = Resolution(960, 540)
+    n0, n1 = 8, 9
+
+    def scene(n, transition=None):
+        return comp.Tiles(
+            id="grid", background_color=RGBAColor(12, 12, 12, 255),
+            transition=transition,
+            children=[comp.InputStream(input_id=f"in_{i}") for i in range(n)],
+        )
+
+    r = Renderer()
+    try:
+        for i in range(n1):
+            r.register_input(f"in_{i}")
+
+        def frames(n, pts=0.0):
+            return {f"in_{i}": make_test_input(i, IN, pts) for i in range(n)}
+
+        r.update_scene("out", scene(n0), OUT, PixelFormat.RGBA)
+        r.render(FrameSet(pts=0.0, frames=frames(n0)))
+        r.update_scene("out", scene(n1, Transition(duration=4.0)), OUT,
+                       PixelFormat.RGBA)
+        for pts in (0.2, 0.4):
+            r.render(FrameSet(pts=pts, frames=frames(n1, pts)))
+        tracedir = tempfile.mkdtemp(prefix="anim_bench_")
+        try:
+            with jax.profiler.trace(tracedir):
+                for i in range(20):
+                    pts = 0.5 + i * 0.15
+                    r.render(FrameSet(pts=pts, frames=frames(n1, pts)))
+            files = glob.glob(
+                os.path.join(tracedir, "**", "*.trace.json.gz"), recursive=True
+            )
+            events = json.loads(gzip.open(files[0]).read())["traceEvents"]
+            durs = _device_module_durs(events)
+        finally:
+            shutil.rmtree(tracedir, ignore_errors=True)
+        print(json.dumps({
+            "animation": f"tiles_relayout_{n0}to{n1}",
+            "device_p50_ms": round(durs[len(durs) // 2], 3) if durs else None,
+            "frames": len(durs),
+        }), flush=True)
+    finally:
+        r.close()
+
+
 def main() -> None:
     import jax
 
@@ -99,6 +156,7 @@ def main() -> None:
         ),
     }
 
+    bench_tiles_relayout()
     for name, (pos0, pos1) in ANIMATIONS.items():
         r = Renderer()
         try:

@@ -204,6 +204,24 @@ def scene_defs():
             ],
         )
 
+    def rotation30_masked():
+        # rotated view WITH an opaque background: the child is clipped by a
+        # parent mask — pins the masked-rotation fast path (was a 128 ms
+        # full-canvas-sample cliff before the region-local mask support)
+        return comp.View(
+            background_color=RGBAColor(20, 20, 40),
+            children=[
+                comp.View(
+                    position=comp.AbsolutePosition(
+                        width=700.0, height=400.0, top=300.0, left=500.0,
+                        rotation_degrees=30.0,
+                    ),
+                    background_color=RGBAColor(0, 0, 0, 255),
+                    children=[comp.InputStream(input_id="cam_0")],
+                ),
+            ],
+        )
+
     def mixed4():
         return comp.View(
             background_color=RGBAColor(20, 20, 40),
@@ -247,6 +265,7 @@ def scene_defs():
         "rounded": (rounded, 4),
         "shadow": (shadow, 4),
         "rotation30": (rotation30, 1),
+        "rotation30_masked": (rotation30_masked, 1),
         "mixed4": (mixed4, 4),
     }
 
