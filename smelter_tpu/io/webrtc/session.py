@@ -193,7 +193,11 @@ class WebRtcSession:
         # offerer takes the DTLS client (active) role; answerer passive
         self.dtls = DtlsEndpoint(is_server=not is_offerer)
         self._mux: Optional[UdpMux] = None
-        if _udp_config["mux_port"] is not None:
+        # the mux exists to accept MANY inbound sessions on one well-known
+        # port (server roles); client/offerer sessions keep their own
+        # ephemeral sockets — their traffic targets remote servers, and a
+        # shared socket would break source-address demux for loopback peers
+        if _udp_config["mux_port"] is not None and not is_offerer:
             self._mux = _get_mux(_udp_config["mux_port"])
             self.sock = self._mux.sock
             self.port = self._mux.port

@@ -167,9 +167,12 @@ def test_session_loopback_media():
     assert p.payload_type == 96 and len(p.payload) == 100
 
 
-def test_whip_publish_end_to_end(tmp_path):
+@pytest.mark.parametrize("udp_mux", [False, True], ids=["ephemeral", "mux"])
+def test_whip_publish_end_to_end(tmp_path, udp_mux):
     """Full WHIP: our WHIP client publishes into the HTTP server's /whip/:id,
-    pipeline composes to MP4."""
+    pipeline composes to MP4. Runs both UDP strategies: ephemeral
+    per-session sockets and SMELTER_WEBRTC_UDP_MUX_PORT (all server
+    sessions sharing one socket, setting_engine.rs MuxOnSinglePort)."""
     import httpx
 
     from smelter_tpu.config import Config, LoggerConfig
@@ -181,11 +184,19 @@ def test_whip_publish_end_to_end(tmp_path):
     _make_source_mp4(src, "red", 440.0)
     out_path = str(tmp_path / "out.mp4")
 
+    mux_port = None
+    if udp_mux:
+        probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        probe.bind(("0.0.0.0", 0))
+        mux_port = probe.getsockname()[1]
+        probe.close()
+
     cfg = Config(
         output_framerate=Framerate(30),
         ahead_of_time_processing=True,
         never_drop_output_frames=True,
         logger=LoggerConfig(level="warning"),
+        webrtc_udp_mux_port=mux_port,
     )
     s = ServerThread(cfg)
     try:
