@@ -787,3 +787,82 @@ def test_simple_passthrough():
                 "simple_passthrough", 1)
     finally:
         r.close()
+
+
+def test_view_rotation_masked_opaque_bg():
+    """Rotated view WITH an opaque background: the child is clipped by the
+    parent mask (region-local masked fast path — was a general-path cliff)."""
+    r = _renderer(1)
+    try:
+        _render(
+            r,
+            comp.View(
+                background_color=BLUE,
+                children=[comp.View(
+                    position=AbsolutePosition(width=200.0, height=110.0,
+                                              top=35.0, left=60.0,
+                                              rotation_degrees=25.0),
+                    background_color=WHITE,
+                    children=[comp.InputStream(input_id="input_0")],
+                )],
+            ),
+            "view_rotation_masked_opaque_bg", 1,
+        )
+    finally:
+        r.close()
+
+
+def _transition_midpoint(r, scene0, scene1, name, n_inputs=1, mid_pts=1.0):
+    r.update_scene("out", scene0, RES, PixelFormat.RGBA)
+    r.render(FrameSet(pts=0.0, frames={
+        f"input_{i}": make_test_input(i, IN_RES) for i in range(n_inputs)
+    }))
+    r.update_scene("out", scene1, RES, PixelFormat.RGBA)
+    # warm the planner so the traced fast path engages (two moving frames)
+    for pts in (0.2, 0.4):
+        r.render(FrameSet(pts=pts, frames={
+            f"input_{i}": make_test_input(i, IN_RES, pts) for i in range(n_inputs)
+        }))
+    out = r.render(FrameSet(pts=mid_pts, frames={
+        f"input_{i}": make_test_input(i, IN_RES, mid_pts) for i in range(n_inputs)
+    })).frames["out"]
+    assert_snapshot(name, out)
+
+
+def test_transition_spin_midpoint():
+    r = _renderer(1)
+    try:
+        def scene(angle, tr=None):
+            return comp.View(background_color=BLUE, children=[comp.View(
+                id="card",
+                position=AbsolutePosition(width=180.0, height=100.0,
+                                          top=40.0, left=70.0,
+                                          rotation_degrees=angle),
+                background_color=WHITE, transition=tr,
+                children=[comp.InputStream(input_id="input_0")])])
+
+        _transition_midpoint(
+            r, scene(0.0), scene(80.0, Transition(duration=2.0)),
+            "transition_spin_midpoint",
+        )
+    finally:
+        r.close()
+
+
+def test_transition_zoom_midpoint():
+    r = _renderer(1)
+    try:
+        def scene(w, h, top, left, tr=None):
+            return comp.View(background_color=BLUE, children=[comp.View(
+                id="card",
+                position=AbsolutePosition(width=w, height=h, top=top, left=left),
+                background_color=WHITE, transition=tr,
+                children=[comp.InputStream(input_id="input_0")])])
+
+        _transition_midpoint(
+            r, scene(80.0, 45.0, 70.0, 120.0),
+            scene(280.0, 158.0, 10.0, 20.0, Transition(duration=2.0)),
+            "transition_zoom_midpoint",
+        )
+    finally:
+        r.close()
