@@ -275,30 +275,21 @@ def make_multioutput_step(
 
     Mesh: 1D ("outputs",). Returns (jitted_fn, example_args); fn takes the
     stacked input planes + an (M, N) int32 tile-order table and returns
-    (M, OH, OW) output planes sharded along M.
+    (M, OH, OW) output planes sharded along M. Each output runs the
+    PRODUCTION flagship compose (the same traced fn single-chip uses) on
+    its own permutation of the shared input set, so the per-output content
+    is per-pixel identical to a single-chip render of that scene.
     """
     from jax.experimental.shard_map import shard_map
 
     P = jax.sharding.PartitionSpec
     n = n_inputs
-    rows = int(math.floor(math.sqrt(n)))
-    while n % rows:
-        rows -= 1
-    cols = n // rows
-    th = out_res.height // rows
-    tw = out_res.width // cols
+    fn, _ = make_flagship_compose(n, in_res, out_res)
 
     def one_output(y, u, v, perm):
-        ty = _round_u8(resize_matmul(jnp.take(y, perm, 0), th, tw))
-        tu = _round_u8(resize_matmul(jnp.take(u, perm, 0), th // 2, tw // 2))
-        tv = _round_u8(resize_matmul(jnp.take(v, perm, 0), th // 2, tw // 2))
-
-        def assemble(tiles, h_, w_):
-            grid = tiles.reshape(rows, cols, h_, w_)
-            return grid.transpose(0, 2, 1, 3).reshape(rows * h_, cols * w_)
-
-        return (assemble(ty, th, tw), assemble(tu, th // 2, tw // 2),
-                assemble(tv, th // 2, tw // 2))
+        return fn(
+            jnp.take(y, perm, 0), jnp.take(u, perm, 0), jnp.take(v, perm, 0)
+        )
 
     def local_step(y, u, v, perms_local):
         return jax.vmap(lambda p: one_output(y, u, v, p))(perms_local)

@@ -101,10 +101,8 @@ def test_multioutput_step_shards_outputs(devices):
         if not np.array_equal(p[a], p[b])
     )
     assert not np.array_equal(np_y[diff[0]], np_y[diff[1]])
-    # per-output content equals a single-device recompute of that output
-    one_dev_mesh = jax.sharding.Mesh(np.asarray(devices[:1]), ("outputs",))
-    ref_step, _ = make_multioutput_step(
-        one_dev_mesh, n_outputs=1, n_inputs=16, in_res=in_res, out_res=out_res
-    )
-    ref = np.asarray(ref_step(y, u, v, p[3:4])[0])[0]
+    # per-output content equals the single-chip PRODUCTION compose of that
+    # output's scene (flagship fn on the permuted inputs)
+    fn, _ = make_flagship_compose(16, in_res, out_res)
+    ref = np.asarray(jax.jit(fn)(y[p[3]], u[p[3]], v[p[3]])[0])
     assert np.array_equal(np_y[3], ref)
