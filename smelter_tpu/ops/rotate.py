@@ -22,7 +22,7 @@ into the compiled program as constants.
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -29,7 +29,6 @@ Multi chip (jax.sharding over a Mesh):
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax
