@@ -151,7 +151,9 @@ class _RtpReceiverBridge:
         import time as _time
 
         self._trackers = {}
-        self._last_rr = _time.monotonic()  # first RR after a full interval
+        # first RR after a short warmup (stats need a few packets), then
+        # standard ~1/s pacing — short AOT sessions still get feedback
+        self._last_rr = _time.monotonic() - (self._RR_INTERVAL_S - self._RR_FIRST_S)
         self._vd = {
             "h264": H264Depayloader,
             "vp8": Vp8Depayloader,
@@ -228,8 +230,10 @@ class _RtpReceiverBridge:
             self._track_reception(pkt, OPUS_CLOCK)
 
     # standard RTCP report pacing (RFC 3550 recommends ~5 s minimum for
-    # multiparty; WebRTC stacks report about once per second)
+    # multiparty; WebRTC stacks report about once per second). The first
+    # report goes out after a short warmup so short sessions get feedback.
     _RR_INTERVAL_S = 1.0
+    _RR_FIRST_S = 0.25
 
     def _track_reception(self, pkt, clock_rate: int) -> None:
         from smelter_tpu.io import rtcp as rtcp_mod

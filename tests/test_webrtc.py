@@ -306,6 +306,12 @@ def test_whip_publish_end_to_end(tmp_path, udp_mux):
                     done = True
                     break
                 time.sleep(0.3)
+            # receiver-report feedback reached the publisher: the server's
+            # receive bridge sends RRs ~1/s and the sender derives RTT from
+            # LSR/DLSR (RFC 3550 §6.4.1)
+            assert sink.remote_fraction_lost is not None, (
+                "no receiver report reached the WHIP publisher"
+            )
             tx.close()
             assert done, "OUTPUT_DONE not observed"
     finally:
