@@ -165,6 +165,13 @@ def test_webview_chromium_embedding_pushes_child_frames(monkeypatch):
             resolution=(64, 48), embedding_method="chromium_embedding",
         ))
         assert inst.active
+        import time
+
+        deadline = 50
+        while inst.frame() is None and deadline:  # first screencast frame
+            time.sleep(0.1)
+            deadline -= 1
+        assert inst.frame() is not None
         r.update_scene(
             "out",
             comp.View(background_color=RGBAColor(0, 0, 0, 255),
