@@ -304,6 +304,11 @@ class MoqClientInputOptions:
     endpoint_url: str = ""       # moql://host:port/path?token=...
     broadcast_path: str = ""
     decoder_map: Optional[Dict[str, str]] = None
+    # Chain+hostname verification against the system trust store — on by
+    # default like quinn/rustls in the reference's MoQ client input;
+    # SMELTER_MOQ_DISABLE_TLS_VERIFICATION turns it off (wired by the
+    # server layer, mirroring io/moq/output.py).
+    verify_tls: bool = False
 
 
 class MoqClientInput(InputSource):
@@ -330,7 +335,10 @@ class MoqClientInput(InputSource):
         port = parsed.port or 443
         token = dict(urllib.parse.parse_qsl(parsed.query)).get("token", "")
         path = (parsed.path or "/").lstrip("/")
-        self._client = QuicClient(host, port, [wire.ALPN], server_name=host)
+        self._client = QuicClient(
+            host, port, [wire.ALPN], server_name=host,
+            verify_peer=self.options.verify_tls,
+        )
         handle = self._client.connect(timeout=15.0)
         session = MoqSession(handle, is_quic_client=True)
         session.start_client(path, token)

@@ -85,6 +85,34 @@ def derive_secret(secret: bytes, label: str, transcript_hash: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def load_ca_bundle(pem: bytes) -> List[x509.Certificate]:
+    """Parse a PEM CA bundle one certificate at a time, skipping entries the
+    parser rejects (and silencing its deprecation warnings).
+
+    System bundles ship decades-old roots with RFC 5280 violations — e.g.
+    negative serial numbers — that `cryptography` currently parses with a
+    CryptographyDeprecationWarning and will eventually hard-reject. A single
+    bad root must not take down the whole verification path (rustls, which
+    the reference's quinn uses, likewise skips unparseable anchors)."""
+    import re
+    import warnings
+
+    blocks = re.findall(
+        b"-----BEGIN CERTIFICATE-----.*?-----END CERTIFICATE-----",
+        pem,
+        re.DOTALL,
+    )
+    roots: List[x509.Certificate] = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for block in blocks:
+            try:
+                roots.append(x509.load_pem_x509_certificate(block))
+            except Exception:
+                continue
+    return roots
+
+
 def generate_self_signed(common_name: str = "smelter-tpu") -> Tuple[bytes, bytes]:
     """-> (cert_der, key_pem) — ECDSA P-256, 1 year validity."""
     key = ec.generate_private_key(ec.SECP256R1())
@@ -415,11 +443,13 @@ class TlsSession:
         )
         try:
             with open(bundle, "rb") as f:
-                roots = x509.load_pem_x509_certificates(f.read())
+                roots = load_ca_bundle(f.read())
         except OSError as exc:
             raise TlsError(
                 f"TLS verification enabled but no CA bundle at {bundle}: {exc}"
             ) from exc
+        if not roots:
+            raise TlsError(f"no usable root certificates in {bundle}")
         name = self.server_name or ""
         try:
             subject = x509.IPAddress(ipaddress.ip_address(name))

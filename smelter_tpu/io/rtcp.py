@@ -362,9 +362,20 @@ class ReceptionTracker:
             self._base_seq = seq
             self._max_seq = seq
         else:
-            if seq < (self._max_seq & 0xFFFF) and (self._max_seq & 0xFFFF) - seq > 0x8000:
+            max16 = self._max_seq & 0xFFFF
+            if seq < max16 and max16 - seq > 0x8000:
+                # wrapped forward into the next cycle
                 self._cycles += 1 << 16
-            ext = self._cycles + seq
+                ext = self._cycles + seq
+            elif seq > max16 and seq - max16 > 0x8000 and self._cycles > 0:
+                # reordered pre-wrap straggler (e.g. seq 65530 arriving just
+                # after max wrapped to a small value): it belongs to the
+                # PREVIOUS cycle — without this, ext would jump max_seq a
+                # whole cycle forward and inflate expected/cumulative_lost by
+                # ~65536 in the next Receiver Report (RFC 3550 A.1).
+                ext = self._cycles - (1 << 16) + seq
+            else:
+                ext = self._cycles + seq
             if ext > self._max_seq:
                 self._max_seq = ext
         self.received += 1

@@ -124,6 +124,14 @@ class UdpMux:
             with self._lock:
                 session = self._by_ufrag.get(local)
             if session is not None:
+                # Authenticate BEFORE committing the addr→session demux
+                # mapping: ufrags are visible in SDP, so a spoofed-source
+                # packet with a stolen ufrag could otherwise rebind the
+                # session's DTLS/SRTP routing to an attacker address until
+                # the real peer's next binding request (RFC 5389 §10.2).
+                if not stun.check_integrity(data, msg, session.local_pwd):
+                    with self._lock:
+                        return self._by_addr.get(addr)
                 with self._lock:
                     self._by_addr[addr] = session
                 return session

@@ -91,29 +91,31 @@ class SrtpSession:
         iv ^= index << 16
         return iv.to_bytes(16, "big")
 
-    def _update_rx_roc(self, ssrc: int, seq: int) -> int:
-        """Estimate ROC for an incoming seq (RFC 3711 §3.3.1, simplified)."""
+    def _estimate_rx_roc(self, ssrc: int, seq: int):
+        """Estimate ROC for an incoming seq (RFC 3711 §3.3.1, simplified).
+
+        Side-effect-free: returns ``(roc, commit)`` where ``roc`` is the
+        rollover counter to authenticate/decrypt under and ``commit`` is the
+        ``(roc, last_seq)`` state to store ONLY after the packet passes the
+        HMAC check (or None when nothing should be stored). Committing the
+        estimate before authentication would let a spoofed wrap-looking
+        sequence permanently advance the ROC and break every subsequent
+        legitimate packet (RFC 3711 §3.3.2 ordering)."""
         roc = self._roc.get(ssrc, 0)
         last = self._last_seq.get(ssrc)
         if last is None:
-            self._last_seq[ssrc] = seq
-            self._roc.setdefault(ssrc, roc)
-            return roc
+            return roc, (roc, seq)
         if seq < last and last - seq > 0x8000:
             # wrapped forward into the next era (same test as _tx_roc)
-            roc += 1
-            self._roc[ssrc] = roc
-            self._last_seq[ssrc] = seq
-            return roc
+            return roc + 1, (roc + 1, seq)
         if seq > last and seq - last > 0x8000 and roc > 0:
             # Late pre-rollover packet delivered after the wrap: decrypt under
             # the previous ROC, but do NOT regress the tracked seq — storing
             # the old high seq here would make the next in-order packet
             # re-trigger the rollover test, double-incrementing ROC and
             # permanently failing auth from then on (RFC 3711 §3.3.1).
-            return roc - 1
-        self._last_seq[ssrc] = seq
-        return roc
+            return roc - 1, None
+        return roc, (roc, seq)
 
     def _tx_roc(self, ssrc: int, seq: int) -> int:
         last = self._last_seq.get(ssrc)
@@ -145,7 +147,7 @@ class SrtpSession:
         body = packet[: -self.TAG_LEN]
         seq = struct.unpack("!H", body[2:4])[0]
         ssrc = struct.unpack("!I", body[8:12])[0]
-        roc = self._update_rx_roc(ssrc, seq)
+        roc, commit = self._estimate_rx_roc(ssrc, seq)
         index = (roc << 16) | seq
         self._check_replay(ssrc, index)
         expect = hmac.new(
@@ -153,6 +155,8 @@ class SrtpSession:
         ).digest()[: self.TAG_LEN]
         if not hmac.compare_digest(tag, expect):
             raise ValueError("srtp auth failed")
+        if commit is not None:
+            self._roc[ssrc], self._last_seq[ssrc] = commit
         self._commit_replay(ssrc, index)
         header_len = 12 + 4 * (body[0] & 0x0F)
         payload = body[header_len:]

@@ -716,7 +716,14 @@ class OutputProgram:
                         if isinstance(cp, InputStreamNode):
                             f = input_frames.get(cp.input_id)
                             if f is not None:
-                                entry = (f.pts, _frame_rgba_np(f))
+                                # lazy thunk: embed_sources dedups by pts
+                                # BEFORE converting, so freeze-frame/paused
+                                # inputs don't pay the RGBA convert +
+                                # base64 on every 60 Hz plan() tick
+                                entry = (
+                                    f.pts,
+                                    lambda f=f: _frame_rgba_np(f),
+                                )
                         embeds.append(entry)
                     if any(e is not None for e in embeds):
                         inst.embed_sources(embeds)

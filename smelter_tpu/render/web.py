@@ -294,9 +294,11 @@ class WebRendererInstance:
         composite — the CDP analogue of the reference's shared-memory +
         onRegisterEmbedder JS API (embedder.rs chromium_embedding).
 
-        ``frames``: list of (pts, rgba_u8_array) per child, None entries
-        skipped. Sends are fire-and-forget on the CDP channel and deduped
-        by pts so a static scene costs nothing."""
+        ``frames``: list of (pts, rgba) per child where ``rgba`` is a u8
+        array or a zero-arg callable producing one (lazy conversion), None
+        entries skipped. Sends are fire-and-forget on the CDP channel and
+        deduped by pts BEFORE the array is materialized, so a static scene
+        costs nothing — not even the RGBA convert."""
         if not self.active or self._cdp is None:
             return
         if not hasattr(self, "_embedded_pts"):
@@ -308,6 +310,8 @@ class WebRendererInstance:
             if self._embedded_pts.get(index) == pts:
                 continue
             self._embedded_pts[index] = pts
+            if callable(rgba):
+                rgba = rgba()
             h, w = rgba.shape[:2]
             b64 = base64.b64encode(
                 np.ascontiguousarray(rgba).tobytes()

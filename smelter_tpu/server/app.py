@@ -446,6 +446,7 @@ def build_app(state: ApiState) -> web.Application:
                         endpoint_url=spec.endpoint_url,
                         broadcast_path=spec.broadcast_path,
                         decoder_map=spec.decoder_map,
+                        verify_tls=not state.config.moq_disable_tls_verification,
                     ))
                     sc = spec.side_channel or {}
                     state.pipeline.register_input(

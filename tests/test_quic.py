@@ -307,3 +307,55 @@ def test_moq_client_output_verify_tls_rejects_self_signed(tmp_path):
             )
     finally:
         server.close()
+
+
+def test_load_ca_bundle_skips_bad_roots_without_warnings():
+    """System CA bundles ship ancient roots with RFC 5280 violations (e.g.
+    negative serial numbers) that `cryptography` warns about today and will
+    hard-reject tomorrow; one bad root must neither warn nor take down the
+    whole verification path (tls.py:load_ca_bundle)."""
+    import warnings
+
+    from cryptography import x509 as cx509
+    from cryptography.hazmat.primitives.serialization import Encoding
+
+    from smelter_tpu.io.quic.tls import generate_self_signed, load_ca_bundle
+
+    cert_der, _key = generate_self_signed()
+    good_pem = cx509.load_der_x509_certificate(cert_der).public_bytes(
+        Encoding.PEM
+    )
+    garbage = (
+        b"-----BEGIN CERTIFICATE-----\nAAAAbm90IGEgY2VydA==\n"
+        b"-----END CERTIFICATE-----\n"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        roots = load_ca_bundle(garbage + good_pem + garbage)
+    assert len(roots) == 1
+    assert roots[0].serial_number > 0
+    assert caught == []
+
+
+def test_moq_client_input_wires_tls_verification(monkeypatch):
+    """The MoQ client INPUT must thread verify_tls into QuicClient like the
+    output does (it used to silently accept any certificate)."""
+    import smelter_tpu.io.quic as quic_mod
+    from smelter_tpu.io.moq.input import MoqClientInput, MoqClientInputOptions
+
+    seen = {}
+
+    class _Recorder:
+        def __init__(self, host, port, alpn, server_name=None,
+                     verify_peer=False):
+            seen["verify_peer"] = verify_peer
+            raise ConnectionError("stop here")
+
+    monkeypatch.setattr(quic_mod, "QuicClient", _Recorder)
+    src = MoqClientInput(MoqClientInputOptions(
+        endpoint_url="moql://127.0.0.1:9/x", broadcast_path="b",
+        verify_tls=True,
+    ))
+    with pytest.raises(ConnectionError):
+        src.start(None)
+    assert seen["verify_peer"] is True

@@ -143,3 +143,20 @@ def test_track_delta_and_slew_convergence():
     slew2.apply(0.0)
     slew2.set_target(0.5)
     assert slew2.apply(0.02) == pytest.approx(0.02 + 0.5)
+
+
+def test_reception_tracker_backward_wrap_straggler():
+    """RFC 3550 appendix A.1: a reordered pre-wrap straggler arriving just
+    after max_seq wrapped must be counted in the PREVIOUS cycle — the old
+    forward-only test jumped max_seq a whole cycle forward, inflating
+    expected/cumulative_lost by ~65536 in the next Receiver Report."""
+    t = rtcp.ReceptionTracker(ssrc=7, clock_rate=90000)
+    now = 1000.0
+    for i, seq in enumerate([65530, 65531, 65532, 65533, 65535, 0, 1, 2]):
+        t.on_packet(seq, i * 3000, now=now + i * 0.02)
+    # late straggler from before the wrap
+    t.on_packet(65534, 4 * 3000, now=now + 0.2)
+    rb = t.report_block(now=now + 0.25)
+    assert rb.cumulative_lost == 0
+    # extended highest seq is one cycle + 2, not two cycles
+    assert rb.highest_seq == (1 << 16) + 2

@@ -1052,3 +1052,71 @@ def test_whip_session_receiver_reports_flow_back():
     block = got_rr[0].reports[0]
     assert block.ssrc == 0xfeed
     assert block.highest_seq >= 1
+
+
+def test_srtp_spoofed_wrap_does_not_poison_roc():
+    """RFC 3711 §3.3.2 ordering: a spoofed, unauthenticated packet whose
+    sequence looks like a 16-bit wrap must NOT advance the receiver ROC —
+    with the pre-auth commit bug, one garbage packet permanently broke
+    auth for every subsequent legitimate packet."""
+    key, salt = os.urandom(16), os.urandom(14)
+    tx = SrtpSession(key, salt)
+    rx = SrtpSession(key, salt)
+    from smelter_tpu.io.rtp import RtpPacket
+
+    rx.unprotect_rtp(
+        tx.protect_rtp(RtpPacket(96, 60000, 1000, 0x42, b"a" * 40).serialize())
+    )
+    # attacker: wrap-looking seq (5 < 60000, delta > 0x8000) with a bogus tag
+    forged = RtpPacket(96, 5, 2000, 0x42, b"evil" * 10).serialize() + b"\x00" * 10
+    with pytest.raises(ValueError):
+        rx.unprotect_rtp(forged)
+    # legitimate stream continues under roc=0 and must still authenticate
+    for seq in (60001, 60002):
+        plain = rx.unprotect_rtp(
+            tx.protect_rtp(RtpPacket(96, seq, 3000, 0x42, b"b" * 40).serialize())
+        )
+        assert RtpPacket.parse(plain).sequence_number == seq
+
+
+def test_udp_mux_stun_spoof_cannot_rebind_demux():
+    """UdpMux must verify MESSAGE-INTEGRITY before committing the
+    addr→session demux mapping: ufrags are public (they appear in SDP), so
+    an unauthenticated binding request with a stolen ufrag from a spoofed
+    source address must not hijack the session's DTLS/SRTP routing."""
+    from smelter_tpu.io.webrtc.session import UdpMux
+
+    class _FakeSession:
+        local_ufrag = "lfrg"
+        local_pwd = "correct-horse-battery-staple"
+
+    mux = UdpMux(0)
+    try:
+        sess = _FakeSession()
+        mux.register(sess)
+
+        good_addr = ("127.0.0.1", 41000)
+        evil_addr = ("203.0.113.7", 6666)
+        user = b"lfrg:remotefrag"
+
+        # authenticated binding request routes AND commits the mapping
+        good = stun.build(
+            stun.BINDING_REQUEST,
+            attrs=[(stun.ATTR_USERNAME, user)],
+            password=sess.local_pwd,
+        )
+        assert mux._route_stun(good, good_addr) is sess
+        assert mux._by_addr.get(good_addr) is sess
+
+        # spoofed request (right ufrag, wrong password) must not bind
+        spoof = stun.build(
+            stun.BINDING_REQUEST,
+            attrs=[(stun.ATTR_USERNAME, user)],
+            password="wrong-password",
+        )
+        assert mux._route_stun(spoof, evil_addr) is None
+        assert evil_addr not in mux._by_addr
+        # ...and must not disturb the existing good mapping
+        assert mux._by_addr.get(good_addr) is sess
+    finally:
+        mux.unregister(sess)
