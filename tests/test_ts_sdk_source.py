@@ -125,10 +125,73 @@ COMPONENT_FILES = {
 }
 
 
+def _balanced(source: str, open_pos: int, pair="{}") -> str:
+    """Body of the bracket pair opening at `open_pos` (brackets excluded)."""
+    depth = 0
+    for pos in range(open_pos, len(source)):
+        if source[pos] == pair[0]:
+            depth += 1
+        elif source[pos] == pair[1]:
+            depth -= 1
+            if depth == 0:
+                return source[open_pos + 1 : pos]
+    raise AssertionError("unbalanced brackets")
+
+
+def _spec_field(body: str, name: str) -> str | None:
+    """Text of a `name: [...]` or `name: {...}` entry in an object body."""
+    m = re.search(rf"\b{name}\s*:\s*([\[{{])", body)
+    if not m:
+        return None
+    pair = "[]" if m.group(1) == "[" else "{}"
+    return _balanced(body, m.end() - 1, pair)
+
+
+def _snake(name: str) -> str:
+    # mirror of scene.ts wireKey()
+    return re.sub(r"[A-Z]", lambda m: "_" + m.group(0).lower(), name)
+
+
+def _spec_emitted_keys(source: str):
+    """Wire keys produced by a sceneNodeFromSpec table, computed with the
+    same rules as scene.ts's generated builder."""
+    m = re.search(r"sceneNodeFromSpec<[^>]*>\(\s*'([a-z0-9_]+)'\s*,\s*\{", source)
+    if not m:
+        return None, None
+    tag = m.group(1)
+    body = _balanced(source, m.end() - 1)
+
+    keys = {"type", "id"}
+    slot = re.search(r"childSlot\s*:\s*'(\w+)'", body)
+    keys.add({"list": "children", "one": "child", "join": "text", None: "children"}
+             .get(slot.group(1) if slot else None, "children"))
+    keys.discard(None)
+    if slot and slot.group(1) == "none":
+        keys.discard("children")
+
+    aliases = {}
+    alias_body = _spec_field(body, "aliases")
+    if alias_body:
+        aliases = dict(re.findall(r"(\w+)\s*:\s*'(\w+)'", alias_body))
+    for list_name in ("styleFields", "rootFields"):
+        arr = _spec_field(body, list_name)
+        for prop in re.findall(r"'(\w+)'", arr or ""):
+            keys.add(aliases.get(prop, _snake(prop)))
+    defaults_body = _spec_field(body, "defaults")
+    if defaults_body:
+        keys |= {k for k, _ in re.findall(r"(\w+)\s*:\s*(\S+)", defaults_body)}
+    return tag, keys
+
+
 def test_component_scene_builders_emit_accepted_keys():
     models = _component_models()
     for filename, tag in COMPONENT_FILES.items():
         source = (TS_ROOT / "smelter/src/components" / filename).read_text()
+        spec_tag, spec_keys = _spec_emitted_keys(source)
+        if spec_keys is not None:
+            assert spec_tag == tag, f"{filename}: declares tag {spec_tag!r}"
+            _assert_keys_accepted(spec_keys, models[tag], filename)
+            continue
         builder = source[source.index("function sceneBuilder") :]
         literals = list(_object_literals(builder, "return {"))
         assert literals, f"{filename}: no sceneBuilder return literal found"
@@ -257,24 +320,24 @@ SERVER_ROUTES = {
 
 def test_api_client_routes_exist_on_server():
     source = (TS_ROOT / "smelter-core/src/api.ts").read_text()
-    # route: `/api/output/${encodeURIComponent(outputId)}/update`
-    routes = re.findall(
-        r"method:\s*'(GET|POST)',\s*route:\s*[`']([^`']+)[`']", source
+    covered = set()
+    # entity routes: this.act('output', <id expr>, 'update', ...)
+    for entity, verb in re.findall(
+        r"this\.act\(\s*'([\w-]+)'\s*,[^,]+,\s*'(\w+)'", source
+    ):
+        covered.add(("POST", f"/api/{entity}/{{id}}/{verb}"))
+    # fixed routes: this.post('/api/start', ...) / this.get('/stats')
+    for route in re.findall(r"this\.post\(\s*'([^']+)'", source):
+        covered.add(("POST", route))
+    for route in re.findall(r"this\.get\(\s*'([^']+)'", source):
+        covered.add(("GET", route))
+    assert covered, "no routes found in ApiClient"
+    unknown = covered - SERVER_ROUTES
+    assert not unknown, (
+        f"ApiClient uses routes not in the server route table "
+        f"(server/app.py): {unknown}"
     )
-    assert routes, "no routes found in ApiClient"
-    for method, route in routes:
-        normalized = re.sub(r"\$\{[^}]*\}", "{id}", route)
-        assert (method, normalized) in SERVER_ROUTES, (
-            f"ApiClient uses {method} {normalized}, not in the server route "
-            "table (server/app.py)"
-        )
-    # and the client covers the full API surface
-    covered = {
-        (m, re.sub(r"\$\{[^}]*\}", "{id}", r)) for m, r in routes
-    }
-    missing = SERVER_ROUTES - covered - {("POST", "/api/input/{id}/update")}
-    # input update is covered via ApiClient.updateInput
-    assert ("POST", "/api/input/{id}/update") in covered
+    missing = SERVER_ROUTES - covered
     assert not missing, f"ApiClient missing routes: {missing}"
 
 

@@ -1,17 +1,50 @@
 /**
- * Typed request layer over the server's HTTP API (routes must match
- * smelter_tpu/server/app.py's route table).
+ * Typed request layer over the server's HTTP API. Every endpoint follows
+ * the server's `/api/<entity>/<id>/<verb>` shape (smelter_tpu/server/app.py
+ * route table), so the client is a thin entity-route builder plus typed
+ * wrappers — no per-endpoint request plumbing.
  */
-import { Api } from '@smelter-tpu/smelter';
-import type { ImageRef } from './api/refs.js';
-import { imageRefIntoRawId } from './api/refs.js';
+import { Api, _smelterInternals } from '@smelter-tpu/smelter';
 import type { InputRef, RegisterInputRequest } from './api/input.js';
 import { inputRefIntoRawId } from './api/input.js';
 import type { RegisterOutputRequest } from './api/output.js';
-import type { ApiRequest, MultipartRequest, SmelterManager } from './smelterManager.js';
+import type { Logger } from './logger.js';
+
+type ImageRef = _smelterInternals.ImageRef;
+const imageRefIntoRawId = _smelterInternals.imageRefIntoRawId;
 
 export { Api };
-export type { ApiRequest, MultipartRequest };
+
+// --- transport contract -----------------------------------------------------
+// Implementations live in environment packages: smelter-node spawns or
+// attaches to a server process and bridges its /ws event stream;
+// smelter-web-client rides fetch + the browser WebSocket.
+
+type Exchange<B> = {
+  method: string;
+  route: string;
+  body?: B;
+  headers?: Record<string, string>;
+};
+
+/** One HTTP exchange with the server, JSON body. */
+export type ApiRequest = Exchange<object> & { method: 'GET' | 'POST' };
+
+/** One HTTP exchange carrying multipart form data (file delivery). */
+export type MultipartRequest = Exchange<FormData> & { method: 'POST'; body: FormData };
+
+export interface SetupInstanceOptions {
+  aheadOfTimeProcessing: boolean;
+  logger: Logger;
+}
+
+export interface SmelterManager {
+  setupInstance(opts: SetupInstanceOptions): Promise<void>;
+  sendRequest(request: ApiRequest): Promise<object>;
+  sendMultipartRequest(request: MultipartRequest): Promise<object>;
+  registerEventListener(cb: (event: unknown) => void): void;
+  terminate(): Promise<void>;
+}
 
 export type RegisterInputResponse = {
   video_duration_ms?: number;
@@ -28,170 +61,118 @@ export type RegisterOutputResponse = {
   port?: number;
 };
 
+type Entity = 'input' | 'output' | 'shader' | 'image' | 'web-renderer';
+
 export class ApiClient {
-  private manager: SmelterManager;
+  constructor(private transport: SmelterManager) {}
 
-  constructor(manager: SmelterManager) {
-    this.manager = manager;
+  /** `/api/<entity>/<id>/<verb>` — the server's uniform resource shape. */
+  private act(entity: Entity, id: string, verb: string, body: object): Promise<object> {
+    const route = `/api/${entity}/${encodeURIComponent(id)}/${verb}`;
+    return this.transport.sendRequest({ method: 'POST', route, body });
   }
 
-  public async updateScene(
-    outputId: string,
-    request: Api.UpdateOutputRequest
-  ): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/output/${encodeURIComponent(outputId)}/update`,
-      body: request,
-    });
+  private post(route: string, body: object): Promise<object> {
+    return this.transport.sendRequest({ method: 'POST', route, body });
   }
 
-  public async registerOutput(
+  private get(route: string): Promise<object> {
+    return this.transport.sendRequest({ method: 'GET', route });
+  }
+
+  // --- outputs ---
+
+  public updateScene(outputId: string, request: Api.UpdateOutputRequest): Promise<object> {
+    return this.act('output', outputId, 'update', request);
+  }
+
+  public registerOutput(
     outputId: string,
     request: RegisterOutputRequest
   ): Promise<RegisterOutputResponse> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/output/${encodeURIComponent(outputId)}/register`,
-      body: request,
-    }) as Promise<RegisterOutputResponse>;
+    return this.act('output', outputId, 'register', request) as Promise<RegisterOutputResponse>;
   }
 
-  public async unregisterOutput(
+  public unregisterOutput(
     outputId: string,
     body: { schedule_time_ms?: number }
   ): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/output/${encodeURIComponent(outputId)}/unregister`,
-      body,
-    });
+    return this.act('output', outputId, 'unregister', body);
   }
 
-  public async requestKeyframe(outputId: string): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/output/${encodeURIComponent(outputId)}/request_keyframe`,
-      body: {},
-    });
+  public requestKeyframe(outputId: string): Promise<object> {
+    return this.act('output', outputId, 'request_keyframe', {});
   }
 
-  public async registerInput(
-    inputRef: InputRef,
+  // --- inputs ---
+
+  public registerInput(
+    ref: InputRef,
     request: RegisterInputRequest
   ): Promise<RegisterInputResponse> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/input/${encodeURIComponent(inputRefIntoRawId(inputRef))}/register`,
-      body: request,
-    }) as Promise<RegisterInputResponse>;
+    return this.act('input', inputRefIntoRawId(ref), 'register',
+                    request) as Promise<RegisterInputResponse>;
   }
 
-  public async updateInput(
-    inputRef: InputRef,
+  public updateInput(
+    ref: InputRef,
     request: { pause?: boolean; seek_ms?: number }
   ): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/input/${encodeURIComponent(inputRefIntoRawId(inputRef))}/update`,
-      body: request,
-    });
+    return this.act('input', inputRefIntoRawId(ref), 'update', request);
   }
 
-  public async unregisterInput(
-    inputRef: InputRef,
+  public unregisterInput(
+    ref: InputRef,
     body: { schedule_time_ms?: number }
   ): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/input/${encodeURIComponent(inputRefIntoRawId(inputRef))}/unregister`,
-      body,
-    });
+    return this.act('input', inputRefIntoRawId(ref), 'unregister', body);
   }
 
-  public async registerShader(shaderId: string, request: Api.ShaderSpec): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/shader/${encodeURIComponent(shaderId)}/register`,
-      body: request,
-    });
+  // --- renderer resources ---
+
+  public registerShader(shaderId: string, request: Api.ShaderSpec): Promise<object> {
+    return this.act('shader', shaderId, 'register', request);
   }
 
-  public async unregisterShader(shaderId: string): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/shader/${encodeURIComponent(shaderId)}/unregister`,
-      body: {},
-    });
+  public unregisterShader(shaderId: string): Promise<object> {
+    return this.act('shader', shaderId, 'unregister', {});
   }
 
-  public async registerImage(imageRef: ImageRef, request: Api.ImageSpec): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/image/${encodeURIComponent(imageRefIntoRawId(imageRef))}/register`,
-      body: request,
-    });
+  public registerImage(ref: ImageRef, request: Api.ImageSpec): Promise<object> {
+    return this.act('image', imageRefIntoRawId(ref), 'register', request);
   }
 
-  public async unregisterImage(
-    imageRef: ImageRef,
-    body: { schedule_time_ms?: number }
-  ): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/image/${encodeURIComponent(imageRefIntoRawId(imageRef))}/unregister`,
-      body,
-    });
+  public unregisterImage(ref: ImageRef, body: { schedule_time_ms?: number }): Promise<object> {
+    return this.act('image', imageRefIntoRawId(ref), 'unregister', body);
   }
 
-  public async registerWebRenderer(
-    instanceId: string,
-    request: Api.WebRendererSpec
-  ): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/web-renderer/${encodeURIComponent(instanceId)}/register`,
-      body: request,
-    });
+  public registerWebRenderer(instanceId: string, request: Api.WebRendererSpec): Promise<object> {
+    return this.act('web-renderer', instanceId, 'register', request);
   }
 
-  public async unregisterWebRenderer(instanceId: string): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: `/api/web-renderer/${encodeURIComponent(instanceId)}/unregister`,
-      body: {},
-    });
+  public unregisterWebRenderer(instanceId: string): Promise<object> {
+    return this.act('web-renderer', instanceId, 'unregister', {});
   }
 
-  public async registerFont(request: Api.FontSpec): Promise<object> {
-    return this.manager.sendRequest({
-      method: 'POST',
-      route: '/api/font/register',
-      body: request,
-    });
+  public registerFont(request: Api.FontSpec): Promise<object> {
+    return this.post('/api/font/register', request);
   }
+
+  // --- instance-wide ---
 
   public async start(): Promise<void> {
-    await this.manager.sendRequest({
-      method: 'POST',
-      route: '/api/start',
-      body: {},
-    });
+    await this.post('/api/start', {});
   }
 
   public async reset(): Promise<void> {
-    await this.manager.sendRequest({
-      method: 'POST',
-      route: '/api/reset',
-      body: {},
-    });
+    await this.post('/api/reset', {});
   }
 
-  public async stats(): Promise<object> {
-    return this.manager.sendRequest({ method: 'GET', route: '/stats' });
+  public stats(): Promise<object> {
+    return this.get('/stats');
   }
 
-  public async status(): Promise<object> {
-    return this.manager.sendRequest({ method: 'GET', route: '/status' });
+  public status(): Promise<object> {
+    return this.get('/status');
   }
 }

@@ -1,23 +1,13 @@
-import type { SmelterManager } from '@smelter-tpu/smelter-core';
-import Smelter from './live/compositor.js';
-import OfflineSmelter from './offline/compositor.js';
-import ExistingInstanceManager, {
-  type ExistingInstanceOptions,
-} from './manager/existingInstance.js';
-import LocallySpawnedInstanceManager, {
-  type LocallySpawnedInstanceOptions,
-} from './manager/locallySpawnedInstance.js';
-
 export * from './api.js';
 
-export default Smelter;
+export { default } from './live/compositor.js';
+export { default as OfflineSmelter } from './offline/compositor.js';
 export {
-  OfflineSmelter,
-  ExistingInstanceManager,
-  LocallySpawnedInstanceManager,
-};
-export type {
-  ExistingInstanceOptions,
-  LocallySpawnedInstanceOptions,
-  SmelterManager,
-};
+  default as ExistingInstanceManager,
+  type ExistingInstanceOptions,
+} from './manager/existingInstance.js';
+export {
+  default as LocallySpawnedInstanceManager,
+  type LocallySpawnedInstanceOptions,
+} from './manager/locallySpawnedInstance.js';
+export type { SmelterManager } from '@smelter-tpu/smelter-core';

@@ -1,10 +1,9 @@
 /**
  * Node live compositor. Thin facade over the core Smelter: supplies the
  * default locally-spawned server manager + pino logging, and serializes
- * init/terminate against in-flight registrations with a StateGuard.
- * Resource methods all delegate through the guard's shared mode so
- * concurrent registrations interleave freely with each other but never
- * with init/terminate.
+ * init/terminate against in-flight registrations with an AccessGate —
+ * registrations interleave freely with each other (shared mode) but never
+ * with init/terminate (exclusive mode).
  */
 import type { ReactElement } from 'react';
 import type { Renderers } from '@smelter-tpu/smelter';
@@ -14,7 +13,7 @@ import type {
   SmelterManager,
   WhipInputHandle,
 } from '@smelter-tpu/smelter-core';
-import { Smelter as CoreSmelter, StateGuard } from '@smelter-tpu/smelter-core';
+import { AccessGate, Smelter as CoreSmelter } from '@smelter-tpu/smelter-core';
 import type {
   RegisterInput,
   RegisterOutput,
@@ -25,7 +24,7 @@ import LocallySpawnedInstanceManager from '../manager/locallySpawnedInstance.js'
 
 export default class Smelter {
   private core: CoreSmelter;
-  private scheduler = new StateGuard();
+  private gate = new AccessGate();
 
   public constructor(manager?: SmelterManager) {
     this.core = new CoreSmelter(
@@ -34,14 +33,10 @@ export default class Smelter {
     );
   }
 
-  /** Shared-mode delegation: interleaves with other calls, not with init. */
-  private guarded<T>(fn: () => Promise<T>): Promise<T> {
-    return this.scheduler.run(fn);
-  }
-
-  public async init(): Promise<void> {
-    await this.scheduler.runBlocking(() => this.core.init());
-  }
+  // lifecycle transitions run exclusively
+  public init = (): Promise<void> => this.gate.exclusively(() => this.core.init());
+  public terminate = (): Promise<void> =>
+    this.gate.exclusively(() => this.core.terminate());
 
   public async registerOutput(
     outputId: string,
@@ -58,17 +53,12 @@ export default class Smelter {
     root: ReactElement,
     request: RegisterOutput
   ): Promise<object> {
-    return this.guarded(async () => {
+    return this.gate.concurrently(async () => {
       const result = await this.core.registerOutput(outputId, root, request);
-      if (request.type === 'whep_server') {
-        return { endpointRoute: result.endpoint_route };
-      }
-      return result;
+      return request.type === 'whep_server'
+        ? { endpointRoute: result.endpoint_route }
+        : result;
     });
-  }
-
-  public async unregisterOutput(outputId: string): Promise<void> {
-    await this.guarded(() => this.core.unregisterOutput(outputId));
   }
 
   public async registerInput(
@@ -87,59 +77,35 @@ export default class Smelter {
     inputId: string,
     request: RegisterInput
   ): Promise<InputHandle> {
-    return this.guarded(() => this.core.registerInput(inputId, request));
+    return this.gate.concurrently(() => this.core.registerInput(inputId, request));
   }
 
-  public getInputById(inputId: string): InputHandle | undefined {
-    return this.core.getInputById(inputId);
-  }
-
-  public async unregisterInput(inputId: string): Promise<void> {
-    await this.guarded(() => this.core.unregisterInput(inputId));
-  }
-
-  public async registerShader(
-    shaderId: string,
-    request: Renderers.RegisterShader
-  ): Promise<void> {
-    await this.guarded(() => this.core.registerShader(shaderId, request));
-  }
-
-  public async unregisterShader(shaderId: string): Promise<void> {
-    await this.guarded(() => this.core.unregisterShader(shaderId));
-  }
-
-  public async registerImage(
-    imageId: string,
-    request: Renderers.RegisterImage
-  ): Promise<void> {
-    await this.guarded(() => this.core.registerImage(imageId, request));
-  }
-
-  public async unregisterImage(imageId: string): Promise<void> {
-    await this.guarded(() => this.core.unregisterImage(imageId));
-  }
-
-  public async registerWebRenderer(
+  // remaining resource verbs: shared-mode pass-through to the core
+  public unregisterOutput = (outputId: string): Promise<void> =>
+    this.shared(c => c.unregisterOutput(outputId));
+  public unregisterInput = (inputId: string): Promise<void> =>
+    this.shared(c => c.unregisterInput(inputId));
+  public registerShader = (shaderId: string, request: Renderers.RegisterShader): Promise<void> =>
+    this.shared(c => c.registerShader(shaderId, request));
+  public unregisterShader = (shaderId: string): Promise<void> =>
+    this.shared(c => c.unregisterShader(shaderId));
+  public registerImage = (imageId: string, request: Renderers.RegisterImage): Promise<void> =>
+    this.shared(c => c.registerImage(imageId, request));
+  public unregisterImage = (imageId: string): Promise<void> =>
+    this.shared(c => c.unregisterImage(imageId));
+  public registerWebRenderer = (
     instanceId: string,
     request: Renderers.RegisterWebRenderer
-  ): Promise<void> {
-    await this.guarded(() => this.core.registerWebRenderer(instanceId, request));
-  }
+  ): Promise<void> => this.shared(c => c.registerWebRenderer(instanceId, request));
+  public unregisterWebRenderer = (instanceId: string): Promise<void> =>
+    this.shared(c => c.unregisterWebRenderer(instanceId));
+  public start = (): Promise<void> => this.shared(c => c.start());
 
-  public async unregisterWebRenderer(instanceId: string): Promise<void> {
-    await this.guarded(() => this.core.unregisterWebRenderer(instanceId));
-  }
+  public getInputById = (inputId: string): InputHandle | undefined =>
+    this.core.getInputById(inputId);
+  public stats = (): Promise<object> => this.core.stats();
 
-  public async start(): Promise<void> {
-    await this.guarded(() => this.core.start());
-  }
-
-  public async terminate(): Promise<void> {
-    await this.scheduler.runBlocking(() => this.core.terminate());
-  }
-
-  public async stats(): Promise<object> {
-    return this.core.stats();
+  private async shared(fn: (core: CoreSmelter) => Promise<unknown>): Promise<void> {
+    await this.gate.concurrently(() => fn(this.core));
   }
 }

@@ -15,75 +15,71 @@ export type ExistingInstanceOptions = {
   authorizationHeader?: string;
 };
 
+function serverUrl(raw: string | URL): URL {
+  const url = raw instanceof URL ? raw : new URL(raw);
+  if (url.protocol !== 'http:' && url.protocol !== 'https:') {
+    throw new Error('Expected url to use either http or https protocol');
+  }
+  return url;
+}
+
+function eventsUrl(server: URL): URL {
+  const ws = joinUrl(server, 'ws');
+  ws.protocol = server.protocol === 'https:' ? 'wss:' : 'ws:';
+  return ws;
+}
+
 export default class ExistingInstanceManager implements SmelterManager {
   private url: URL;
-  private authorizationHeader?: string;
-  private wsConnection: WebSocketConnection;
+  private auth?: string;
+  private events: WebSocketConnection;
 
   constructor(opts: ExistingInstanceOptions) {
-    const url = opts.url instanceof URL ? opts.url : new URL(opts.url);
-    if (url.protocol !== 'http:' && url.protocol !== 'https:') {
-      throw new Error('Expected url to use either http or https protocol');
-    }
-    this.url = url;
-    this.authorizationHeader = opts.authorizationHeader;
-    const wsUrl = joinUrl(url, 'ws');
-    wsUrl.protocol = url.protocol === 'https:' ? 'wss:' : 'ws:';
-    this.wsConnection = new WebSocketConnection(wsUrl, opts.authorizationHeader);
+    this.url = serverUrl(opts.url);
+    this.auth = opts.authorizationHeader;
+    this.events = new WebSocketConnection(eventsUrl(this.url), this.auth);
   }
 
   public async setupInstance(opts: SetupInstanceOptions): Promise<void> {
-    await retry(async () => {
+    const status = await retry(async () => {
       await sleep(500);
-      const status = await getSmelterStatus(this);
-      if (status.configuration.aheadOfTimeProcessing !== opts.aheadOfTimeProcessing) {
-        opts.logger.warn(
-          {
-            expected: opts.aheadOfTimeProcessing,
-            actual: status.configuration.aheadOfTimeProcessing,
-          },
-          'Mismatch between instance config and SDK (ahead_of_time_processing).'
-        );
-      }
-      return status;
+      return getSmelterStatus(this);
     }, 10);
+    if (status.configuration.aheadOfTimeProcessing !== opts.aheadOfTimeProcessing) {
+      opts.logger.warn(
+        {
+          expected: opts.aheadOfTimeProcessing,
+          actual: status.configuration.aheadOfTimeProcessing,
+        },
+        'Mismatch between instance config and SDK (ahead_of_time_processing).'
+      );
+    }
 
     // clear any state from a previous SDK session sharing this instance
     await this.sendRequest({ method: 'POST', route: '/api/reset', body: {} });
     opts.logger.info('Sent reset request to the Smelter instance.');
 
-    await this.wsConnection.connect(opts.logger);
+    await this.events.connect(opts.logger);
   }
 
-  public async sendRequest(request: ApiRequest): Promise<object> {
-    return sendRequest(this.url, {
-      ...request,
-      headers: {
-        ...request.headers,
-        ...(this.authorizationHeader
-          ? { Authorization: this.authorizationHeader }
-          : {}),
-      },
-    });
+  private withAuth<R extends ApiRequest | MultipartRequest>(request: R): R {
+    if (!this.auth) return request;
+    return { ...request, headers: { ...request.headers, Authorization: this.auth } };
   }
 
-  public async sendMultipartRequest(request: MultipartRequest): Promise<object> {
-    return sendMultipartRequest(this.url, {
-      ...request,
-      headers: {
-        ...request.headers,
-        ...(this.authorizationHeader
-          ? { Authorization: this.authorizationHeader }
-          : {}),
-      },
-    });
+  public sendRequest(request: ApiRequest): Promise<object> {
+    return sendRequest(this.url, this.withAuth(request));
+  }
+
+  public sendMultipartRequest(request: MultipartRequest): Promise<object> {
+    return sendMultipartRequest(this.url, this.withAuth(request));
   }
 
   public registerEventListener(cb: (event: unknown) => void): void {
-    this.wsConnection.registerEventListener(cb);
+    this.events.registerEventListener(cb);
   }
 
-  public async terminate(): Promise<void> {
-    await this.wsConnection.close();
+  public terminate(): Promise<void> {
+    return this.events.close();
   }
 }

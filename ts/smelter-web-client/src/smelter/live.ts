@@ -9,7 +9,7 @@ import type {
   RegisterOutput,
   WhipInputHandle,
 } from '@smelter-tpu/smelter-core';
-import { Smelter as CoreSmelter, StateGuard } from '@smelter-tpu/smelter-core';
+import { AccessGate, Smelter as CoreSmelter } from '@smelter-tpu/smelter-core';
 import type { SmelterOptions } from '../manager.js';
 import RemoteInstanceManager from '../manager.js';
 
@@ -22,32 +22,28 @@ function browserLogger() {
 
 export default class Smelter {
   private core: CoreSmelter;
-  private scheduler = new StateGuard();
+  private gate = new AccessGate();
 
   public constructor(opts: SmelterOptions) {
     this.core = new CoreSmelter(new RemoteInstanceManager(opts), browserLogger());
   }
 
-  public async init(): Promise<void> {
-    await this.scheduler.runBlocking(() => this.core.init());
-  }
+  // lifecycle transitions run exclusively
+  public init = (): Promise<void> => this.gate.exclusively(() => this.core.init());
+  public terminate = (): Promise<void> =>
+    this.gate.exclusively(() => this.core.terminate());
 
   public async registerOutput(
     outputId: string,
     root: ReactElement,
     request: RegisterOutput
   ): Promise<object> {
-    return this.scheduler.run(async () => {
+    return this.gate.concurrently(async () => {
       const result = await this.core.registerOutput(outputId, root, request);
-      if (request.type === 'whep_server') {
-        return { endpointRoute: result.endpoint_route };
-      }
-      return result;
+      return request.type === 'whep_server'
+        ? { endpointRoute: result.endpoint_route }
+        : result;
     });
-  }
-
-  public async unregisterOutput(outputId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterOutput(outputId));
   }
 
   public async registerInput(
@@ -66,48 +62,29 @@ export default class Smelter {
     inputId: string,
     request: RegisterInput
   ): Promise<InputHandle> {
-    return this.scheduler.run(() => this.core.registerInput(inputId, request));
+    return this.gate.concurrently(() => this.core.registerInput(inputId, request));
   }
 
-  public getInputById(inputId: string): InputHandle | undefined {
-    return this.core.getInputById(inputId);
-  }
+  // remaining resource verbs: shared-mode pass-through to the core
+  public unregisterOutput = (outputId: string): Promise<void> =>
+    this.shared(c => c.unregisterOutput(outputId));
+  public unregisterInput = (inputId: string): Promise<void> =>
+    this.shared(c => c.unregisterInput(inputId));
+  public registerShader = (shaderId: string, request: Renderers.RegisterShader): Promise<void> =>
+    this.shared(c => c.registerShader(shaderId, request));
+  public unregisterShader = (shaderId: string): Promise<void> =>
+    this.shared(c => c.unregisterShader(shaderId));
+  public registerImage = (imageId: string, request: Renderers.RegisterImage): Promise<void> =>
+    this.shared(c => c.registerImage(imageId, request));
+  public unregisterImage = (imageId: string): Promise<void> =>
+    this.shared(c => c.unregisterImage(imageId));
+  public start = (): Promise<void> => this.shared(c => c.start());
 
-  public async unregisterInput(inputId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterInput(inputId));
-  }
+  public getInputById = (inputId: string): InputHandle | undefined =>
+    this.core.getInputById(inputId);
+  public stats = (): Promise<object> => this.core.stats();
 
-  public async registerShader(
-    shaderId: string,
-    request: Renderers.RegisterShader
-  ): Promise<void> {
-    await this.scheduler.run(() => this.core.registerShader(shaderId, request));
-  }
-
-  public async unregisterShader(shaderId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterShader(shaderId));
-  }
-
-  public async registerImage(
-    imageId: string,
-    request: Renderers.RegisterImage
-  ): Promise<void> {
-    await this.scheduler.run(() => this.core.registerImage(imageId, request));
-  }
-
-  public async unregisterImage(imageId: string): Promise<void> {
-    await this.scheduler.run(() => this.core.unregisterImage(imageId));
-  }
-
-  public async start(): Promise<void> {
-    await this.scheduler.run(() => this.core.start());
-  }
-
-  public async terminate(): Promise<void> {
-    await this.scheduler.runBlocking(() => this.core.terminate());
-  }
-
-  public async stats(): Promise<object> {
-    return this.core.stats();
+  private async shared(fn: (core: CoreSmelter) => Promise<unknown>): Promise<void> {
+    await this.gate.concurrently(() => fn(this.core));
   }
 }

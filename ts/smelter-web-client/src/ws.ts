@@ -1,59 +1,34 @@
-/** /ws event channel over the browser-native WebSocket. */
-import type { Logger } from '@smelter-tpu/smelter-core';
+/** Browser adapter for the core JsonEventStream (native WebSocket). */
+import type { Logger, SocketAdapter } from '@smelter-tpu/smelter-core';
+import { JsonEventStream } from '@smelter-tpu/smelter-core';
+
+function browserSocket(url: URL): SocketAdapter {
+  return handlers => {
+    const ws = new WebSocket(url);
+    ws.addEventListener('open', handlers.onOpen);
+    ws.addEventListener('error', handlers.onError);
+    ws.addEventListener('message', msg => handlers.onText(String(msg.data)));
+    ws.addEventListener('close', handlers.onClose);
+    return { close: () => ws.close() };
+  };
+}
 
 export class WebSocketConnection {
-  private url: URL;
-  private listeners = new Set<(event: object) => void>();
-  private ws: WebSocket | null = null;
-  private closed?: Promise<void>;
+  private stream: JsonEventStream;
 
   constructor(url: URL) {
-    this.url = url;
+    this.stream = new JsonEventStream(browserSocket(url));
   }
 
-  public async connect(logger: Logger): Promise<void> {
-    const ws = new WebSocket(this.url);
-    let connected = false;
-    await new Promise<void>((resolve, reject) => {
-      ws.addEventListener('error', (error: unknown) => {
-        if (connected) {
-          logger.error(error, 'WebSocket error');
-        } else {
-          reject(error);
-        }
-      });
-      ws.addEventListener('open', () => {
-        connected = true;
-        resolve();
-      });
-      ws.addEventListener('message', (message: MessageEvent) => {
-        let event: object;
-        try {
-          event = JSON.parse(String(message.data));
-        } catch {
-          logger.warn({ data: message.data }, 'Malformed websocket event');
-          return;
-        }
-        for (const listener of this.listeners) {
-          listener(event);
-        }
-      });
-      this.closed = new Promise(resolveClose => {
-        ws.addEventListener('close', () => {
-          this.ws = null;
-          resolveClose();
-        });
-      });
-    });
-    this.ws = ws;
+  public connect(logger: Logger): Promise<void> {
+    return this.stream.start(logger);
   }
 
   public registerEventListener(cb: (event: object) => void): void {
-    this.listeners.add(cb);
+    this.stream.subscribe(cb);
   }
 
-  public async close(): Promise<void> {
-    this.ws?.close();
-    await this.closed;
+  public close(): Promise<void> {
+    return this.stream.stop();
   }
 }

@@ -3,14 +3,11 @@
  * (imageId) or registers its own output-scoped image from `source`
  * (URL or server path) and renders an empty View until ready.
  */
-import { createElement, useContext, useEffect, useState } from 'react';
+import { createElement, useEffect, useState } from 'react';
 import type * as Api from '../api.js';
-import type { ComponentBaseProps, SceneComponent } from '../component.js';
-import { createSmelterComponent } from '../component.js';
-import { newInternalImageId } from '../context/internalImageIdManager.js';
-import { SmelterContext } from '../context/index.js';
-import { newBlockingTask } from '../hooks.js';
-import type { RegisterImage } from '../types/resource.js';
+import type { ComponentBaseProps, SceneFragment } from '../scene.js';
+import { sceneNode } from '../scene.js';
+import { useRuntime } from '../runtime.js';
 import {
   imageRefIntoRawId,
   OUTPUT_SPECIFIC_IMAGE_TYPE,
@@ -30,9 +27,9 @@ export type ImageProps = Omit<ComponentBaseProps, 'children'> &
     style?: ImageStyleProps;
   };
 
-type InnerImageProps = Omit<ImageProps, 'imageId' | 'source'> & { imageId: string };
+type RawImageProps = Omit<ImageProps, 'imageId' | 'source'> & { imageId: string };
 
-function sceneBuilder(props: InnerImageProps, _children: SceneComponent[]): Api.Component {
+function sceneBuilder(props: RawImageProps, _children: SceneFragment[]): Api.Component {
   return {
     type: 'image',
     id: props.id,
@@ -42,69 +39,63 @@ function sceneBuilder(props: InnerImageProps, _children: SceneComponent[]): Api.
   };
 }
 
-export const InnerImage = createSmelterComponent<InnerImageProps>(sceneBuilder);
+export const RawImage = sceneNode<RawImageProps>('image', sceneBuilder);
 
 function Image(props: ImageProps) {
-  const ctx = useContext(SmelterContext);
-  const [internalImageId, setInternalImageId] = useState(0);
-  const [registered, setRegistered] = useState(!!props.imageId);
+  const runtime = useRuntime();
+  const [scoped, setScoped] = useState<{ handle: number; ready: boolean } | null>(null);
 
   if ((props.imageId && props.source) || (!props.imageId && !props.source)) {
     throw new Error('Either "imageId" or "source" must be provided, but not both.');
   }
 
   useEffect(() => {
-    if (props.imageId) {
-      setRegistered(true);
+    if (!props.source) {
       return;
     }
-    setRegistered(false);
-    const newImageId = newInternalImageId();
-    setInternalImageId(newImageId);
-    const sourceField: Pick<RegisterImage, 'serverPath' | 'url'> =
-      props.source?.startsWith('http://') || props.source?.startsWith('https://')
-        ? { url: props.source }
-        : { serverPath: props.source };
+    const source = props.source;
+    const handle = runtime.allocHandle();
+    setScoped({ handle, ready: false });
 
-    let registerPromise: Promise<unknown> | undefined;
-    const task = newBlockingTask(ctx);
-    void (async () => {
+    const release = runtime.clock.hold();
+    const registration = (async () => {
       try {
-        registerPromise = ctx.registerImage(newImageId, {
-          ...sourceField,
+        const isHttp =
+          source.startsWith('http://') || source.startsWith('https://');
+        await runtime.addImageAsset(handle, {
+          url: isHttp ? source : undefined,
+          serverPath: isHttp ? undefined : source,
           assetType: 'auto',
         });
-        await registerPromise;
-        setRegistered(true);
+        setScoped({ handle, ready: true });
       } finally {
-        task.done();
+        release();
       }
     })();
     return () => {
-      task.done();
-      void (async () => {
-        await registerPromise?.catch(() => undefined);
-        await ctx.unregisterImage(newImageId);
-      })();
+      release();
+      void registration
+        .catch(() => undefined)
+        .then(() => runtime.removeImageAsset(handle));
     };
   }, [props.source, props.imageId]);
 
-  if (!registered) {
-    return createElement(View, {});
-  }
-  if (props.source) {
-    return createElement(InnerImage, {
+  if (props.imageId) {
+    return createElement(RawImage, {
       ...props,
-      imageId: imageRefIntoRawId({
-        type: OUTPUT_SPECIFIC_IMAGE_TYPE,
-        id: internalImageId,
-        outputId: ctx.outputId,
-      }),
+      imageId: imageRefIntoRawId({ type: 'global', id: props.imageId as string }),
     });
   }
-  return createElement(InnerImage, {
+  if (!scoped?.ready) {
+    return createElement(View, {});
+  }
+  return createElement(RawImage, {
     ...props,
-    imageId: imageRefIntoRawId({ type: 'global', id: props.imageId as string }),
+    imageId: imageRefIntoRawId({
+      type: OUTPUT_SPECIFIC_IMAGE_TYPE,
+      id: scoped.handle,
+      outputId: runtime.outputId,
+    }),
   });
 }
 

@@ -1,10 +1,9 @@
 /** InputStream: renders a globally registered input (wire: InputStream). */
-import { createElement, useContext, useEffect, useState } from 'react';
+import { createElement } from 'react';
 import type * as Api from '../api.js';
-import type { ComponentBaseProps, SceneComponent } from '../component.js';
-import { createSmelterComponent } from '../component.js';
-import { useTimeLimitedComponent } from '../context/childrenLifetimeContext.js';
-import { SmelterContext } from '../context/index.js';
+import type { ComponentBaseProps, SceneFragment } from '../scene.js';
+import { sceneNode } from '../scene.js';
+import { useMountTimestamp, useRetainUntil } from '../lifecycle.js';
 import { useAudioInput, useInputStreams } from '../hooks.js';
 import { inputRefIntoRawId } from '../types/refs/inputRef.js';
 
@@ -21,7 +20,7 @@ type AudioPropNames = 'muted' | 'volume';
 
 function sceneBuilder(
   props: Omit<InputStreamProps, AudioPropNames>,
-  _children: SceneComponent[]
+  _children: SceneFragment[]
 ): Api.Component {
   return {
     type: 'input_stream',
@@ -30,29 +29,30 @@ function sceneBuilder(
   };
 }
 
-export const InnerInputStream =
-  createSmelterComponent<Omit<InputStreamProps, AudioPropNames>>(sceneBuilder);
+/** The bare scene node; <Mp4/> reuses it with an output-scoped raw id. */
+export const RawInputStream =
+  sceneNode<Omit<InputStreamProps, AudioPropNames>>('input_stream', sceneBuilder);
 
-function useTimeLimitedInputStream(inputId: string): void {
-  const ctx = useContext(SmelterContext);
-  const [mountTs, setMountTs] = useState(0);
-  useEffect(() => {
-    setMountTs(ctx.timeContext.timestampMs());
-  }, [inputId]);
-
-  const inputs = useInputStreams();
-  const input = inputs[inputId];
-  const videoDurationMs = Math.max(0, (input?.videoDurationMs ?? 0) - (input?.seekMs ?? 0));
-  const audioDurationMs = Math.max(0, (input?.audioDurationMs ?? 0) - (input?.seekMs ?? 0));
-  useTimeLimitedComponent((input?.offsetMs ?? mountTs) + videoDurationMs);
-  useTimeLimitedComponent((input?.offsetMs ?? mountTs) + audioDurationMs);
+/** Hold the surrounding keep-alive scope open while the stream has media. */
+export function useStreamLifetime(entry: {
+  offsetMs?: number | null;
+  videoDurationMs?: number;
+  audioDurationMs?: number;
+  seekMs?: number;
+} | undefined): void {
+  const mountMs = useMountTimestamp();
+  const startMs = entry?.offsetMs ?? mountMs;
+  const played = (durationMs: number | undefined) =>
+    Math.max(0, (durationMs ?? 0) - (entry?.seekMs ?? 0));
+  useRetainUntil(startMs + played(entry?.videoDurationMs));
+  useRetainUntil(startMs + played(entry?.audioDurationMs));
 }
 
 function InputStream(props: InputStreamProps) {
   const { muted, volume, inputId, ...rest } = props;
   useAudioInput(inputId, { volume: muted ? 0 : (volume ?? 1) });
-  useTimeLimitedInputStream(inputId);
-  return createElement(InnerInputStream, {
+  useStreamLifetime(useInputStreams()[inputId]);
+  return createElement(RawInputStream, {
     ...rest,
     inputId: inputRefIntoRawId({ type: 'global', id: inputId }),
   });

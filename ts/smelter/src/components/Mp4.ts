@@ -3,25 +3,16 @@
  * renders it like an InputStream, including audio contribution and
  * offline lifetime limiting by the file's duration.
  */
-import {
-  createElement,
-  useContext,
-  useEffect,
-  useState,
-  useSyncExternalStore,
-} from 'react';
-import type { ComponentBaseProps } from '../component.js';
-import { useTimeLimitedComponent } from '../context/childrenLifetimeContext.js';
-import { SmelterContext } from '../context/index.js';
-import { newInternalStreamId } from '../context/internalStreamIdManager.js';
-import { newBlockingTask } from '../hooks.js';
-import { OfflineTimeContext } from '../context/timeContext.js';
+import { createElement, useEffect, useState } from 'react';
+import type { ComponentBaseProps } from '../scene.js';
+import { useCell } from '../reactive.js';
+import { useRuntime } from '../runtime.js';
 import type { RegisterMp4Input } from '../types/input/common.js';
 import {
   inputRefIntoRawId,
   OUTPUT_SPECIFIC_INPUT_TYPE,
 } from '../types/refs/inputRef.js';
-import { InnerInputStream } from './InputStream.js';
+import { RawInputStream, useStreamLifetime } from './InputStream.js';
 
 export type Mp4Props = Omit<ComponentBaseProps, 'children'> & {
   /** Audio volume [0, 1]. */
@@ -33,98 +24,69 @@ export type Mp4Props = Omit<ComponentBaseProps, 'children'> & {
   source: string | Blob;
 };
 
-function useInternalAudioInput(inputId: number, volume: number): void {
-  const ctx = useContext(SmelterContext);
-  useEffect(() => {
-    if (inputId === 0) {
-      return;
+function classifySource(
+  source: string | Blob
+): Pick<RegisterMp4Input, 'url' | 'serverPath' | 'blob'> {
+  if (typeof source !== 'string') {
+    if (typeof window === 'undefined') {
+      throw new Error('Blob as a source is not supported on Node.js');
     }
-    const options = { volume };
-    const ref = {
-      type: OUTPUT_SPECIFIC_INPUT_TYPE,
-      id: inputId,
-      outputId: ctx.outputId,
-    } as const;
-    ctx.audioContext.addInputAudioComponent(ref, options);
-    return () => ctx.audioContext.removeInputAudioComponent(ref, options);
-  }, [inputId, volume]);
-}
-
-function useTimeLimitedMp4(inputId: number): void {
-  const ctx = useContext(SmelterContext);
-  const [mountTs, setMountTs] = useState(0);
-  useEffect(() => {
-    setMountTs(ctx.timeContext.timestampMs());
-  }, [inputId]);
-
-  const streams = useSyncExternalStore(
-    ctx.internalInputStreamStore.subscribe,
-    ctx.internalInputStreamStore.getSnapshot
-  );
-  const input = streams[String(inputId)];
-  const videoDurationMs = Math.max(0, (input?.videoDurationMs ?? 0) - (input?.seekMs ?? 0));
-  const audioDurationMs = Math.max(0, (input?.audioDurationMs ?? 0) - (input?.seekMs ?? 0));
-  useTimeLimitedComponent((input?.offsetMs ?? mountTs) + videoDurationMs);
-  useTimeLimitedComponent((input?.offsetMs ?? mountTs) + audioDurationMs);
+    return { blob: source };
+  }
+  if (source.startsWith('http://') || source.startsWith('https://')) {
+    return { url: source };
+  }
+  return { serverPath: source };
 }
 
 function Mp4(props: Mp4Props) {
   const { muted, volume, source, ...rest } = props;
-  const ctx = useContext(SmelterContext);
-  const [inputId, setInputId] = useState(0);
+  const runtime = useRuntime();
+  const [handle, setHandle] = useState(0);
 
   useEffect(() => {
-    const newInputId = newInternalStreamId();
-    setInputId(newInputId);
+    const newHandle = runtime.allocHandle();
+    setHandle(newHandle);
 
-    let sourceField: Pick<RegisterMp4Input, 'url' | 'serverPath' | 'blob'>;
-    if (typeof source !== 'string') {
-      if (typeof window === 'undefined') {
-        throw new Error('Blob as a source is not supported on Node.js');
-      }
-      sourceField = { blob: source };
-    } else if (source.startsWith('http://') || source.startsWith('https://')) {
-      sourceField = { url: source };
-    } else {
-      sourceField = { serverPath: source };
-    }
-
-    let registerPromise: Promise<unknown> | undefined;
-    const task = newBlockingTask(ctx);
-    void (async () => {
+    // offline rendering blocks on the file being ready
+    const release = runtime.clock.hold();
+    const registration = (async () => {
       try {
-        registerPromise = ctx.registerMp4Input(newInputId, {
-          ...sourceField,
+        await runtime.addMp4Source(newHandle, {
+          ...classifySource(source),
           loop: props.loop,
           seekMs: props.seekMs,
-          // offline outputs must block on the file being ready
-          required: ctx.timeContext instanceof OfflineTimeContext,
+          required: runtime.offline,
         });
-        await registerPromise;
       } finally {
-        task.done();
+        release();
       }
     })();
     return () => {
-      task.done();
-      void (async () => {
-        await registerPromise?.catch(() => undefined);
-        await ctx.unregisterMp4Input(newInputId);
-      })();
+      release();
+      void registration
+        .catch(() => undefined)
+        .then(() => runtime.removeMp4Source(newHandle));
     };
   }, [props.source, props.seekMs, props.loop]);
 
-  useInternalAudioInput(inputId, muted ? 0 : (volume ?? 1));
-  useTimeLimitedMp4(inputId);
-
-  return createElement(InnerInputStream, {
-    ...rest,
-    inputId: inputRefIntoRawId({
-      type: OUTPUT_SPECIFIC_INPUT_TYPE,
-      id: inputId,
-      outputId: ctx.outputId,
-    }),
+  // audio contribution under the output-scoped raw id
+  const rawId = inputRefIntoRawId({
+    type: OUTPUT_SPECIFIC_INPUT_TYPE,
+    id: handle,
+    outputId: runtime.outputId,
   });
+  const effectiveVolume = muted ? 0 : (volume ?? 1);
+  useEffect(() => {
+    if (handle === 0) {
+      return;
+    }
+    return runtime.mixer.contribute(rawId, effectiveVolume);
+  }, [rawId, effectiveVolume, handle]);
+
+  useStreamLifetime(useCell(runtime.scopedStreams.cell)[String(handle)]);
+
+  return createElement(RawInputStream, { ...rest, inputId: rawId });
 }
 
 export default Mp4;

@@ -1,7 +1,12 @@
-/** Shader component (wire: Shader; params convert to the tagged wire form). */
+/**
+ * Shader — user-registered compute applied to child textures.
+ * Wire schema: smelter_tpu/api/schema.py `Shader`; params convert to the
+ * tagged wire form (reference behavior: smelter-render/src/transformations/
+ * shader.rs).
+ */
 import type * as Api from '../api.js';
-import type { ComponentBaseProps, SceneComponent } from '../component.js';
-import { createSmelterComponent, sceneComponentIntoApi } from '../component.js';
+import type { ComponentBaseProps } from '../scene.js';
+import { sceneNodeFromSpec } from '../scene.js';
 
 export type ShaderParam =
   | { type: 'f32'; value: number }
@@ -21,12 +26,9 @@ export type ShaderProps = ComponentBaseProps & {
   resolution: Api.Resolution;
 };
 
-function intoApiShaderParam(param: ShaderParam): Api.ShaderParam {
+/** Uniformly recursive camelCase → wire conversion of a param tree. */
+export function intoApiShaderParam(param: ShaderParam): Api.ShaderParam {
   switch (param.type) {
-    case 'f32':
-    case 'u32':
-    case 'i32':
-      return { type: param.type, value: param.value };
     case 'list':
       return { type: 'list', value: param.value.map(intoApiShaderParam) };
     case 'struct':
@@ -34,32 +36,17 @@ function intoApiShaderParam(param: ShaderParam): Api.ShaderParam {
         type: 'struct',
         value: param.value.map(field => ({
           field_name: field.fieldName,
-          type: field.type,
-          value:
-            field.type === 'list'
-              ? (field.value as ShaderParam[]).map(intoApiShaderParam)
-              : field.type === 'struct'
-                ? (field.value as ShaderParamStructField[]).map(f => ({
-                    field_name: f.fieldName,
-                    type: f.type,
-                    value: f.value,
-                  }))
-                : field.value,
+          ...intoApiShaderParam(field),
         })),
       };
+    default:
+      return { type: param.type, value: param.value };
   }
 }
 
-function sceneBuilder(props: ShaderProps, children: SceneComponent[]): Api.Component {
-  return {
-    type: 'shader',
-    id: props.id,
-    children: children.map(sceneComponentIntoApi),
-    shader_id: props.shaderId,
-    shader_param: props.shaderParam && intoApiShaderParam(props.shaderParam),
-    resolution: props.resolution,
-  };
-}
+const Shader = sceneNodeFromSpec<ShaderProps>('shader', {
+  rootFields: ['shaderId', 'shaderParam', 'resolution'],
+  transforms: { shaderParam: intoApiShaderParam },
+});
 
-const Shader = createSmelterComponent<ShaderProps>(sceneBuilder);
 export default Shader;

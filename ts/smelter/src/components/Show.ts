@@ -1,11 +1,10 @@
 /**
- * Show: gates children by time — either a [start, end] window on the
- * output timeline or a delay from mount.
+ * Show — gates children by time: either a [start, end] window on the
+ * output timeline, or a delay measured from component mount.
  */
-import { useContext, useEffect, useState } from 'react';
-import type { ComponentBaseProps } from '../component.js';
-import { SmelterContext } from '../context/index.js';
+import type { ComponentBaseProps } from '../scene.js';
 import { useAfterTimestamp } from '../hooks.js';
+import { useMountTimestamp } from '../lifecycle.js';
 
 export type ShowProps = Omit<ComponentBaseProps, 'id'> & {
   /** Window on the output timeline when children render. */
@@ -14,34 +13,32 @@ export type ShowProps = Omit<ComponentBaseProps, 'id'> & {
   delayMs?: number;
 };
 
-function Show(props: ShowProps) {
-  if (props.delayMs !== undefined && props.timeRangeMs) {
-    throw new Error('"delayMs" and "timestamp" props can\'t be specified at the same time.');
+function Show({ children, timeRangeMs, delayMs }: ShowProps) {
+  const mode =
+    delayMs !== undefined && timeRangeMs ? 'conflict'
+    : delayMs !== undefined ? 'delay'
+    : timeRangeMs ? 'range'
+    : 'empty';
+  if (mode === 'conflict') {
+    throw new Error('<Show> accepts either delayMs or timeRangeMs, not both.');
   }
-  if (props.timeRangeMs && props.timeRangeMs.start === undefined
-      && props.timeRangeMs.end === undefined) {
-    throw new Error('"timestampMs" prop needs to define at least one value "start" or "end".');
+  if (mode === 'range' && timeRangeMs?.start === undefined && timeRangeMs?.end === undefined) {
+    throw new Error('<Show timeRangeMs> needs a start and/or an end.');
   }
 
-  const ctx = useContext(SmelterContext);
-  const [mountTimestampMs, setMountTimestampMs] = useState<number>(() =>
-    ctx.timeContext.timestampMs()
-  );
-  const afterStart = useAfterTimestamp(props.timeRangeMs?.start ?? 0);
-  const afterEnd = useAfterTimestamp(props.timeRangeMs?.end ?? Infinity);
-  const afterDelay = useAfterTimestamp(mountTimestampMs + (props.delayMs ?? 0));
+  const mountMs = useMountTimestamp();
+  // Hooks run unconditionally; the gates pick which answers matter.
+  const gates = {
+    delayElapsed: useAfterTimestamp(mountMs + (delayMs ?? 0)),
+    windowOpen: useAfterTimestamp(timeRangeMs?.start ?? 0),
+    windowClosed: useAfterTimestamp(timeRangeMs?.end ?? Infinity),
+  };
 
-  useEffect(() => {
-    setMountTimestampMs(ctx.timeContext.timestampMs());
-  }, []);
-
-  if (props.delayMs !== undefined && afterDelay) {
-    return props.children;
-  }
-  if (props.timeRangeMs && afterStart && !afterEnd) {
-    return props.children;
-  }
-  return null;
+  const visible =
+    mode === 'delay' ? gates.delayElapsed
+    : mode === 'range' ? gates.windowOpen && !gates.windowClosed
+    : false;
+  return visible ? children : null;
 }
 
 export default Show;

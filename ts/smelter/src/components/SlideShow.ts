@@ -1,25 +1,20 @@
 /**
- * SlideShow: renders one <Slide/> at a time, advancing when the current
+ * SlideShow — renders one <Slide/> at a time, advancing when the current
  * slide's time-limited content (Mp4 durations, Show windows, nested
- * SlideShows) finishes — tracked through ChildrenLifetimeContext.
+ * SlideShows) finishes; tracked through a per-slideshow keep-alive scope.
+ *
+ * Unlike a mutable cursor, the position is *derived*: each slide that
+ * drains its scope gets its React key marked finished, and the slideshow
+ * always renders the first un-finished slide. Edits to the child list
+ * (insert/remove/reorder) therefore need no relocation bookkeeping —
+ * already-played slides stay played, everything else keeps its turn.
  */
 import type React from 'react';
 import type { ReactElement } from 'react';
-import {
-  Children,
-  createElement,
-  useCallback,
-  useEffect,
-  useRef,
-  useState,
-} from 'react';
-import type { ComponentBaseProps } from '../component.js';
-import {
-  ChildrenLifetimeContext,
-  ChildrenLifetimeContextType,
-  useCompletableComponent,
-  useTimeLimitedComponent,
-} from '../context/childrenLifetimeContext.js';
+import { Children, createElement, useEffect, useState } from 'react';
+import type { ComponentBaseProps } from '../scene.js';
+import { KeepAlive } from '../runtime.js';
+import { ScopeContext, useRetainUntil, useRetainWhile } from '../lifecycle.js';
 import { useCurrentTimestamp } from '../hooks.js';
 import View from './View.js';
 
@@ -32,83 +27,59 @@ export type SlideShowProps = {
   children: React.ReactNode;
 };
 
-export function SlideShow(props: SlideShowProps) {
-  const prevChildrenRef = useRef<React.ReactNode>(undefined);
-  const [childIndex, setChildIndex] = useState(0);
+type Keyed = { key: React.Key | null };
 
-  const childrenArray = Children.toArray(props.children);
-  for (const slide of childrenArray) {
-    if ((slide as ReactElement).type !== Slide) {
-      throw new Error('SlideShow component only accepts <Slide /> as children');
-    }
-  }
-
-  // keep pointing at the same slide (by key) when the child list changes
-  useEffect(() => {
-    const next = Children.toArray(props.children);
-    const remaining = Children.toArray(prevChildrenRef.current).slice(childIndex);
-    const tracked = findTrackedIndex(remaining, next);
-    if (tracked !== null && tracked !== childIndex) {
-      setChildIndex(tracked);
-    }
-    prevChildrenRef.current = props.children;
-  }, [props.children]);
-
-  const [checkChildren, setCheckChildren] = useState(false);
-  const onChildrenChange = useCallback(() => setCheckChildren(true), []);
-  const [slideContext] = useState(() => new ChildrenLifetimeContext(onChildrenChange));
-
-  useEffect(() => {
-    if (checkChildren) {
-      setCheckChildren(false);
-      if (slideContext.isDone()) {
-        setChildIndex(childIndex + 1);
-      }
-    }
-  }, [checkChildren]);
-
-  // report this SlideShow's lifetime upward (nested SlideShows)
-  useCompletableComponent(childIndex >= childrenArray.length);
-
-  return createElement(
-    ChildrenLifetimeContextType.Provider,
-    { value: slideContext },
-    childrenArray[childIndex] ?? createElement(View, {})
-  );
+function slideKey(slide: React.ReactNode, position: number): React.Key {
+  return (slide as Keyed).key ?? position;
 }
 
-/** First index in `next` whose key matches any not-yet-shown old slide. */
-function findTrackedIndex(
-  remaining: ReturnType<typeof Children.toArray>,
-  next: ReturnType<typeof Children.toArray>
-): number | null {
-  for (const prev of remaining) {
-    for (const [index, child] of next.entries()) {
-      if ((child as ReactElement).key === (prev as ReactElement).key) {
-        return index;
-      }
-    }
+export function SlideShow(props: SlideShowProps) {
+  const deck = Children.toArray(props.children);
+  const stray = deck.find(el => (el as ReactElement).type !== Slide);
+  if (stray) {
+    throw new Error('SlideShow component only accepts <Slide /> as children');
   }
-  return null;
+
+  const [finished, setFinished] = useState<ReadonlySet<React.Key>>(() => new Set());
+  const liveAt = deck.findIndex((el, i) => !finished.has(slideKey(el, i)));
+  const live = liveAt >= 0 ? deck[liveAt] : undefined;
+
+  // One scope per slideshow; the mounted slide's content retains it, and a
+  // drain marks that slide's key as played.
+  const [scope] = useState(() => new KeepAlive());
+  useEffect(() => {
+    if (live === undefined) return;
+    const playedKey = slideKey(live, liveAt);
+    // watch drain *transitions* only — during mount the snapshot is 0,
+    // before the slide's own retain effects have registered
+    return scope.pending.watch(() => {
+      if (scope.idle()) {
+        setFinished(prev => new Set(prev).add(playedKey));
+      }
+    });
+  }, [scope, live, liveAt]);
+
+  // keep the parent scope open while this deck still has slides to play
+  useRetainWhile(live !== undefined);
+
+  return createElement(
+    ScopeContext.Provider,
+    { value: scope },
+    live ?? createElement(View, {})
+  );
 }
 
 export function Slide(props: SlideProps) {
-  const [isolatedContext] = useState(
-    () => new ChildrenLifetimeContext(() => undefined)
-  );
-  const currentTimestamp = useCurrentTimestamp();
-  const [initTimestamp] = useState(currentTimestamp);
+  const now = useCurrentTimestamp();
+  const [shownAt] = useState(now);
+  const [sealedScope] = useState(() => new KeepAlive());
 
-  const durationMs = props.durationMs ?? 1000;
-  useTimeLimitedComponent(initTimestamp + durationMs);
+  useRetainUntil(shownAt + (props.durationMs ?? 1000));
 
   if (props.durationMs) {
-    // fixed duration: isolate children lifetimes so they can't extend it
-    return createElement(
-      ChildrenLifetimeContextType.Provider,
-      { value: isolatedContext },
-      props.children
-    );
+    // fixed duration: seal children into their own scope so their
+    // lifetimes can't extend the slide
+    return createElement(ScopeContext.Provider, { value: sealedScope }, props.children);
   }
   return props.children;
 }

@@ -1,25 +1,29 @@
-/** Tiles grid layout (wire schema: smelter_tpu/api/schema.py Tiles). */
+/**
+ * Tiles — packs children into an optimal equal-size grid.
+ * Wire schema: smelter_tpu/api/schema.py `Tiles` (reference behavior:
+ * smelter-render/src/scene/tiles_component.rs).
+ */
 import type * as Api from '../api.js';
-import type { ComponentBaseProps, SceneComponent } from '../component.js';
-import { createSmelterComponent, sceneComponentIntoApi } from '../component.js';
+import type { ComponentBaseProps } from '../scene.js';
+import { sceneNodeFromSpec } from '../scene.js';
 import type { Transition } from './common.js';
 import { intoApiTransition } from './common.js';
 
 export type TilesStyleProps = {
-  width?: number;
-  height?: number;
   /** (default "#00000000") Background color. */
   backgroundColor?: string;
-  /** (default "16:9") Aspect ratio of every tile, "W:H". */
-  tileAspectRatio?: Api.AspectRatio | null;
+  height?: number;
+  /** (default "center") Horizontal alignment of an incomplete tile row. */
+  horizontalAlign?: Api.HorizontalAlign;
   /** (default 0) Gap between tiles and the component edge. */
   margin?: number;
   /** (default 0) Gap between neighboring tiles. */
   padding?: number;
-  /** (default "center") Horizontal alignment of an incomplete tile row. */
-  horizontalAlign?: Api.HorizontalAlign;
+  /** (default "16:9") Aspect ratio of every tile, "W:H". */
+  tileAspectRatio?: Api.AspectRatio | null;
   /** (default "center") Vertical alignment of the tile grid. */
   verticalAlign?: Api.VerticalAlign;
+  width?: number;
 };
 
 export type TilesProps = ComponentBaseProps & {
@@ -28,23 +32,13 @@ export type TilesProps = ComponentBaseProps & {
   transition?: Transition;
 };
 
-function sceneBuilder({ id, style, transition }: TilesProps,
-                      children: SceneComponent[]): Api.Component {
-  return {
-    type: 'tiles',
-    id,
-    children: children.map(sceneComponentIntoApi),
-    width: style?.width,
-    height: style?.height,
-    background_color: style?.backgroundColor,
-    tile_aspect_ratio: style?.tileAspectRatio ?? undefined,
-    margin: style?.margin,
-    padding: style?.padding,
-    horizontal_align: style?.horizontalAlign,
-    vertical_align: style?.verticalAlign,
-    transition: transition && intoApiTransition(transition),
-  };
-}
+const Tiles = sceneNodeFromSpec<TilesProps>('tiles', {
+  rootFields: ['transition'],
+  styleFields: [
+    'backgroundColor', 'height', 'horizontalAlign', 'margin', 'padding',
+    'tileAspectRatio', 'verticalAlign', 'width',
+  ],
+  transforms: { transition: intoApiTransition },
+});
 
-const Tiles = createSmelterComponent<TilesProps>(sceneBuilder);
 export default Tiles;

@@ -1,21 +1,19 @@
-/** WebView: embeds a registered web-renderer instance (wire: WebView). */
+/**
+ * WebView — embeds a registered web-renderer instance.
+ * Wire schema: smelter_tpu/api/schema.py `WebView` (reference behavior:
+ * smelter-render/src/transformations/web_renderer.rs).
+ */
 import type * as Api from '../api.js';
-import type { ComponentBaseProps, SceneComponent } from '../component.js';
-import { createSmelterComponent, sceneComponentIntoApi } from '../component.js';
+import type { ComponentBaseProps } from '../scene.js';
+import { sceneNodeFromSpec } from '../scene.js';
 
 export type WebViewProps = ComponentBaseProps & {
   /** Id the web renderer instance was registered with. */
   instanceId: Api.RendererId;
 };
 
-function sceneBuilder(props: WebViewProps, children: SceneComponent[]): Api.Component {
-  return {
-    type: 'web_view',
-    id: props.id,
-    children: children.map(sceneComponentIntoApi),
-    instance_id: props.instanceId,
-  };
-}
+const WebView = sceneNodeFromSpec<WebViewProps>('web_view', {
+  rootFields: ['instanceId'],
+});
 
-const WebView = createSmelterComponent<WebViewProps>(sceneBuilder);
 export default WebView;

@@ -1,75 +1,41 @@
-/** Public hooks (reference ts/smelter/src/hooks.ts surface). */
-import { useContext, useEffect, useState, useSyncExternalStore } from 'react';
+/**
+ * Public hooks. Behavior matches the reference SDK's hook surface
+ * (reference ts/smelter/src/hooks.ts); the implementation rides this SDK's
+ * Cell/runtime model instead. Ordered alphabetically.
+ */
+import { useEffect, useState } from 'react';
 
 import type * as Api from './api.js';
-import type { SmelterOutputContext } from './context/index.js';
-import { SmelterContext } from './context/index.js';
-import type { BlockingTask } from './context/timeContext.js';
-import { OfflineTimeContext } from './context/timeContext.js';
-import type { InputStreamInfo } from './context/inputStreamStore.js';
-
-/** Snapshot of every globally registered input stream. */
-export function useInputStreams(): Record<Api.InputId, InputStreamInfo<string>> {
-  const ctx = useContext(SmelterContext);
-  return useSyncExternalStore(
-    ctx.globalInputStreamStore.subscribe,
-    ctx.globalInputStreamStore.getSnapshot
-  );
-}
+import { useCell } from './reactive.js';
+import type { StreamEntry } from './runtime.js';
+import { useRuntime } from './runtime.js';
+import { inputRefIntoRawId } from './types/refs/inputRef.js';
 
 export type AudioOptions = {
   volume: number;
 };
+
+/** True once the render timestamp passes `timestamp` (ms). */
+export function useAfterTimestamp(timestamp: number): boolean {
+  const runtime = useRuntime();
+  const now = useCurrentTimestamp();
+  useEffect(() => {
+    return timestamp === Infinity ? undefined : runtime.clock.markInterest(timestamp);
+  }, [timestamp]);
+  return now >= timestamp;
+}
 
 /**
  * Control an input's audio contribution to this output. When rendering an
  * <InputStream/> component prefer its `muted`/`volume` props.
  */
 export function useAudioInput(inputId: Api.InputId, audioOptions: AudioOptions): void {
-  const ctx = useContext(SmelterContext);
+  const runtime = useRuntime();
+  const volume = audioOptions.volume;
   useEffect(() => {
-    const options = { ...audioOptions };
-    ctx.audioContext.addInputAudioComponent({ type: 'global', id: inputId }, options);
-    return () => {
-      ctx.audioContext.removeInputAudioComponent({ type: 'global', id: inputId }, options);
-    };
-  }, [audioOptions]);
-}
-
-/**
- * Current timestamp relative to Smelter.start(). Re-renders only fire for
- * timestamps registered via useAfterTimestamp.
- */
-export function useCurrentTimestamp(): number {
-  const ctx = useContext(SmelterContext);
-  useSyncExternalStore(ctx.timeContext.subscribe, ctx.timeContext.getSnapshot);
-  return ctx.timeContext.timestampMs();
-}
-
-/** True once the render timestamp passes `timestamp` (ms). */
-export function useAfterTimestamp(timestamp: number): boolean {
-  const ctx = useContext(SmelterContext);
-  const current = useCurrentTimestamp();
-  useEffect(() => {
-    if (timestamp === Infinity) {
-      return;
-    }
-    const entry = { timestamp };
-    ctx.timeContext.addTimestamp(entry);
-    return () => ctx.timeContext.removeTimestamp(entry);
-  }, [timestamp]);
-  return current >= timestamp;
-}
-
-/**
- * Create a task that blocks offline rendering until done() is called
- * (no-op in live mode).
- */
-export function newBlockingTask(ctx: SmelterOutputContext): BlockingTask {
-  if (ctx.timeContext instanceof OfflineTimeContext) {
-    return ctx.timeContext.newBlockingTask();
-  }
-  return { done: () => undefined };
+    const rawId = inputRefIntoRawId({ type: 'global', id: inputId });
+    return runtime.mixer.contribute(rawId, volume);
+  }, [inputId, volume]);
 }
 
 /**
@@ -77,18 +43,33 @@ export function newBlockingTask(ctx: SmelterOutputContext): BlockingTask {
  * timestamp blocks until it settles.
  */
 export function useBlockingTask<T>(fn: () => Promise<T>): T | undefined {
-  const ctx = useContext(SmelterContext);
+  const runtime = useRuntime();
   const [result, setResult] = useState<T | undefined>(undefined);
   useEffect(() => {
-    const task = newBlockingTask(ctx);
-    void (async () => {
-      try {
-        setResult(await fn());
-      } finally {
-        task.done();
-      }
-    })();
-    return () => task.done();
+    const release = runtime.clock.hold();
+    fn().then(
+      value => {
+        setResult(value);
+        release();
+      },
+      () => release()
+    );
+    return release;
   }, []);
   return result;
+}
+
+/**
+ * Current timestamp relative to Smelter.start(). Re-renders only fire for
+ * timestamps registered via useAfterTimestamp.
+ */
+export function useCurrentTimestamp(): number {
+  const runtime = useRuntime();
+  useCell(runtime.clock.tick);
+  return runtime.clock.now();
+}
+
+/** Snapshot of every globally registered input stream. */
+export function useInputStreams(): Record<Api.InputId, StreamEntry<string>> {
+  return useCell(useRuntime().sharedStreams.cell);
 }

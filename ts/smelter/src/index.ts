@@ -30,7 +30,7 @@ export { SlideShow, Slide } from './components/SlideShow.js';
 export type { SlideShowProps, SlideProps } from './components/SlideShow.js';
 
 export type { Transition, EasingFunction, BoxShadow } from './components/common.js';
-export type { ComponentBaseProps } from './component.js';
+export type { ComponentBaseProps } from './scene.js';
 
 export {
   useInputStreams,
