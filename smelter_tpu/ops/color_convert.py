@@ -67,7 +67,12 @@ def yuv_to_rgb(
 
 def rgb_to_yuv(rgb: jnp.ndarray, full_range: bool = False):
     """BT.709 RGB (..., 3) in [0,1] -> (y, u, v) planes in [0,1]."""
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return rgb_planes_to_yuv(rgb[..., 0], rgb[..., 1], rgb[..., 2], full_range)
+
+
+def rgb_planes_to_yuv(r, g, b, full_range: bool = False):
+    """BT.709 from separate R/G/B planes (the channel-major compose canvas
+    feeds these directly — no interleave/transpose)."""
     y = 0.2126 * r + 0.7152 * g + 0.0722 * b
     u = -0.1146 * r - 0.3854 * g + 0.5 * b + 0.5
     v = 0.5 * r - 0.4542 * g - 0.0458 * b + 0.5
@@ -177,6 +182,42 @@ def rgba_to_planar_yuv422(rgba: jnp.ndarray, full_range: bool = False):
 def rgba_to_planar_yuv444(rgba: jnp.ndarray, full_range: bool = False):
     y, u, v = rgb_to_yuv(_as_unit_f32(rgba)[..., :3], full_range)
     return (f32_to_u8(y), f32_to_u8(u), f32_to_u8(v))
+
+
+# ---------------------------------------------------------------------------
+# Channel-major (4, H, W) canvas -> YUV planes: the compose path's planar
+# canvas flows straight into per-plane math with ZERO transposes (the
+# interleaved converters above survive for (H, W, 4) sources).
+# ---------------------------------------------------------------------------
+
+
+def planar_rgba_to_yuv420(rgba_cm: jnp.ndarray, full_range: bool = False):
+    """(4, H, W) RGBA f32 [0,1] -> (y, u, v) u8 planes, 4:2:0."""
+    y, u, v = rgb_planes_to_yuv(rgba_cm[0], rgba_cm[1], rgba_cm[2], full_range)
+    return (
+        f32_to_u8(y),
+        f32_to_u8(downsample_chroma_2x2(u)),
+        f32_to_u8(downsample_chroma_2x2(v)),
+    )
+
+
+def planar_rgba_to_yuv422(rgba_cm: jnp.ndarray, full_range: bool = False):
+    y, u, v = rgb_planes_to_yuv(rgba_cm[0], rgba_cm[1], rgba_cm[2], full_range)
+    return (
+        f32_to_u8(y),
+        f32_to_u8(downsample_chroma_1x2(u)),
+        f32_to_u8(downsample_chroma_1x2(v)),
+    )
+
+
+def planar_rgba_to_yuv444(rgba_cm: jnp.ndarray, full_range: bool = False):
+    y, u, v = rgb_planes_to_yuv(rgba_cm[0], rgba_cm[1], rgba_cm[2], full_range)
+    return (f32_to_u8(y), f32_to_u8(u), f32_to_u8(v))
+
+
+def planar_rgba_to_nv12(rgba_cm: jnp.ndarray):
+    y, u, v = planar_rgba_to_yuv420(rgba_cm)
+    return y, jnp.stack([u, v], axis=-1)
 
 
 def nv12_to_rgba(y: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:

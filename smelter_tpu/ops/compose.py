@@ -8,6 +8,14 @@ every numeric parameter (rect, crop, radii, colors, rotation) is a *traced*
 scalar, so scene transitions animate parameters frame-to-frame without
 recompilation.
 
+The working canvas is CHANNEL-MAJOR (4, H, W) premultiplied f32: the W axis
+rides the VPU lanes, so region blend chains and SDF shading run at full
+vector width (the (H, W, 4) interleaved layout wastes 124 of 128 lanes on
+the size-4 minor dim — measured 2.4x slower on v5e for blend chains). The
+(H, W, 4) contract survives at two boundaries only: source textures/mips
+(gather sampling + the user-shader contract) and, when `planar=False`, the
+returned canvas.
+
 Per-layout semantics (mirroring apply_layouts.wgsl):
   - rounded-rect SDF for content edge antialiasing, borders and parent masks
   - content types: child texture (with crop + bilinear/mip sampling), solid
@@ -119,7 +127,9 @@ def rounded_rect_sdf(dx, dy, half_w, half_h, radius):
 
 
 def _premultiply(color: jnp.ndarray) -> jnp.ndarray:
-    return jnp.concatenate([color[:3] * color[3], color[3:4]])
+    """(4,) straight-alpha -> (4, 1, 1) premultiplied, broadcast-ready
+    against (4, h, w) channel-major layers."""
+    return jnp.concatenate([color[:3] * color[3], color[3:4]])[:, None, None]
 
 
 def _mask_alpha(px, py, params: LayoutParams, n_masks: int) -> jnp.ndarray:
@@ -134,6 +144,11 @@ def _mask_alpha(px, py, params: LayoutParams, n_masks: int) -> jnp.ndarray:
     return alpha
 
 
+def _over(layer: jnp.ndarray, under: jnp.ndarray) -> jnp.ndarray:
+    """Premultiplied OVER for channel-major (4, h, w) layers."""
+    return layer + under * (1.0 - layer[3:4])
+
+
 def render_single_layout(
     static: LayoutStatic,
     params: LayoutParams,
@@ -141,7 +156,7 @@ def render_single_layout(
     px: jnp.ndarray,  # (H, W) output pixel-center x coords
     py: jnp.ndarray,  # (H, W) output pixel-center y coords
 ) -> jnp.ndarray:
-    """Returns the layout's premultiplied RGBA contribution (H, W, 4)."""
+    """Returns the layout's premultiplied RGBA contribution (4, H, W)."""
     w = params.width
     h = params.height
     cx = params.left + w * 0.5
@@ -163,13 +178,12 @@ def render_single_layout(
         edge = -rounded_rect_sdf(dx, dy, w * 0.5, h * 0.5, params.border_radius)
         blur = jnp.maximum(params.blur_radius, 1.0)
         a = smoothstep(-blur * 0.5, blur * 0.5, edge) * mask_alpha
-        return _premultiply(params.color)[None, None, :] * a[..., None]
+        return _premultiply(params.color) * a[None]
 
     edge = -rounded_rect_sdf(dx, dy, w * 0.5, h * 0.5, params.border_radius)
 
     if static.content == "color":
-        content = _premultiply(params.color)[None, None, :]
-        content = jnp.broadcast_to(content, px.shape + (4,))
+        content = jnp.broadcast_to(_premultiply(params.color), (4,) + px.shape)
     else:  # texture
         mips = sources[static.source_index]
         crop_top, crop_left = params.crop[0], params.crop[1]
@@ -187,34 +201,35 @@ def render_single_layout(
         else:
             img = mips[0] if isinstance(mips, (list, tuple)) else mips
             content = sample_bilinear(img, sy, sx)
+        content = jnp.moveaxis(content, -1, 0)  # gather path is (H, W, 4)
 
     if not static.has_border:
         a = smoothstep(-0.5, 0.5, edge) * mask_alpha
-        return content * a[..., None]
+        return content * a[None]
 
     bw = params.border_width
-    border_color = _premultiply(params.border_color)[None, None, :]
+    border_color = _premultiply(params.border_color)
     if static.content == "color":
         border_alpha = smoothstep(bw, bw + 1.0, edge)
     else:
         border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
-    inner = border_color + (content - border_color) * border_alpha[..., None]
+    inner = border_color + (content - border_color) * border_alpha[None]
     content_alpha = smoothstep(-0.5, 0.5, edge)
-    outer = border_color * content_alpha[..., None]
-    out = jnp.where((edge > bw * 0.5)[..., None], inner, outer)
-    return out * mask_alpha[..., None]
+    outer = border_color * content_alpha[None]
+    out = jnp.where((edge > bw * 0.5)[None], inner, outer)
+    return out * mask_alpha[None]
 
 
 def _render_rect_layout(
     static: LayoutStatic,
     params: LayoutParams,
     sources: Sequence,
-    canvas: jnp.ndarray,  # (H, W, 4) premultiplied f32
+    canvas: jnp.ndarray,  # (4, H, W) premultiplied f32
 ) -> jnp.ndarray:
     """Fast path: render one non-rotated layout region-locally and blend it
     into the canvas with a static slice update (in place inside the fused
     program). Rect placement is integer; colors/radii/masks stay traced."""
-    H, W = canvas.shape[0], canvas.shape[1]
+    H, W = canvas.shape[1], canvas.shape[2]
     top, left, h, w = static.static_rect  # type: ignore[misc]
     if static.content == "box_shadow":
         pad = int(math.ceil(static.static_blur)) + 1
@@ -246,12 +261,10 @@ def _render_rect_layout(
     if static.content == "box_shadow":
         blur = jnp.maximum(params.blur_radius, 1.0)
         a = smoothstep(-blur * 0.5, blur * 0.5, edge) * mask_alpha
-        layer = _premultiply(params.color)[None, None, :] * a[..., None]
+        layer = _premultiply(params.color) * a[None]
     else:
         if static.content == "color":
-            content = jnp.broadcast_to(
-                _premultiply(params.color)[None, None, :], (vh, vw, 4)
-            )
+            content = jnp.broadcast_to(_premultiply(params.color), (4, vh, vw))
         else:
             from smelter_tpu.ops.resample import resize_matmul
 
@@ -259,31 +272,29 @@ def _render_rect_layout(
             img = mips[0] if isinstance(mips, (list, tuple)) else mips
             ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
             src = img[ct : ct + chh, cl : cl + cww]
-            # (h', w', 4) resize via MXU; channel axis moves through einsum
-            tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w)
-            tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+            # (4, h', w') resize via MXU — already channel-major
+            tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w).astype(jnp.float32)
             # visible slice of the resized tile
-            content = tile[y0 - top : y0 - top + vh, x0 - left : x0 - left + vw]
+            content = tile[:, y0 - top : y0 - top + vh, x0 - left : x0 - left + vw]
 
         if static.has_border:
             bw = params.border_width
-            border_color = _premultiply(params.border_color)[None, None, :]
+            border_color = _premultiply(params.border_color)
             if static.content == "color":
                 border_alpha = smoothstep(bw, bw + 1.0, edge)
             else:
                 border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
-            inner = border_color + (content - border_color) * border_alpha[..., None]
+            inner = border_color + (content - border_color) * border_alpha[None]
             content_alpha = smoothstep(-0.5, 0.5, edge)
-            outer = border_color * content_alpha[..., None]
-            layer = jnp.where((edge > bw * 0.5)[..., None], inner, outer)
-            layer = layer * mask_alpha[..., None]
+            outer = border_color * content_alpha[None]
+            layer = jnp.where((edge > bw * 0.5)[None], inner, outer)
+            layer = layer * mask_alpha[None]
         else:
             a = smoothstep(-0.5, 0.5, edge) * mask_alpha
-            layer = content * a[..., None]
+            layer = content * a[None]
 
-    region = canvas[y0:y1, x0:x1]
-    blended = layer + region * (1.0 - layer[..., 3:4])
-    return canvas.at[y0:y1, x0:x1].set(blended)
+    region = canvas[:, y0:y1, x0:x1]
+    return canvas.at[:, y0:y1, x0:x1].set(_over(layer, region))
 
 
 def _prepare_rect_tile(
@@ -291,7 +302,7 @@ def _prepare_rect_tile(
 ) -> jnp.ndarray:
     """Resize the source crop upright (MXU matmuls) and apply edge/border
     SDF alpha in the rect's LOCAL axis-aligned frame. Shared by both
-    rotation fast paths."""
+    rotation fast paths. Returns channel-major (4, h, w)."""
     from smelter_tpu.ops.resample import resize_matmul
 
     top, left, h, w = static.static_rect  # type: ignore[misc]
@@ -299,8 +310,7 @@ def _prepare_rect_tile(
     img = mips[0] if isinstance(mips, (list, tuple)) else mips
     ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
     src = img[ct : ct + chh, cl : cl + cww]
-    tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w)
-    tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+    tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w).astype(jnp.float32)
 
     rw, rh = params.width, params.height
     ly = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] - h * 0.5
@@ -310,46 +320,46 @@ def _prepare_rect_tile(
     edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
     if static.has_border:
         bw = params.border_width
-        border_color = _premultiply(params.border_color)[None, None, :]
+        border_color = _premultiply(params.border_color)
         border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
-        inner = border_color + (tile - border_color) * border_alpha[..., None]
+        inner = border_color + (tile - border_color) * border_alpha[None]
         content_alpha = smoothstep(-0.5, 0.5, edge)
-        outer = border_color * content_alpha[..., None]
-        tile = jnp.where((edge > bw * 0.5)[..., None], inner, outer)
+        outer = border_color * content_alpha[None]
+        tile = jnp.where((edge > bw * 0.5)[None], inner, outer)
     else:
-        tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+        tile = tile * smoothstep(-0.5, 0.5, edge)[None]
     return tile
 
 
 def _blend_region(canvas, layer, otop: int, oleft: int) -> jnp.ndarray:
-    """OVER-blend a premultiplied layer at an integer origin, clipped."""
-    H, W = canvas.shape[0], canvas.shape[1]
-    bh, bw_ = layer.shape[0], layer.shape[1]
+    """OVER-blend a premultiplied (4, h, w) layer at an integer origin,
+    clipped."""
+    H, W = canvas.shape[1], canvas.shape[2]
+    bh, bw_ = layer.shape[1], layer.shape[2]
     y0, y1 = max(otop, 0), min(otop + bh, H)
     x0, x1 = max(oleft, 0), min(oleft + bw_, W)
     if y0 >= y1 or x0 >= x1:
         return canvas
-    vis = layer[y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
-    region = canvas[y0:y1, x0:x1]
-    blended = vis + region * (1.0 - vis[..., 3:4])
-    return canvas.at[y0:y1, x0:x1].set(blended)
+    vis = layer[:, y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
+    region = canvas[:, y0:y1, x0:x1]
+    return canvas.at[:, y0:y1, x0:x1].set(_over(vis, region))
 
 
 def _render_rotated_rect_layout(
     static: LayoutStatic,
     params: LayoutParams,
     sources: Sequence,
-    canvas: jnp.ndarray,  # (H, W, 4) premultiplied f32
+    canvas: jnp.ndarray,  # (4, H, W) premultiplied f32
 ) -> jnp.ndarray:
     """Stable-rotation fast path: upright tile + gather-free 3-shear
     rotation (static angle, banded slices) blended region-locally."""
-    from smelter_tpu.ops.rotate import rotate_static, rotated_bbox
+    from smelter_tpu.ops.rotate import rotate_static_cm, rotated_bbox
 
     top, left, h, w = static.static_rect  # type: ignore[misc]
     theta = float(static.static_rotation)  # type: ignore[arg-type]
     tile = _prepare_rect_tile(static, params, sources)
     bh, bw_ = rotated_bbox(theta, h, w)
-    rotated = rotate_static(tile, theta, bh, bw_)
+    rotated = rotate_static_cm(tile, theta, bh, bw_)
     oy = top + (h - bh) // 2
     ox = left + (w - bw_) // 2
     rotated = _apply_masks_region(rotated, static, params, oy, ox)
@@ -364,14 +374,14 @@ def _render_rotated_rect_layout_traced(
 ) -> jnp.ndarray:
     """ANIMATED-rotation fast path: the rect/crop are planner-stable but the
     angle changes per frame, so the rotation runs with a TRACED angle via
-    FFT phase-shift shears (ops/rotate.py rotate_traced) over a static
+    barrel-shifter shears (ops/rotate.py rotate_traced) over a static
     bounding-circle square — no gathers, no per-frame recompile. The static
     quarter-turn bucket keeps the traced residual in [-45, 45]."""
-    from smelter_tpu.ops.rotate import rotate_traced, traced_work_size
+    from smelter_tpu.ops.rotate import rotate_traced_cm, traced_work_size
 
     top, left, h, w = static.static_rect  # type: ignore[misc]
     tile = _prepare_rect_tile(static, params, sources)
-    rotated = rotate_traced(
+    rotated = rotate_traced_cm(
         tile, params.rotation_degrees, static.traced_rotation_q  # type: ignore[arg-type]
     )
     S = traced_work_size(h, w)
@@ -401,64 +411,64 @@ def _render_moving_rect_layout(
 
 def _apply_masks_region(tile, static: LayoutStatic, params: LayoutParams,
                         origin_y: int, origin_x: int):
-    """Apply parent masks to a region-local tile at a STATIC integer origin
-    (masks are canvas-axis-aligned rounded rects, so this is elementwise —
-    the reason rotated layers with overflow clips can stay on the
-    region-local fast paths instead of the full-canvas sampled pass)."""
+    """Apply parent masks to a region-local (4, h, w) tile at a STATIC
+    integer origin (masks are canvas-axis-aligned rounded rects, so this is
+    elementwise — the reason rotated layers with overflow clips can stay on
+    the region-local fast paths instead of the full-canvas sampled pass)."""
     if not static.n_masks:
         return tile
-    h, w = tile.shape[0], tile.shape[1]
+    h, w = tile.shape[1], tile.shape[2]
     py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] + origin_y
     px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] + origin_x
     py = jnp.broadcast_to(py, (h, w))
     px = jnp.broadcast_to(px, (h, w))
-    return tile * _mask_alpha(px, py, params, static.n_masks)[..., None]
+    return tile * _mask_alpha(px, py, params, static.n_masks)[None]
 
 
 def _apply_masks_local(tile, static: LayoutStatic, params: LayoutParams):
-    """Apply parent masks to a tile in canvas-space coordinates derived from
-    the traced position (masks animate freely — e.g. the clip rect a
-    fill-mode Rescaler emits while zooming)."""
+    """Apply parent masks to a (4, h, w) tile in canvas-space coordinates
+    derived from the traced position (masks animate freely — e.g. the clip
+    rect a fill-mode Rescaler emits while zooming)."""
     if not static.n_masks:
         return tile
-    h, w = tile.shape[0], tile.shape[1]
+    h, w = tile.shape[1], tile.shape[2]
     py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] + params.top
     px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] + params.left
     py = jnp.broadcast_to(py, (h, w))
     px = jnp.broadcast_to(px, (h, w))
-    alpha = _mask_alpha(px, py, params, static.n_masks)
-    return tile * alpha[..., None]
+    return tile * _mask_alpha(px, py, params, static.n_masks)[None]
 
 
 def _place_tile_traced(canvas, tile, top, left) -> jnp.ndarray:
-    """OVER-blend a premultiplied tile at a TRACED (rounded-to-pixel)
-    position. dynamic_slice clamps starts into bounds; the clamp delta is
-    compensated by shifting the tile inside a zero-padded copy, so partially
-    off-canvas positions stay correct. Traffic is O(tile + region), not
-    O(canvas + tile-sized halo)."""
+    """OVER-blend a premultiplied (4, h, w) tile at a TRACED
+    (rounded-to-pixel) position. dynamic_slice clamps starts into bounds;
+    the clamp delta is compensated by shifting the tile inside a zero-padded
+    copy, so partially off-canvas positions stay correct. Traffic is
+    O(tile + region), not O(canvas + tile-sized halo)."""
     import jax.lax as lax
 
-    H, W = canvas.shape[0], canvas.shape[1]
-    h, w = tile.shape[0], tile.shape[1]
+    H, W = canvas.shape[1], canvas.shape[2]
+    h, w = tile.shape[1], tile.shape[2]
     ty = jnp.clip(jnp.round(top).astype(jnp.int32), -h, H)
     tx = jnp.clip(jnp.round(left).astype(jnp.int32), -w, W)
     if h > H or w > W:
         # tile larger than the canvas (e.g. a roto-zoom bounding square on a
         # short canvas): write into a halo-padded zero layer, slice the
         # canvas window statically, blend full-canvas
-        layer = jnp.zeros((H + 2 * h, W + 2 * w, 4), jnp.float32)
-        layer = lax.dynamic_update_slice(layer, tile, (ty + h, tx + w, jnp.int32(0)))
-        layer = layer[h : h + H, w : w + W]
-        return layer + canvas * (1.0 - layer[..., 3:4])
+        layer = jnp.zeros((4, H + 2 * h, W + 2 * w), jnp.float32)
+        layer = lax.dynamic_update_slice(layer, tile, (jnp.int32(0), ty + h, tx + w))
+        layer = layer[:, h : h + H, w : w + W]
+        return _over(layer, canvas)
     sy = jnp.clip(ty, 0, max(H - h, 0))
     sx = jnp.clip(tx, 0, max(W - w, 0))
-    padded_tile = jnp.pad(tile, [(h, h), (w, w), (0, 0)])
+    padded_tile = jnp.pad(tile, [(0, 0), (h, h), (w, w)])
     shifted = lax.dynamic_slice(
-        padded_tile, (h - (ty - sy), w - (tx - sx), jnp.int32(0)), (h, w, 4)
+        padded_tile, (jnp.int32(0), h - (ty - sy), w - (tx - sx)), (4, h, w)
     )
-    region = lax.dynamic_slice(canvas, (sy, sx, jnp.int32(0)), (h, w, 4))
-    blended = shifted + region * (1.0 - shifted[..., 3:4])
-    return lax.dynamic_update_slice(canvas, blended, (sy, sx, jnp.int32(0)))
+    region = lax.dynamic_slice(canvas, (jnp.int32(0), sy, sx), (4, h, w))
+    return lax.dynamic_update_slice(
+        canvas, _over(shifted, region), (jnp.int32(0), sy, sx)
+    )
 
 
 def _render_scaling_rect_layout(
@@ -484,8 +494,7 @@ def _render_scaling_rect_layout(
     tile = resize_matmul_traced(
         jnp.moveaxis(img, -1, 0), bh, bw_, params.height, params.width,
         crop=(params.crop[0], params.crop[1], params.crop[2], params.crop[3]),
-    )
-    tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+    ).astype(jnp.float32)
 
     rw, rh = params.width, params.height
     dy = (jnp.arange(bh, dtype=jnp.float32) + 0.5)[:, None] - rh * 0.5
@@ -495,14 +504,14 @@ def _render_scaling_rect_layout(
     edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
     if static.has_border:
         bwidth = params.border_width
-        border_color = _premultiply(params.border_color)[None, None, :]
+        border_color = _premultiply(params.border_color)
         border_alpha = smoothstep(bwidth - 0.5, bwidth + 0.5, edge)
-        inner = border_color + (tile - border_color) * border_alpha[..., None]
+        inner = border_color + (tile - border_color) * border_alpha[None]
         content_alpha = smoothstep(-0.5, 0.5, edge)
-        outer = border_color * content_alpha[..., None]
-        tile = jnp.where((edge > bwidth * 0.5)[..., None], inner, outer)
+        outer = border_color * content_alpha[None]
+        tile = jnp.where((edge > bwidth * 0.5)[None], inner, outer)
     else:
-        tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+        tile = tile * smoothstep(-0.5, 0.5, edge)[None]
     tile = _apply_masks_local(tile, static, params)
     return _place_tile_traced(canvas, tile, params.top, params.left)
 
@@ -515,11 +524,11 @@ def _render_rotozoom_layout(
 ) -> jnp.ndarray:
     """Simultaneous rotation+size(+position+crop) animation: traced centered
     resize into the bucketed buffer, local SDF with traced extents, traced
-    FFT-shear rotation about the buffer center (static quarter bucket), then
-    axis-aligned masks in canvas space and traced placement. Completes the
-    gather-free coverage of every transition type."""
+    barrel-shear rotation about the buffer center (static quarter bucket),
+    then axis-aligned masks in canvas space and traced placement. Completes
+    the gather-free coverage of every transition type."""
     from smelter_tpu.ops.resample import resize_matmul_traced
-    from smelter_tpu.ops.rotate import rotate_traced, traced_work_size
+    from smelter_tpu.ops.rotate import rotate_traced_cm, traced_work_size
 
     bh, bw_ = static.traced_size_buf  # type: ignore[misc]
     mips = sources[static.source_index]
@@ -528,8 +537,7 @@ def _render_rotozoom_layout(
         jnp.moveaxis(img, -1, 0), bh, bw_, params.height, params.width,
         crop=(params.crop[0], params.crop[1], params.crop[2], params.crop[3]),
         centered=True,
-    )
-    tile = jnp.moveaxis(tile, 0, -1).astype(jnp.float32)
+    ).astype(jnp.float32)
 
     rw, rh = params.width, params.height
     dy = (jnp.arange(bh, dtype=jnp.float32) + 0.5)[:, None] - bh * 0.5
@@ -539,16 +547,16 @@ def _render_rotozoom_layout(
     edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
     if static.has_border:
         bwidth = params.border_width
-        border_color = _premultiply(params.border_color)[None, None, :]
+        border_color = _premultiply(params.border_color)
         border_alpha = smoothstep(bwidth - 0.5, bwidth + 0.5, edge)
-        inner = border_color + (tile - border_color) * border_alpha[..., None]
+        inner = border_color + (tile - border_color) * border_alpha[None]
         content_alpha = smoothstep(-0.5, 0.5, edge)
-        outer = border_color * content_alpha[..., None]
-        tile = jnp.where((edge > bwidth * 0.5)[..., None], inner, outer)
+        outer = border_color * content_alpha[None]
+        tile = jnp.where((edge > bwidth * 0.5)[None], inner, outer)
     else:
-        tile = tile * smoothstep(-0.5, 0.5, edge)[..., None]
+        tile = tile * smoothstep(-0.5, 0.5, edge)[None]
 
-    rotated = rotate_traced(
+    rotated = rotate_traced_cm(
         tile, params.rotation_degrees, static.traced_rotation_q  # type: ignore[arg-type]
     )
     S = traced_work_size(bh, bw_)
@@ -560,7 +568,7 @@ def _render_rotozoom_layout(
         mx = (jnp.arange(S, dtype=jnp.float32) + 0.5)[None, :] - S * 0.5 + cx
         my = jnp.broadcast_to(my, (S, S))
         mx = jnp.broadcast_to(mx, (S, S))
-        rotated = rotated * _mask_alpha(mx, my, params, static.n_masks)[..., None]
+        rotated = rotated * _mask_alpha(mx, my, params, static.n_masks)[None]
     return _place_tile_traced(canvas, rotated, cy - S * 0.5, cx - S * 0.5)
 
 
@@ -569,19 +577,22 @@ def compose_layouts(
     statics: Sequence[LayoutStatic],
     params: Sequence[LayoutParams],
     sources: Sequence,
-    background: Optional[jnp.ndarray] = None,
+    background: Optional[jnp.ndarray] = None,  # (H, W, 4) premultiplied f32
+    planar: bool = False,
 ) -> jnp.ndarray:
     """Blend all layouts over a transparent canvas; returns premultiplied
-    (H, W, 4) f32. Layout order = paint order (later on top).
+    f32 — channel-major (4, H, W) when `planar=True` (feeds the per-plane
+    YUV output converters with zero transposes), (H, W, 4) otherwise.
+    Layout order = paint order (later on top).
 
     Layouts whose `static_rect` is set take the region-local fast path
     (no full-canvas gathers); the rest run the general full-canvas pass
     (rotation / animating rects)."""
     w, h = resolution
     canvas = (
-        background
+        jnp.moveaxis(background, -1, 0)
         if background is not None
-        else jnp.zeros((h, w, 4), jnp.float32)
+        else jnp.zeros((4, h, w), jnp.float32)
     )
     px = py = None
     items = list(zip(statics, params))
@@ -654,7 +665,7 @@ def compose_layouts(
                 break
         if run:
             from smelter_tpu.ops.pallas.sdf_layers import (
-                compose_sdf_layers,
+                compose_sdf_layers_planar,
                 pack_layer_params_traced,
             )
 
@@ -662,7 +673,7 @@ def compose_layouts(
                 (s_.content, s_.has_border, s_.has_rotation) for s_, _ in run
             )
             rows = pack_layer_params_traced([p_ for _, p_ in run])
-            canvas = compose_sdf_layers(canvas, rows, kinds)
+            canvas = compose_sdf_layers_planar(canvas, rows, kinds)
             i = j
             continue
         if px is None:
@@ -673,6 +684,6 @@ def compose_layouts(
                 (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None], (h, w)
             )
         layer = render_single_layout(st, p, sources, px, py)
-        canvas = layer + canvas * (1.0 - layer[..., 3:4])
+        canvas = _over(layer, canvas)
         i += 1
-    return canvas
+    return canvas if planar else jnp.moveaxis(canvas, 0, -1)

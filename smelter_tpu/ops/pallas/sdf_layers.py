@@ -123,13 +123,12 @@ def _layer_kernel_body(kinds, params_ref, canvas_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def _compose_call(canvas, params, kinds, interpret):
-    h, w = canvas.shape[0], canvas.shape[1]
-    planar = jnp.moveaxis(canvas, -1, 0)  # (4, H, W): W rides the lanes
+def _compose_call(planar, params, kinds, interpret):
+    h, w = planar.shape[1], planar.shape[2]  # (4, H, W): W rides the lanes
     bh, bw = min(_BH, h), min(_BW, w)
     grid = (pl.cdiv(h, bh), pl.cdiv(w, bw))
     kernel = functools.partial(_layer_kernel_body, kinds)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(planar.shape, jnp.float32),
         grid=grid,
@@ -148,15 +147,16 @@ def _compose_call(canvas, params, kinds, interpret):
         ),
         interpret=interpret,
     )(params, planar)
-    return jnp.moveaxis(out, 0, -1)
 
 
-def compose_sdf_layers(
-    canvas: jnp.ndarray,
+def compose_sdf_layers_planar(
+    canvas: jnp.ndarray,          # (4, H, W) premultiplied f32
     params: jnp.ndarray,          # (L, PARAMS_WIDTH) f32, traced
     kinds: Tuple[Tuple[str, bool, bool], ...],  # static per layer
 ) -> jnp.ndarray:
-    """Blend L non-texture layers over `canvas` in one fused pass.
+    """Blend L non-texture layers over a CHANNEL-MAJOR canvas in one fused
+    pass — the kernel streams (4, bh, bw) blocks, so a planar caller pays
+    zero boundary transposes.
 
     Falls back to interpret mode off-TPU (tests/CPU) — same numerics.
     """
@@ -165,6 +165,19 @@ def compose_sdf_layers(
         params.astype(jnp.float32),
         tuple(kinds),
         not _on_tpu(),
+    )
+
+
+def compose_sdf_layers(
+    canvas: jnp.ndarray,          # (H, W, 4) premultiplied f32
+    params: jnp.ndarray,
+    kinds: Tuple[Tuple[str, bool, bool], ...],
+) -> jnp.ndarray:
+    """Interleaved-canvas wrapper around `compose_sdf_layers_planar`."""
+    return jnp.moveaxis(
+        compose_sdf_layers_planar(jnp.moveaxis(canvas, -1, 0), params, kinds),
+        0,
+        -1,
     )
 
 

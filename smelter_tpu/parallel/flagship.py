@@ -243,9 +243,10 @@ def _make_general_compose(flat, n_inputs, in_res: Resolution, out_res: Resolutio
             rgba = cc.planar_yuv_to_rgba(y[i], u[i], v[i])
             sources[i] = build_mips(rgba, levels)
         canvas = compose_layouts(
-            (out_res.width, out_res.height), statics, params, sources
+            (out_res.width, out_res.height), statics, params, sources,
+            planar=True,
         )
-        return cc.rgba_to_planar_yuv420(canvas)
+        return cc.planar_rgba_to_yuv420(canvas)
 
     return fn, _example_args(n_inputs, in_res)
 

@@ -1102,20 +1102,41 @@ class OutputProgram:
                     statics = static_statics[nid]
                     params = layout_params[nid]
                     res = resolution if is_root else _layout_res_from_key(key, nid)
+                    # a YUV-bound root canvas stays CHANNEL-MAJOR end-to-end:
+                    # compose blends (4, H, W) planes and the per-plane YUV
+                    # converters below consume them with zero transposes
                     canvas = compose_layouts(
-                        (res.width, res.height), statics, params, sources
+                        (res.width, res.height), statics, params, sources,
+                        planar=is_root and out_format != PixelFormat.RGBA,
                     )
                     if is_root:
                         return [canvas]
                     return build_mips(canvas, _mip_levels(res))
                 raise ValueError(f"unknown node {type(p)}")
 
+            root_planar = (
+                isinstance(root.params, LayoutNode)
+                and out_format != PixelFormat.RGBA
+            )
             out = eval_node(root)
             if out is None:
-                rgba = jnp.zeros((resolution.height, resolution.width, 4), jnp.float32)
+                shape = (
+                    (4, resolution.height, resolution.width)
+                    if root_planar
+                    else (resolution.height, resolution.width, 4)
+                )
+                rgba = jnp.zeros(shape, jnp.float32)
             else:
                 rgba = out[0] if isinstance(out, list) else out
             # un-premultiply is NOT done: outputs are opaque video frames
+            if root_planar:
+                if out_format == PixelFormat.PLANAR_YUV420:
+                    return cc.planar_rgba_to_yuv420(rgba)
+                if out_format == PixelFormat.PLANAR_YUV444:
+                    return cc.planar_rgba_to_yuv444(rgba)
+                if out_format == PixelFormat.NV12:
+                    return cc.planar_rgba_to_nv12(rgba)
+                raise ValueError(f"unsupported output format {out_format}")
             if out_format == PixelFormat.RGBA:
                 return cc.f32_to_u8(rgba)
             if out_format == PixelFormat.PLANAR_YUV420:

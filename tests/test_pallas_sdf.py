@@ -36,10 +36,11 @@ def _xla_reference(canvas, layers):
     h, w = canvas.shape[:2]
     px = jnp.broadcast_to((jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :], (h, w))
     py = jnp.broadcast_to((jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None], (h, w))
+    cm = jnp.moveaxis(canvas, -1, 0)  # render_single_layout is channel-major
     for st, p in layers:
         layer = render_single_layout(st, p, [], px, py)
-        canvas = layer + canvas * (1.0 - layer[..., 3:4])
-    return canvas
+        cm = layer + cm * (1.0 - layer[3:4])
+    return jnp.moveaxis(cm, 0, -1)
 
 
 @pytest.mark.parametrize("size", [(180, 320), (257, 511)])
