@@ -7,6 +7,7 @@ auth_token, then the announced broadcast feeds that input."""
 from __future__ import annotations
 
 import logging
+import os
 import threading
 from typing import Dict, Optional
 
@@ -45,13 +46,22 @@ class MoqServer:
     def __init__(self, port: int, state: MoqServerState,
                  cert_dir: str = "/tmp/smelter_moq",
                  cert_der: Optional[bytes] = None,
-                 key_pem: Optional[bytes] = None) -> None:
+                 key_pem: Optional[bytes] = None,
+                 require_retry: Optional[bool] = None) -> None:
         self.state = state
         if cert_der is None or key_pem is None:
             cert_der, key_pem = load_or_create_self_signed(cert_dir)
+        if require_retry is None:
+            # public-internet relays want QUIC address validation (Retry,
+            # RFC 9000 §8.1) so spoofed-source Initials can't run up TLS
+            # handshakes; off by default like quinn's use_retry
+            require_retry = os.environ.get(
+                "SMELTER_MOQ_REQUIRE_RETRY", "false"
+            ).lower() in ("1", "true", "yes")
         self._server = QuicServer(
             port, cert_der, key_pem, [wire.ALPN],
             on_connection=self._on_connection,
+            require_retry=require_retry,
         )
         self.port = self._server.port
         self._server.start()

@@ -278,6 +278,7 @@ class QuicConnection:
         key_pem: Optional[bytes] = None,
         transport_params: Optional[pkt.TransportParams] = None,
         verify_peer: bool = False,
+        retry_scid: Optional[bytes] = None,
     ) -> None:
         self.is_client = is_client
         self.scid = os.urandom(8)
@@ -287,9 +288,20 @@ class QuicConnection:
         self.local_params.initial_scid = self.scid
         if not is_client:
             self.local_params.original_dcid = odcid
+            # server resumed after a Retry: odcid is recovered from the
+            # validated token; Initial keys derive from the CID we minted in
+            # the Retry (= the client's new DCID, RFC 9001 §5.2), and the
+            # retry_source_connection_id transport param authenticates the
+            # Retry to the client (RFC 9000 §7.3)
+            if retry_scid is not None:
+                self.local_params.retry_scid = retry_scid
+        # the token the client must echo in every Initial after a Retry
+        self._initial_token = b""
+        self._retry_source_cid: Optional[bytes] = None
         self.peer_params = pkt.TransportParams()
         self.spaces = [_Space(), _Space(), _Space()]
-        tx, rx = initial_secrets(self.original_dcid, is_client)
+        initial_cid = retry_scid if retry_scid is not None else self.original_dcid
+        tx, rx = initial_secrets(initial_cid, is_client)
         self.spaces[SPACE_INITIAL].protection.set_tx(tx)
         self.spaces[SPACE_INITIAL].protection.set_rx(rx)
         self.handshake_confirmed = False
@@ -320,7 +332,8 @@ class QuicConnection:
         self.local_max_streams_bidi = self.local_params.initial_max_streams_bidi
         self.local_max_streams_uni = self.local_params.initial_max_streams_uni
         self._anti_amp_budget = 0  # server: 3x received before validated
-        self._address_validated = is_client
+        # a validated Retry token proves the address (RFC 9000 §8.1.2)
+        self._address_validated = is_client or retry_scid is not None
         self.idle_timeout = self.local_params.max_idle_timeout_ms / 1000.0
         self.last_activity = time.monotonic()
         self.on_established: Optional[Callable[[], None]] = None
@@ -356,11 +369,24 @@ class QuicConnection:
         self.spaces[SPACE_APP].protection.set_rx(rx)
 
     def _on_tls_complete(self) -> None:
-        self.established = True
         if self.tls.peer_transport_params:
             self.peer_params = pkt.decode_transport_params(
                 self.tls.peer_transport_params
             )
+        # authenticate the CIDs used during the handshake (RFC 9000 §7.3):
+        # the server must echo our original DCID, and — if a Retry happened —
+        # the exact SCID it sent in the Retry. A MITM that injected a Retry
+        # or rewrote Initials fails here.
+        if self.is_client and self.tls.peer_transport_params:
+            if self.peer_params.original_dcid != self.original_dcid or (
+                self.peer_params.retry_scid != self._retry_source_cid
+            ):
+                self._close_frame = pkt.encode_connection_close(
+                    0x08, 0x00, b"transport parameter cid mismatch"
+                )
+                return
+        self.established = True
+        if self.tls.peer_transport_params:
             self.max_data_remote = self.peer_params.initial_max_data
             self.peer_max_streams_bidi = self.peer_params.initial_max_streams_bidi
             self.peer_max_streams_uni = self.peer_params.initial_max_streams_uni
@@ -452,7 +478,10 @@ class QuicConnection:
             hdr, pos = pkt.parse_long_header_prefix(data)
             if hdr.version != pkt.QUIC_V1:
                 return len(data)  # ignore other versions
-            if hdr.packet_type == pkt.PKT_RETRY or hdr.packet_type == pkt.PKT_0RTT:
+            if hdr.packet_type == pkt.PKT_RETRY:
+                self._handle_retry(data, now)
+                return len(data)
+            if hdr.packet_type == pkt.PKT_0RTT:
                 return len(data)
             space_idx = SPACE_INITIAL if hdr.packet_type == pkt.PKT_INITIAL \
                 else SPACE_HANDSHAKE
@@ -483,6 +512,40 @@ class QuicConnection:
         self._address_validated = True
         self._process_plain(SPACE_APP, pn, plain, now)
         return len(data)
+
+    def _handle_retry(self, data: bytes, now: float) -> None:
+        """Client address validation (RFC 9000 §8.1, §17.2.5.2): adopt the
+        server's Retry SCID as our DCID, re-derive Initial keys from it
+        (RFC 9001 §5.2), echo the token in every subsequent Initial, and
+        resend the ClientHello. At most one Retry is honored, and only
+        before any other server packet arrives; the integrity tag binds the
+        Retry to our original DCID so an off-path attacker can't forge it."""
+        from smelter_tpu.io.quic.crypto import retry_integrity_tag
+
+        if not self.is_client or self._retry_source_cid is not None:
+            return
+        space = self.spaces[SPACE_INITIAL]
+        if space.discarded or space.largest_received >= 0:
+            return  # already past address validation
+        hdr, token, tag = pkt.parse_retry(data)
+        if not token:
+            return  # MUST discard empty-token Retry (§17.2.5.2)
+        if hdr.scid == self.dcid:
+            return  # no CID change: forgery or corruption
+        expect = retry_integrity_tag(self.original_dcid, data[:-16])
+        if tag != expect:
+            return
+        self._retry_source_cid = hdr.scid
+        self.dcid = hdr.scid
+        self._initial_token = token
+        tx, rx = initial_secrets(hdr.scid, True)
+        space.protection = type(space.protection)()
+        space.protection.set_tx(tx)
+        space.protection.set_rx(rx)
+        # resend everything outstanding (the ClientHello); packet numbers
+        # continue (§17.2.5.3)
+        for pn in list(space.sent.keys()):
+            self._mark_lost(SPACE_INITIAL, space.sent.pop(pn))
 
     def _process_plain(self, space_idx: int, pn: int, plain: bytes,
                        now: float) -> None:
@@ -850,7 +913,10 @@ class QuicConnection:
         else:
             ptype = pkt.PKT_INITIAL if space_idx == SPACE_INITIAL \
                 else pkt.PKT_HANDSHAKE
-            hdr = pkt.LongHeader(ptype, pkt.QUIC_V1, self.dcid, self.scid)
+            token = (self._initial_token
+                     if ptype == pkt.PKT_INITIAL and self.is_client else b"")
+            hdr = pkt.LongHeader(ptype, pkt.QUIC_V1, self.dcid, self.scid,
+                                 token=token)
             prefix = pkt.build_long_header_prefix(hdr, len(pn_bytes))
             # payload must give >=4 bytes for HP sampling post-AEAD (16-byte
             # tag guarantees it) but pn+payload >= 4 needed pre-protection

@@ -14,6 +14,19 @@ from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 # RFC 9001 §5.2
 INITIAL_SALT_V1 = bytes.fromhex("38762cf7f55934b34d179ae6a4c80cadccbb7f0a")
 
+# RFC 9001 §5.8: fixed key/nonce for the Retry Integrity Tag (v1)
+RETRY_KEY_V1 = bytes.fromhex("be0c690b9f66575a1d766b54e368c84e")
+RETRY_NONCE_V1 = bytes.fromhex("461599d35d632bf2239825bb")
+
+
+def retry_integrity_tag(odcid: bytes, retry_sans_tag: bytes) -> bytes:
+    """Retry Integrity Tag (RFC 9001 §5.8): AES-128-GCM over an empty
+    plaintext with the Retry *pseudo-packet* (ODCID-prefixed Retry packet
+    minus the tag itself) as AAD; the 16-byte GCM tag is the result.
+    Known-answer vector: RFC 9001 A.4."""
+    pseudo = bytes([len(odcid)]) + odcid + retry_sans_tag
+    return AESGCM(RETRY_KEY_V1).encrypt(RETRY_NONCE_V1, b"", pseudo)
+
 
 def hkdf_extract(salt: bytes, ikm: bytes) -> bytes:
     h = hmac.HMAC(salt, hashes.SHA256())

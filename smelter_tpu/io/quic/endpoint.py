@@ -9,9 +9,13 @@ ordered stream events from a thread-safe queue per connection.
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import logging
+import os
 import queue
 import socket
+import struct
 import threading
 import time
 from typing import Callable, Dict, List, Optional, Tuple
@@ -170,11 +174,22 @@ class QuicClient(_EndpointBase):
 
 
 class QuicServer(_EndpointBase):
-    """Accepts QUIC connections; hands each to `on_connection`."""
+    """Accepts QUIC connections; hands each to `on_connection`.
+
+    With ``require_retry`` (RFC 9000 §8.1 address validation, quinn's
+    ``use_retry`` equivalent for public deployments), a token-less Initial
+    is answered with a Retry packet carrying an HMAC-sealed token binding
+    (client address, ODCID, the Retry SCID we minted, a timestamp); only
+    an Initial echoing a valid, fresh token from the same address creates
+    connection state — a spoofed-source Initial costs the server one
+    stateless datagram instead of a TLS handshake."""
+
+    TOKEN_LIFETIME = 30.0  # seconds a retry token stays valid
 
     def __init__(self, port: int, cert_der: bytes, key_pem: bytes,
                  alpn: List[str],
-                 on_connection: Callable[[QuicConnectionHandle], None]) -> None:
+                 on_connection: Callable[[QuicConnectionHandle], None],
+                 require_retry: bool = False) -> None:
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         sock.bind(("0.0.0.0", port))
         super().__init__(sock)
@@ -183,8 +198,60 @@ class QuicServer(_EndpointBase):
         self.key_pem = key_pem
         self.alpn = alpn
         self.on_connection = on_connection
+        self.require_retry = require_retry
+        self._token_key = os.urandom(32)
         self._by_scid: Dict[bytes, QuicConnectionHandle] = {}
         self._by_addr: Dict[Tuple[str, int], QuicConnectionHandle] = {}
+
+    # -- retry tokens (stateless; HMAC-SHA256 over addr-bound context) -------
+
+    def _mint_token(self, addr: Tuple[str, int], odcid: bytes,
+                    retry_scid: bytes, now: float) -> bytes:
+        body = (
+            struct.pack("!d", now)
+            + bytes([len(odcid)]) + odcid
+            + bytes([len(retry_scid)]) + retry_scid
+        )
+        mac = hmac.new(
+            self._token_key, body + repr(addr).encode(), hashlib.sha256
+        ).digest()
+        return body + mac
+
+    def _check_token(self, addr: Tuple[str, int], token: bytes,
+                     now: float) -> Optional[Tuple[bytes, bytes]]:
+        """-> (odcid, retry_scid) if the token is authentic, address-bound
+        and fresh; None otherwise."""
+        if len(token) < 8 + 2 + 32:
+            return None
+        body, mac = token[:-32], token[-32:]
+        expect = hmac.new(
+            self._token_key, body + repr(addr).encode(), hashlib.sha256
+        ).digest()
+        if not hmac.compare_digest(mac, expect):
+            return None
+        (ts,) = struct.unpack("!d", body[:8])
+        if not (now - self.TOKEN_LIFETIME <= ts <= now + 1.0):
+            return None
+        pos = 8
+        ol = body[pos]; pos += 1
+        odcid = body[pos : pos + ol]; pos += ol
+        if pos >= len(body) or len(odcid) != ol:
+            return None
+        rl = body[pos]; pos += 1
+        retry_scid = body[pos : pos + rl]; pos += rl
+        if len(retry_scid) != rl or pos != len(body):
+            return None
+        return odcid, retry_scid
+
+    def _send_retry(self, hdr: pkt.LongHeader, addr: Tuple[str, int],
+                    now: float) -> None:
+        retry_scid = os.urandom(8)
+        token = self._mint_token(addr, hdr.dcid, retry_scid, now)
+        self._sendto(
+            pkt.build_retry(pkt.QUIC_V1, dcid=hdr.scid, scid=retry_scid,
+                            token=token, odcid=hdr.dcid),
+            addr,
+        )
 
     def _run(self) -> None:
         while not self._stop.is_set():
@@ -223,9 +290,23 @@ class QuicServer(_EndpointBase):
             handle = self._by_scid.get(hdr.dcid) or self._by_addr.get(addr)
             if handle is None and hdr.packet_type == pkt.PKT_INITIAL \
                     and hdr.version == pkt.QUIC_V1 and len(data) >= 1200:
+                odcid, retry_scid = hdr.dcid, None
+                if self.require_retry:
+                    if not hdr.token:
+                        self._send_retry(hdr, addr, now)
+                        return
+                    valid = self._check_token(addr, hdr.token, now)
+                    if valid is None or valid[1] != hdr.dcid:
+                        # forged / stale / replayed-from-elsewhere token:
+                        # drop statelessly (RFC 9000 §8.1.3 allows discard)
+                        logger.warning("dropping Initial with bad retry "
+                                       "token from %s", addr)
+                        return
+                    odcid, retry_scid = valid
                 conn = QuicConnection(
-                    is_client=False, odcid=hdr.dcid, alpn=self.alpn,
+                    is_client=False, odcid=odcid, alpn=self.alpn,
                     cert_der=self.cert_der, key_pem=self.key_pem,
+                    retry_scid=retry_scid,
                 )
                 handle = QuicConnectionHandle(conn, self, addr)
                 self._by_scid[conn.scid] = handle

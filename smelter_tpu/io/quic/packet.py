@@ -168,6 +168,30 @@ def build_long_header_prefix(h: LongHeader, pn_len: int) -> bytes:
     return bytes(out)
 
 
+def build_retry(version: int, dcid: bytes, scid: bytes, token: bytes,
+                odcid: bytes) -> bytes:
+    """Retry packet (RFC 9000 §17.2.5): long header + token + integrity tag
+    computed over the ODCID-prefixed pseudo-packet (RFC 9001 §5.8)."""
+    from smelter_tpu.io.quic.crypto import retry_integrity_tag
+
+    out = bytearray([0xC0 | (PKT_RETRY << 4)])
+    out += version.to_bytes(4, "big")
+    out += bytes([len(dcid)]) + dcid
+    out += bytes([len(scid)]) + scid
+    out += token
+    return bytes(out) + retry_integrity_tag(odcid, bytes(out))
+
+
+def parse_retry(data: bytes) -> Tuple[LongHeader, bytes, bytes]:
+    """-> (header, token, integrity_tag). Raises ValueError on truncation."""
+    hdr, pos = parse_long_header_prefix(data)
+    if hdr.packet_type != PKT_RETRY:
+        raise ValueError("not a retry packet")
+    if len(data) < pos + 16:
+        raise ValueError("retry too short")
+    return hdr, data[pos:-16], data[-16:]
+
+
 # ---------------------------------------------------------------------------
 # frames
 # ---------------------------------------------------------------------------
@@ -411,6 +435,7 @@ TP_MAX_ACK_DELAY = 0x0B
 TP_DISABLE_ACTIVE_MIGRATION = 0x0C
 TP_ORIGINAL_DCID = 0x00
 TP_INITIAL_SCID = 0x0F
+TP_RETRY_SCID = 0x10
 TP_MAX_DATAGRAM_FRAME_SIZE = 0x20
 
 
@@ -426,6 +451,7 @@ class TransportParams:
     max_ack_delay_ms: int = 25
     original_dcid: Optional[bytes] = None   # server only
     initial_scid: Optional[bytes] = None
+    retry_scid: Optional[bytes] = None       # server only, after Retry
     max_datagram_frame_size: int = 65527
 
 
@@ -453,6 +479,8 @@ def encode_transport_params(tp: TransportParams) -> bytes:
         out += param(TP_ORIGINAL_DCID, tp.original_dcid)
     if tp.initial_scid is not None:
         out += param(TP_INITIAL_SCID, tp.initial_scid)
+    if tp.retry_scid is not None:
+        out += param(TP_RETRY_SCID, tp.retry_scid)
     return bytes(out)
 
 
@@ -487,6 +515,8 @@ def decode_transport_params(data: bytes) -> TransportParams:
             tp.original_dcid = val
         elif pid == TP_INITIAL_SCID:
             tp.initial_scid = val
+        elif pid == TP_RETRY_SCID:
+            tp.retry_scid = val
         elif pid == TP_MAX_DATAGRAM_FRAME_SIZE:
             tp.max_datagram_frame_size = vi()
     return tp

@@ -359,3 +359,156 @@ def test_moq_client_input_wires_tls_verification(monkeypatch):
     with pytest.raises(ConnectionError):
         src.start(None)
     assert seen["verify_peer"] is True
+
+
+# ---------------------------------------------------------------------------
+# Retry / address validation (RFC 9000 §8.1, RFC 9001 §5.8)
+# ---------------------------------------------------------------------------
+
+
+def test_retry_integrity_tag_rfc9001_a4():
+    """RFC 9001 A.4: the sample Retry for ODCID 8394c8f03e515708 with token
+    'token' — byte-exact known-answer for build_retry (modulo the unused
+    low first-byte bits, which A.4 sets to 0xf)."""
+    odcid = bytes.fromhex("8394c8f03e515708")
+    sample = bytes.fromhex(
+        "ff000000010008f067a5502a4262b5746f6b656e04a265ba2eff4d829058fb3f0f2496ba"
+    )
+    built = pkt.build_retry(
+        pkt.QUIC_V1, dcid=b"", scid=bytes.fromhex("f067a5502a4262b5"),
+        token=b"token", odcid=odcid,
+    )
+    # unused bits of byte 0 are arbitrary (A.4 uses 1111); the tag protects
+    # them, so compare against the A.4 first byte
+    assert built[1:-16] == sample[1:-16]
+    from smelter_tpu.io.quic.crypto import retry_integrity_tag
+    assert retry_integrity_tag(odcid, sample[:-16]) == sample[-16:]
+    hdr, token, tag = pkt.parse_retry(sample)
+    assert token == b"token" and tag == sample[-16:]
+
+
+def test_quic_handshake_through_retry(tls_pair):
+    """End-to-end handshake against a require_retry server: the client's
+    first Initial is answered with Retry, the echoed token validates, the
+    handshake completes, and the retry CIDs are authenticated through
+    transport params (original_dcid + retry_source_connection_id)."""
+    cert, key = tls_pair
+    accepted = []
+    server = QuicServer(0, cert, key, ["qt"], on_connection=accepted.append,
+                        require_retry=True)
+    server.start()
+    client = QuicClient("127.0.0.1", server.port, ["qt"])
+    try:
+        h = client.connect(timeout=20)
+        assert client.conn._retry_source_cid is not None  # Retry happened
+        assert client.conn.dcid != client.conn.original_dcid
+        deadline = time.time() + 10
+        while not accepted and time.time() < deadline:
+            time.sleep(0.02)
+        assert accepted
+        sh = accepted[0]
+        assert sh.established.wait(10)
+        # server recovered the true ODCID from the token (keys + TPs agree)
+        assert sh._conn.original_dcid == client.conn.original_dcid
+        assert sh._conn._address_validated
+        sid = h.open_stream()
+        h.send_stream(sid, b"post-retry payload", fin=True)
+        assert _collect(sh) == (b"post-retry payload", True)
+    finally:
+        client.close()
+        server.close()
+
+
+def test_retry_token_is_address_bound_and_fresh():
+    """A token minted for one address must not validate from another, after
+    expiry, or after tampering (spoofed-source resistance)."""
+    cert, key = generate_self_signed()
+    server = QuicServer(0, cert, key, ["qt"], on_connection=lambda h: None,
+                        require_retry=True)
+    try:
+        now = time.monotonic()
+        tok = server._mint_token(("10.0.0.1", 4242), b"O" * 8, b"R" * 8, now)
+        assert server._check_token(("10.0.0.1", 4242), tok, now) == (
+            b"O" * 8, b"R" * 8
+        )
+        # different source address -> reject
+        assert server._check_token(("10.0.0.2", 4242), tok, now) is None
+        assert server._check_token(("10.0.0.1", 9), tok, now) is None
+        # stale -> reject
+        assert server._check_token(
+            ("10.0.0.1", 4242), tok, now + server.TOKEN_LIFETIME + 1
+        ) is None
+        # bit-flip -> reject
+        bad = bytearray(tok); bad[3] ^= 1
+        assert server._check_token(("10.0.0.1", 4242), bytes(bad), now) is None
+    finally:
+        server.close()
+
+
+def test_spoofed_initial_creates_no_state(tls_pair):
+    """An attacker spraying Initials with forged tokens must not create
+    connection state or TLS work, and must not disturb legitimate clients
+    (the cost of a spoofed Initial is at most one stateless Retry)."""
+    import os as _os
+    import socket as _socket
+
+    cert, key = tls_pair
+    accepted = []
+    server = QuicServer(0, cert, key, ["qt"], on_connection=accepted.append,
+                        require_retry=True)
+    server.start()
+    try:
+        atk = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        try:
+            for _ in range(20):
+                # Initial long header with a garbage 40-byte token + padding
+                dcid, scid = _os.urandom(8), _os.urandom(8)
+                hdr = bytearray([0xC0])
+                hdr += pkt.QUIC_V1.to_bytes(4, "big")
+                hdr += bytes([8]) + dcid + bytes([8]) + scid
+                hdr += pkt.encode_varint(40) + _os.urandom(40)
+                dgram = bytes(hdr) + _os.urandom(1300)
+                atk.sendto(dgram, ("127.0.0.1", server.port))
+        finally:
+            atk.close()
+        time.sleep(0.3)
+        with server._lock:
+            assert not server._by_scid and not accepted
+        # a legitimate client still connects fine afterwards
+        client = QuicClient("127.0.0.1", server.port, ["qt"])
+        try:
+            client.connect(timeout=20)
+            assert client.conn._retry_source_cid is not None
+        finally:
+            client.close()
+    finally:
+        server.close()
+
+
+def test_forged_retry_is_ignored_by_client():
+    """A Retry whose integrity tag doesn't verify against the client's
+    original DCID (off-path forgery) must not change client state; an
+    authentic one must."""
+    from smelter_tpu.io.quic.connection import QuicConnection
+
+    conn = QuicConnection(is_client=True, alpn=["qt"])
+    odcid = conn.original_dcid
+    authentic = pkt.build_retry(pkt.QUIC_V1, dcid=conn.scid, scid=b"S" * 8,
+                                token=b"tok", odcid=odcid)
+    forged = bytearray(authentic)
+    forged[-1] ^= 1
+    conn.receive_datagram(bytes(forged), time.monotonic())
+    assert conn._retry_source_cid is None and conn.dcid == odcid
+    # wrong-odcid forgery (attacker guessed the wrong original DCID)
+    wrong = pkt.build_retry(pkt.QUIC_V1, dcid=conn.scid, scid=b"S" * 8,
+                            token=b"tok", odcid=b"X" * 8)
+    conn.receive_datagram(wrong, time.monotonic())
+    assert conn._retry_source_cid is None
+    # the authentic Retry is honored exactly once
+    conn.receive_datagram(authentic, time.monotonic())
+    assert conn._retry_source_cid == b"S" * 8
+    assert conn.dcid == b"S" * 8 and conn._initial_token == b"tok"
+    again = pkt.build_retry(pkt.QUIC_V1, dcid=conn.scid, scid=b"T" * 8,
+                            token=b"tok2", odcid=odcid)
+    conn.receive_datagram(again, time.monotonic())
+    assert conn._retry_source_cid == b"S" * 8  # second Retry ignored
