@@ -229,22 +229,56 @@ def main() -> None:
         jax.block_until_ready(jax.device_put(host_frames[i % 2]))
     link_mbps = (4 * frame_bytes / (time.perf_counter() - t0)) / 1e6
 
+    # -- general (non-grid) 4K flagship: rotation + radius + shadows ---------
+    # same 16x1080p -> 4K shape through compose_layouts' fast paths (the
+    # reference runs these scenes through the same one-pass layout shader it
+    # uses for grids, apply_layouts.wgsl:258-377 — so must we); headline:
+    # device p95 < 8 ms
+    from smelter_tpu.parallel.flagship import make_flagship_general_compose
+
+    gfn, _ = make_flagship_general_compose(
+        n_inputs=N_INPUTS,
+        in_res=Resolution(IN_W, IN_H),
+        out_res=Resolution(OUT_W, OUT_H),
+    )
+    gjfn = jax.jit(gfn)
+    gout = gjfn(*dev_frames[0])
+    sync(gout)
+    general_durs = _profiled_device_ms(
+        run=lambda i: gjfn(*dev_frames[i % 2]),
+        sync=sync,
+        iters=ITERS,
+        fn_name=gfn.__name__,
+    )
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        gout = gjfn(*dev_frames[i % 2])
+    sync(gout)
+    general_amortized_ms = (time.perf_counter() - t0) / ITERS * 1000.0
+
     fps = max(throughput_fps, batched_fps)
+    # HEADLINE latency = device_p50/p95_ms (profiler-measured on-device
+    # time, what BASELINE.md's "p95 < 8 ms" bounds). dispatch_* are
+    # host-observed blocked round-trips — on a tunneled dev chip they are
+    # dominated by tunnel RTT, not compute; do not read them as latency.
     result = {
         "metric": "compose_fps_16x1080p_to_4k_1chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
-        "p50_ms": round(p50, 3),
-        "p95_ms": round(p95, 3),
+        "baseline": "60 fps real-time bar (BASELINE.md north star: "
+                    "16x1080p -> 4K60, device p95 < 8 ms)",
+        "device_latency_budget_ms": 8.0,
+        "dispatch_p50_ms": round(p50, 3),
+        "dispatch_p95_ms": round(p95, 3),
         "amortized_ms_per_frame": round(pipe_ms, 3),
         "throughput_fps": round(throughput_fps, 2),
         "batched4_ms_per_frame": round(batched_ms, 3),
         "batched4_throughput_fps": round(batched_fps, 2),
         "ingest_ms_per_frame": round(ingest_ms, 3),
         "ingest_fps": round(ingest_fps, 2),
-        "ingest_p50_ms": round(ingest_p50, 3),
-        "ingest_p95_ms": round(ingest_p95, 3),
+        "ingest_dispatch_p50_ms": round(ingest_p50, 3),
+        "ingest_dispatch_p95_ms": round(ingest_p95, 3),
         "ingest_frame_mb": round(frame_bytes / 1e6, 1),
         "host_link_MBps": round(link_mbps, 1),
         "n_inputs": N_INPUTS,
@@ -256,6 +290,16 @@ def main() -> None:
             device_durs[max(0, int(len(device_durs) * 0.95) - 1)], 3
         )
         result["device_frames_profiled"] = len(device_durs)
+    general = {
+        "scene": "16x1080p -> 4K rounded+bordered+shadowed grid, 2 rotated",
+        "amortized_ms_per_frame": round(general_amortized_ms, 3),
+    }
+    if general_durs:
+        general["device_p50_ms"] = round(statistics.median(general_durs), 3)
+        general["device_p95_ms"] = round(
+            general_durs[max(0, int(len(general_durs) * 0.95) - 1)], 3
+        )
+    result["general_4k"] = general
     print(json.dumps(result))
 
 

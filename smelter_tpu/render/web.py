@@ -136,11 +136,15 @@ class SharedFrame:
         self._lock = threading.Lock()
         self._frame: Optional[np.ndarray] = None
         self.frame_count = 0
+        # condition (not polling) synchronization for "first frame arrived" —
+        # consumers on a loaded 1-vCPU box must block on this, not sleep-poll
+        self.ready = threading.Event()
 
     def put(self, rgba: np.ndarray) -> None:
         with self._lock:
             self._frame = rgba
             self.frame_count += 1
+        self.ready.set()
 
     def get(self) -> Optional[np.ndarray]:
         with self._lock:
@@ -266,6 +270,14 @@ class WebRendererInstance:
         """Latest page frame as straight-alpha RGBA, or None (transparent
         fallback / nothing rendered yet)."""
         return self.shared.get()
+
+    def wait_for_frame(self, timeout: float) -> bool:
+        """Block until the first screencast frame lands (condition-based —
+        never sleep-poll `frame()`; see CLAUDE.md timing notes). Returns
+        False on timeout or for the transparent fallback."""
+        if not self.active:
+            return False
+        return self.shared.ready.wait(timeout)
 
     # -- uplink: child frames INTO the page (embedder.rs:83 embed_sources) --------
 

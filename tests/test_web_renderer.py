@@ -97,13 +97,7 @@ def test_webview_renders_page_via_cdp(monkeypatch):
         assert inst.active, "sidecar path did not attach to the CDP endpoint"
         assert mock.navigated == ["https://example.com/"]
         assert mock.acked.wait(10), "screencast frame never acknowledged"
-        deadline = 50
-        while inst.frame() is None and deadline:
-            import time
-
-            time.sleep(0.1)
-            deadline -= 1
-        assert inst.frame() is not None
+        assert inst.wait_for_frame(10), "first screencast frame never landed"
 
         r.update_scene(
             "out",
@@ -165,13 +159,7 @@ def test_webview_chromium_embedding_pushes_child_frames(monkeypatch):
             resolution=(64, 48), embedding_method="chromium_embedding",
         ))
         assert inst.active
-        import time
-
-        deadline = 50
-        while inst.frame() is None and deadline:  # first screencast frame
-            time.sleep(0.1)
-            deadline -= 1
-        assert inst.frame() is not None
+        assert inst.wait_for_frame(10), "first screencast frame never landed"
         r.update_scene(
             "out",
             comp.View(background_color=RGBAColor(0, 0, 0, 255),
@@ -220,12 +208,7 @@ def test_webview_native_embedding_over_content(monkeypatch):
             embedding_method="native_embedding_over_content",
         ))
         assert inst.active
-        import time
-
-        deadline = 50
-        while inst.frame() is None and deadline:
-            time.sleep(0.1)
-            deadline -= 1
+        assert inst.wait_for_frame(10), "first screencast frame never landed"
         r.update_scene(
             "out",
             comp.View(background_color=RGBAColor(0, 0, 0, 255),
