@@ -1083,9 +1083,24 @@ def build_app(state: ApiState) -> web.Application:
     app.router.add_post("/api/font/register", register_font)
     app.router.add_post("/api/start", start)
     app.router.add_post("/api/reset", reset)
+    async def preview(request: web.Request) -> web.Response:
+        """Self-contained WHEP preview page for an output (the thin browser
+        client replacing the reference's in-browser WASM rendering layer
+        for server deployments — docs/BROWSER_RENDERING.md)."""
+        output_id = request.match_info["id"]
+        import html as _html
+        import importlib.resources as _res
+
+        page = (_res.files("smelter_tpu.server") / "preview.html").read_text()
+        safe = _html.escape(output_id, quote=True).replace("</", "<\\/")
+        return web.Response(
+            content_type="text/html", text=page.replace("__OUTPUT_ID__", safe)
+        )
+
     app.router.add_get("/status", status)
     app.router.add_get("/stats", stats)
     app.router.add_get("/ws", ws_handler)
+    app.router.add_get("/preview/{id}", preview)
     return app
 
 

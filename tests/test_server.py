@@ -539,3 +539,20 @@ def test_status_includes_configuration_block():
                 assert key in conf, key
     finally:
         s.stop()
+
+
+def test_preview_page_served(server):
+    """GET /preview/{id} serves the self-contained WHEP preview client
+    (docs/BROWSER_RENDERING.md — the browser-side replacement for the
+    reference's WASM rendering layer) with the output id substituted and
+    HTML-escaped."""
+    r = httpx.get(f"{server.base}/preview/out_1")
+    assert r.status_code == 200
+    assert r.headers["content-type"].startswith("text/html")
+    assert "/whep/" in r.text and "RTCPeerConnection" in r.text
+    assert "output <b>out_1</b>" in r.text
+    assert "__OUTPUT_ID__" not in r.text
+    # injection attempt is escaped, never interpolated as markup
+    r = httpx.get(f"{server.base}/preview/<script>alert(1)<%2fscript>")
+    assert r.status_code == 200
+    assert "<script>alert(1)" not in r.text
