@@ -220,81 +220,117 @@ def render_single_layout(
     return out * mask_alpha[None]
 
 
-def _render_rect_layout(
-    static: LayoutStatic,
-    params: LayoutParams,
-    sources: Sequence,
-    canvas: jnp.ndarray,  # (4, H, W) premultiplied f32
-) -> jnp.ndarray:
-    """Fast path: render one non-rotated layout region-locally and blend it
-    into the canvas with a static slice update (in place inside the fused
-    program). Rect placement is integer; colors/radii/masks stay traced."""
-    H, W = canvas.shape[1], canvas.shape[2]
+def _layer_region(static: LayoutStatic) -> Tuple[int, int, int, int]:
+    """Unclipped canvas region (top, left, h, w) a region-local layout can
+    touch: its static rect, expanded to the rotated bbox for stable-rotation
+    layers and by the blur pad for box shadows."""
     top, left, h, w = static.static_rect  # type: ignore[misc]
+    if static.static_rotation is not None and abs(static.static_rotation) > 1e-9:
+        if static.content == "texture":
+            from smelter_tpu.ops.rotate import rotated_bbox
+
+            bh, bw_ = rotated_bbox(float(static.static_rotation), h, w)
+        else:
+            th = math.radians(float(static.static_rotation))
+            bh = int(math.ceil(h * abs(math.cos(th)) + w * abs(math.sin(th)))) + 2
+            bw_ = int(math.ceil(h * abs(math.sin(th)) + w * abs(math.cos(th)))) + 2
+        top, left = top + (h - bh) // 2, left + (w - bw_) // 2
+        h, w = bh, bw_
     if static.content == "box_shadow":
         pad = int(math.ceil(static.static_blur)) + 1
         top, left, h, w = top - pad, left - pad, h + 2 * pad, w + 2 * pad
-    # static clip to canvas
-    y0, y1 = max(top, 0), min(top + h, H)
-    x0, x1 = max(left, 0), min(left + w, W)
-    if y0 >= y1 or x0 >= x1:
-        return canvas
-    vh, vw = y1 - y0, x1 - x0
+    return top, left, h, w
 
-    # absolute pixel-center coords of the visible region (static)
-    py = (jnp.arange(y0, y1, dtype=jnp.float32) + 0.5)[:, None]
-    px = (jnp.arange(x0, x1, dtype=jnp.float32) + 0.5)[None, :]
+
+def _pad_into(
+    layer: jnp.ndarray, otop: int, oleft: int, Y0: int, X0: int, vh: int, vw: int
+) -> jnp.ndarray:
+    """Place a (4, h, w) layer whose absolute origin is (otop, oleft) inside
+    a (4, vh, vw) zero region whose absolute origin is (Y0, X0), clipped.
+    Static pad — fuses into the consuming blend chain."""
+    h, w = layer.shape[1], layer.shape[2]
+    y0, y1 = max(otop, Y0), min(otop + h, Y0 + vh)
+    x0, x1 = max(oleft, X0), min(oleft + w, X0 + vw)
+    if y0 >= y1 or x0 >= x1:
+        return jnp.zeros((4, vh, vw), jnp.float32)
+    vis = layer[:, y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
+    return jnp.pad(
+        vis, [(0, 0), (y0 - Y0, Y0 + vh - y1), (x0 - X0, X0 + vw - x1)]
+    )
+
+
+def _region_layer(
+    static: LayoutStatic,
+    params: LayoutParams,
+    sources: Sequence,
+    Y0: int,
+    X0: int,
+    vh: int,
+    vw: int,
+) -> jnp.ndarray:
+    """Premultiplied (4, vh, vw) contribution of one region-local layout over
+    the absolute canvas region [Y0, Y0+vh) x [X0, X0+vw) — a superset of the
+    layout's own `_layer_region` (a union region when layers coalesce).
+    Outside the layout's footprint the contribution is exactly zero, so
+    blending over a larger region is identical to blending over its own.
+    Rect placement is integer; colors/radii/masks/angles stay traced."""
+    top, left, h, w = static.static_rect  # type: ignore[misc]
+
+    if static.content == "texture" and static.static_rotation is not None:
+        # stable-rotation texture: upright tile + gather-free 3-shear
+        # rotation (static angle, banded slices), padded into the region
+        from smelter_tpu.ops.rotate import rotate_static_cm, rotated_bbox
+
+        theta = float(static.static_rotation)
+        tile = _prepare_rect_tile(static, params, sources)
+        bh, bw_ = rotated_bbox(theta, h, w)
+        rotated = rotate_static_cm(tile, theta, bh, bw_)
+        oy = top + (h - bh) // 2
+        ox = left + (w - bw_) // 2
+        rotated = _apply_masks_region(rotated, static, params, oy, ox)
+        return _pad_into(rotated, oy, ox, Y0, X0, vh, vw)
+
+    # absolute pixel-center coords of the region (static)
+    py = (jnp.arange(Y0, Y0 + vh, dtype=jnp.float32) + 0.5)[:, None]
+    px = (jnp.arange(X0, X0 + vw, dtype=jnp.float32) + 0.5)[None, :]
     py = jnp.broadcast_to(py, (vh, vw))
     px = jnp.broadcast_to(px, (vh, vw))
 
-    # rect geometry (use the traced values so sub-pixel params still shade
-    # the SDF correctly; placement itself is integer)
+    if static.content in ("color", "box_shadow"):
+        # rounded-rect SDF is analytic: handles stable AND traced rotation
+        # as a coordinate rotation (render_single_layout), elementwise
+        return render_single_layout(static, params, sources, px, py)
+
+    # non-rotated texture: region-local MXU resize of the source crop
+    from smelter_tpu.ops.resample import resize_matmul
+
     rw, rh = params.width, params.height
     cx = params.left + rw * 0.5
     cy = params.top + rh * 0.5
     dx = px - cx
     dy = py - cy
-
     mask_alpha = _mask_alpha(px, py, params, static.n_masks)
     edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
 
-    if static.content == "box_shadow":
-        blur = jnp.maximum(params.blur_radius, 1.0)
-        a = smoothstep(-blur * 0.5, blur * 0.5, edge) * mask_alpha
-        layer = _premultiply(params.color) * a[None]
-    else:
-        if static.content == "color":
-            content = jnp.broadcast_to(_premultiply(params.color), (4, vh, vw))
-        else:
-            from smelter_tpu.ops.resample import resize_matmul
+    mips = sources[static.source_index]
+    img = mips[0] if isinstance(mips, (list, tuple)) else mips
+    ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
+    src = img[ct : ct + chh, cl : cl + cww]
+    # (4, h, w) resize via MXU — already channel-major
+    tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w).astype(jnp.float32)
+    content = _pad_into(tile, top, left, Y0, X0, vh, vw)
 
-            mips = sources[static.source_index]
-            img = mips[0] if isinstance(mips, (list, tuple)) else mips
-            ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
-            src = img[ct : ct + chh, cl : cl + cww]
-            # (4, h', w') resize via MXU — already channel-major
-            tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w).astype(jnp.float32)
-            # visible slice of the resized tile
-            content = tile[:, y0 - top : y0 - top + vh, x0 - left : x0 - left + vw]
-
-        if static.has_border:
-            bw = params.border_width
-            border_color = _premultiply(params.border_color)
-            if static.content == "color":
-                border_alpha = smoothstep(bw, bw + 1.0, edge)
-            else:
-                border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
-            inner = border_color + (content - border_color) * border_alpha[None]
-            content_alpha = smoothstep(-0.5, 0.5, edge)
-            outer = border_color * content_alpha[None]
-            layer = jnp.where((edge > bw * 0.5)[None], inner, outer)
-            layer = layer * mask_alpha[None]
-        else:
-            a = smoothstep(-0.5, 0.5, edge) * mask_alpha
-            layer = content * a[None]
-
-    region = canvas[:, y0:y1, x0:x1]
-    return canvas.at[:, y0:y1, x0:x1].set(_over(layer, region))
+    if static.has_border:
+        bw = params.border_width
+        border_color = _premultiply(params.border_color)
+        border_alpha = smoothstep(bw - 0.5, bw + 0.5, edge)
+        inner = border_color + (content - border_color) * border_alpha[None]
+        content_alpha = smoothstep(-0.5, 0.5, edge)
+        outer = border_color * content_alpha[None]
+        layer = jnp.where((edge > bw * 0.5)[None], inner, outer)
+        return layer * mask_alpha[None]
+    a = smoothstep(-0.5, 0.5, edge) * mask_alpha
+    return content * a[None]
 
 
 def _prepare_rect_tile(
@@ -343,27 +379,6 @@ def _blend_region(canvas, layer, otop: int, oleft: int) -> jnp.ndarray:
     vis = layer[:, y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
     region = canvas[:, y0:y1, x0:x1]
     return canvas.at[:, y0:y1, x0:x1].set(_over(vis, region))
-
-
-def _render_rotated_rect_layout(
-    static: LayoutStatic,
-    params: LayoutParams,
-    sources: Sequence,
-    canvas: jnp.ndarray,  # (4, H, W) premultiplied f32
-) -> jnp.ndarray:
-    """Stable-rotation fast path: upright tile + gather-free 3-shear
-    rotation (static angle, banded slices) blended region-locally."""
-    from smelter_tpu.ops.rotate import rotate_static_cm, rotated_bbox
-
-    top, left, h, w = static.static_rect  # type: ignore[misc]
-    theta = float(static.static_rotation)  # type: ignore[arg-type]
-    tile = _prepare_rect_tile(static, params, sources)
-    bh, bw_ = rotated_bbox(theta, h, w)
-    rotated = rotate_static_cm(tile, theta, bh, bw_)
-    oy = top + (h - bh) // 2
-    ox = left + (w - bw_) // 2
-    rotated = _apply_masks_region(rotated, static, params, oy, ox)
-    return _blend_region(canvas, rotated, oy, ox)
 
 
 def _render_rotated_rect_layout_traced(
@@ -572,6 +587,31 @@ def _render_rotozoom_layout(
     return _place_tile_traced(canvas, rotated, cy - S * 0.5, cx - S * 0.5)
 
 
+def _blend_group(canvas, members, union, sources, h: int, w: int):
+    """OVER-blend one coalesced group: one canvas region read, one fused
+    elementwise chain, one slice write (none at all when the union covers
+    the full canvas)."""
+    uy, ux, uh, uw = union
+    acc = canvas[:, uy : uy + uh, ux : ux + uw]
+    for st, p in members:
+        acc = _over(_region_layer(st, p, sources, uy, ux, uh, uw), acc)
+    if (uh, uw) == (h, w):
+        return acc
+    return canvas.at[:, uy : uy + uh, ux : ux + uw].set(acc)
+
+
+def _assemble_groups(canvas, groups, sources, h: int, w: int):
+    """Assemble a run of coalesced groups onto the canvas, one region blend
+    per group in paint order. (A band/cell concat assembly of disjoint
+    groups was measured SLOWER here: the canvas is channel-major, so x-axis
+    concatenation at arbitrary cell offsets is lane-misaligned — the u8 YUV
+    grid path keeps its concat assembly because its tiles partition the
+    canvas exactly; for f32 union regions the slice updates win.)"""
+    for members, union, _ in groups:
+        canvas = _blend_group(canvas, members, union, sources, h, w)
+    return canvas
+
+
 def compose_layouts(
     resolution: Tuple[int, int],  # (width, height)
     statics: Sequence[LayoutStatic],
@@ -587,7 +627,14 @@ def compose_layouts(
 
     Layouts whose `static_rect` is set take the region-local fast path
     (no full-canvas gathers); the rest run the general full-canvas pass
-    (rotation / animating rects)."""
+    (animating rects / traced rotations). Consecutive region-local layouts
+    whose footprints overlap (a tile's shadow + backdrop + content, paint
+    order adjacency) COALESCE into one union-region blend chain: one canvas
+    region read and one slice write per group instead of one per layout —
+    premultiplied OVER is associative, so grouping is exact. The merge
+    heuristic is the traffic model: adding a member is accepted iff
+    (k+3)*|union| <= 3*sum(|r_i|), i.e. the union read+write plus the extra
+    per-member shading area beats the per-layout region reads+writes."""
     w, h = resolution
     canvas = (
         jnp.moveaxis(background, -1, 0)
@@ -596,6 +643,24 @@ def compose_layouts(
     )
     px = py = None
     items = list(zip(statics, params))
+
+    def _local(st: LayoutStatic) -> bool:
+        if st.traced_position or st.traced_size_buf is not None:
+            return False
+        if st.static_rect is None:
+            return False
+        if st.has_rotation:
+            return st.static_rotation is not None
+        return True
+
+    def _clip(reg):
+        top, left, hh, ww = reg
+        y0, y1 = max(top, 0), min(top + hh, h)
+        x0, x1 = max(left, 0), min(left + ww, w)
+        if y0 >= y1 or x0 >= x1:
+            return None
+        return y0, x0, y1 - y0, x1 - x0
+
     i = 0
     while i < len(items):
         st, p = items[i]
@@ -624,21 +689,46 @@ def compose_layouts(
             canvas = _render_scaling_rect_layout(st, p, sources, canvas)
             i += 1
             continue
-        if (
-            st.static_rect is not None
-            and not st.has_rotation
-            and not st.traced_position
-        ):
-            canvas = _render_rect_layout(st, p, sources, canvas)
-            i += 1
-            continue
-        if (
-            st.static_rect is not None
-            and st.static_rotation is not None
-            and st.content == "texture"
-        ):
-            canvas = _render_rotated_rect_layout(st, p, sources, canvas)
-            i += 1
+        if _local(st):
+            # gather the whole consecutive run of region-local layouts,
+            # coalesced into groups by the traffic model, then assemble all
+            # groups at once (band/cell concatenation when their footprints
+            # are disjoint — one canvas write instead of one DUS per group)
+            groups = []  # (members, union, paint_idx)
+            cur = None  # (members, (uy,ux,uh,uw), area_sum, idx)
+            j = i
+            while j < len(items) and _local(items[j][0]):
+                st2, p2 = items[j]
+                r2 = _clip(_layer_region(st2))
+                if r2 is None:  # fully off-canvas: contributes nothing
+                    j += 1
+                    continue
+                if cur is not None:
+                    members, (uy, ux, uh, uw), area_sum, idx = cur
+                    ny0 = min(uy, r2[0])
+                    nx0 = min(ux, r2[1])
+                    ny1 = max(uy + uh, r2[0] + r2[2])
+                    nx1 = max(ux + uw, r2[1] + r2[3])
+                    n_area = (ny1 - ny0) * (nx1 - nx0)
+                    if (len(members) + 3) * n_area <= 3 * (
+                        area_sum + r2[2] * r2[3]
+                    ):
+                        members.append((st2, p2))
+                        cur = (
+                            members,
+                            (ny0, nx0, ny1 - ny0, nx1 - nx0),
+                            area_sum + r2[2] * r2[3],
+                            idx,
+                        )
+                        j += 1
+                        continue
+                    groups.append((members, (uy, ux, uh, uw), idx))
+                cur = ([(st2, p2)], r2, r2[2] * r2[3], j)
+                j += 1
+            if cur is not None:
+                groups.append((cur[0], cur[1], cur[3]))
+            canvas = _assemble_groups(canvas, groups, sources, h, w)
+            i = j
             continue
         if (
             st.static_rect is not None

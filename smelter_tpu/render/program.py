@@ -168,6 +168,26 @@ def split_layout(
                 max(int(round(c.crop.height)), 1),
                 max(int(round(c.crop.width)), 1),
             )
+    if (
+        fast
+        and abs(layout.rotation_degrees) > 1e-9
+        and isinstance(c, (RenderColor, RenderBoxShadow))
+    ):
+        # stable rotation of a color/shadow layer: the rounded-rect SDF is
+        # analytic, so rotation is just a coordinate rotation — rendered
+        # region-locally over the rotated bbox (elementwise, no gathers, no
+        # full-canvas pass; the angle itself stays traced for shading)
+        rect = (
+            int(round(layout.top)),
+            int(round(layout.left)),
+            int(round(layout.height)),
+            int(round(layout.width)),
+        )
+        if rect[2] > 0 and rect[3] > 0:
+            static_rect = rect
+            static_rotation = round(layout.rotation_degrees, 3)
+            if isinstance(c, RenderBoxShadow):
+                static_blur = float(c.blur_radius)
     if fast and abs(layout.rotation_degrees) <= 1e-9:
         rect = (
             int(round(layout.top)),
@@ -239,6 +259,7 @@ def split_layout(
             static_rect=static_rect,
             no_radius=no_radius,
             static_color=static_color,
+            static_rotation=static_rotation,
         )
         params = LayoutParams(
             **common,
@@ -256,6 +277,7 @@ def split_layout(
             static_rect=static_rect,
             static_blur=static_blur,
             no_radius=no_radius,
+            static_rotation=static_rotation,
         )
         params = LayoutParams(
             **common,
