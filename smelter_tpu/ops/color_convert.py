@@ -160,6 +160,118 @@ def planar_yuv_to_rgba(
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def _chroma_upsample_matrix(n_full: int, n_sub: int):
+    """(n_full, n_sub) matrix form of `upsample_chroma_bilinear` along one
+    axis (texel-center aligned linear sampling); identity when not
+    subsampled."""
+    import numpy as np
+
+    if n_full == n_sub:
+        return np.eye(n_sub, dtype=np.float32)
+    U = np.zeros((n_full, n_sub), np.float32)
+    pos = (np.arange(n_full) + 0.5) * (n_sub / n_full) - 0.5
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_sub - 1)
+    i1 = np.clip(i0 + 1, 0, n_sub - 1)
+    frac = np.clip(pos - np.floor(pos), 0.0, 1.0).astype(np.float32)
+    rows = np.arange(n_full)
+    np.add.at(U, (rows, i0), 1.0 - frac)
+    np.add.at(U, (rows, i1), frac)
+    return U
+
+
+def yuv_tile_rgba_cm(
+    y: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    crop,  # (top, left, h, w) in luma pixels, static ints
+    out_h: int,
+    out_w: int,
+    full_range: bool = False,
+    kind: str = "lanczos3",
+    compute_dtype=jnp.bfloat16,
+):
+    """Crop + resize + BT.709-convert planar YUV u8 planes directly to a
+    channel-major (4, out_h, out_w) f32 RGBA tile (alpha = 1), never
+    materializing full-resolution RGBA.
+
+    TPU-first: the per-pixel color matrix is affine and the resize weights
+    sum to 1, so spatial resizing commutes with the conversion — resizing
+    the subsampled planes first moves ~2.7x fewer MXU FLOPs than converting
+    then resizing (4 full-res channels -> 1 luma + 2 quarter-res chroma) and
+    skips the full-res f32 RGBA HBM round-trip. Chroma planes resize with
+    COMPOSED (resize @ bilinear-upsample) weight matrices whose upsample
+    rows are sliced by the luma crop, so any integer crop matches
+    `resize_matmul(planar_yuv_to_rgba(y,u,v)[crop])` exactly. The one
+    deviation: the limited-range expansion / RGB clamps are not applied
+    per-pixel at FULL resolution first, so out-of-range YUV noise (below
+    footroom / above headroom) blends linearly instead of pre-clamped —
+    the end-of-pipe u8 clamp still bounds the output."""
+    import numpy as np
+
+    from smelter_tpu.ops.resample import _dense_axis_weights
+
+    ct, cl, chh, cww = crop
+    Wh = _dense_axis_weights(chh, out_h, kind)  # (out_h, crop_h)
+    Ww = _dense_axis_weights(cww, out_w, kind)  # (out_w, crop_w)
+    Uh = _chroma_upsample_matrix(y.shape[0], u.shape[0])
+    Uw = _chroma_upsample_matrix(y.shape[1], u.shape[1])
+    Wch = np.ascontiguousarray(Wh @ Uh[ct : ct + chh])  # (out_h, chroma_h)
+    Wcw = np.ascontiguousarray(Ww @ Uw[cl : cl + cww])  # (out_w, chroma_w)
+
+    def _rs(img, Wr, Wc):
+        x = img.astype(compute_dtype)
+        a = jnp.asarray(Wr, compute_dtype)
+        b = jnp.asarray(Wc, compute_dtype)
+        x = jnp.einsum(
+            "oh,hw->ow", a, x, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+        return jnp.einsum("ow,hw->ho", b, x, preferred_element_type=jnp.float32)
+
+    yt = _rs(y[ct : ct + chh, cl : cl + cww], Wh, Ww) * (1.0 / 255.0)
+    ut = _rs(u, Wch, Wcw) * (1.0 / 255.0)
+    vt = _rs(v, Wch, Wcw) * (1.0 / 255.0)
+    if not full_range:
+        yt = (yt - _FOOTROOM) * (1.0 / _Y_SCALE)
+        ut = (ut - _FOOTROOM) * (1.0 / _UV_SCALE)
+        vt = (vt - _FOOTROOM) * (1.0 / _UV_SCALE)
+    ut = ut - 0.5
+    vt = vt - 0.5
+    r = yt + 1.5748 * vt
+    g = yt - 0.1873 * ut - 0.4681 * vt
+    b = yt + 1.8556 * ut
+    return jnp.stack([r, g, b, jnp.ones_like(r)])
+
+
+class DeferredYuvSource:
+    """Planar-YUV input source whose RGBA conversion is deferred: static
+    fast-path texture layouts crop+resize the subsampled planes directly on
+    the MXU (`yuv_tile_rgba_cm`); consumers that need full-resolution RGBA
+    mips (gather paths, shaders, traced-size transitions) call `.mips()`,
+    which converts once per trace. Created inside a traced frame program —
+    never shared across traces."""
+
+    def __init__(self, y, u, v, full_range: bool = False, mip_levels: int = 1):
+        self.planes = (y, u, v)
+        self.full_range = full_range
+        self._levels = mip_levels
+        self._mips = None
+
+    def tile_cm(self, crop, out_h: int, out_w: int):
+        y, u, v = self.planes
+        return yuv_tile_rgba_cm(
+            y, u, v, crop, out_h, out_w, full_range=self.full_range
+        )
+
+    def mips(self):
+        if self._mips is None:
+            from smelter_tpu.ops.resample import build_mips
+
+            y, u, v = self.planes
+            rgba = planar_yuv_to_rgba(y, u, v, full_range=self.full_range)
+            self._mips = build_mips(rgba, self._levels)
+        return self._mips
+
+
 def rgba_to_planar_yuv420(rgba: jnp.ndarray, full_range: bool = False):
     """(H, W, 4) RGBA (f32 [0,1] or u8) -> (y, u, v) u8 planes, 4:2:0."""
     y, u, v = rgb_to_yuv(_as_unit_f32(rgba)[..., :3], full_range)

@@ -149,6 +149,31 @@ def _over(layer: jnp.ndarray, under: jnp.ndarray) -> jnp.ndarray:
     return layer + under * (1.0 - layer[3:4])
 
 
+def _src_mips(src) -> Sequence:
+    """Full-resolution RGBA mip list of a source (converting a deferred
+    planar-YUV source on first use within the trace)."""
+    if hasattr(src, "mips"):
+        return src.mips()
+    return src if isinstance(src, (list, tuple)) else [src]
+
+
+def _src_tile_cm(src, crop, out_h: int, out_w: int) -> jnp.ndarray:
+    """Channel-major (4, out_h, out_w) f32 tile: the source's `crop` window
+    resized via MXU matmuls. Deferred planar-YUV sources crop+resize their
+    subsampled planes directly (color_convert.yuv_tile_rgba_cm) — no
+    full-res RGBA materialization."""
+    if hasattr(src, "tile_cm"):
+        return src.tile_cm(crop, out_h, out_w)
+    from smelter_tpu.ops.resample import resize_matmul
+
+    img = src[0] if isinstance(src, (list, tuple)) else src
+    ct, cl, chh, cww = crop
+    patch = img[ct : ct + chh, cl : cl + cww]
+    return resize_matmul(jnp.moveaxis(patch, -1, 0), out_h, out_w).astype(
+        jnp.float32
+    )
+
+
 def render_single_layout(
     static: LayoutStatic,
     params: LayoutParams,
@@ -185,7 +210,7 @@ def render_single_layout(
     if static.content == "color":
         content = jnp.broadcast_to(_premultiply(params.color), (4,) + px.shape)
     else:  # texture
-        mips = sources[static.source_index]
+        mips = _src_mips(sources[static.source_index])
         crop_top, crop_left = params.crop[0], params.crop[1]
         crop_w, crop_h = params.crop[2], params.crop[3]
         # local rect coords in [0, w) x [0, h) -> source pixels inside crop
@@ -302,8 +327,6 @@ def _region_layer(
         return render_single_layout(static, params, sources, px, py)
 
     # non-rotated texture: region-local MXU resize of the source crop
-    from smelter_tpu.ops.resample import resize_matmul
-
     rw, rh = params.width, params.height
     cx = params.left + rw * 0.5
     cy = params.top + rh * 0.5
@@ -312,12 +335,8 @@ def _region_layer(
     mask_alpha = _mask_alpha(px, py, params, static.n_masks)
     edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
 
-    mips = sources[static.source_index]
-    img = mips[0] if isinstance(mips, (list, tuple)) else mips
-    ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
-    src = img[ct : ct + chh, cl : cl + cww]
     # (4, h, w) resize via MXU — already channel-major
-    tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w).astype(jnp.float32)
+    tile = _src_tile_cm(sources[static.source_index], static.static_crop, h, w)
     content = _pad_into(tile, top, left, Y0, X0, vh, vw)
 
     if static.has_border:
@@ -339,14 +358,10 @@ def _prepare_rect_tile(
     """Resize the source crop upright (MXU matmuls) and apply edge/border
     SDF alpha in the rect's LOCAL axis-aligned frame. Shared by both
     rotation fast paths. Returns channel-major (4, h, w)."""
-    from smelter_tpu.ops.resample import resize_matmul
-
     top, left, h, w = static.static_rect  # type: ignore[misc]
-    mips = sources[static.source_index]
-    img = mips[0] if isinstance(mips, (list, tuple)) else mips
-    ct, cl, chh, cww = static.static_crop  # type: ignore[misc]
-    src = img[ct : ct + chh, cl : cl + cww]
-    tile = resize_matmul(jnp.moveaxis(src, -1, 0), h, w).astype(jnp.float32)
+    tile = _src_tile_cm(
+        sources[static.source_index], static.static_crop, h, w
+    )
 
     rw, rh = params.width, params.height
     ly = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None] - h * 0.5
@@ -502,8 +517,8 @@ def _render_scaling_rect_layout(
     from smelter_tpu.ops.resample import resize_matmul_traced
 
     bh, bw_ = static.traced_size_buf  # type: ignore[misc]
-    mips = sources[static.source_index]
-    img = mips[0] if isinstance(mips, (list, tuple)) else mips
+    mips = _src_mips(sources[static.source_index])
+    img = mips[0]
     # crop is traced (folded into the resize weights), so fill-mode zooms
     # and crop animations share this path
     tile = resize_matmul_traced(
@@ -546,8 +561,8 @@ def _render_rotozoom_layout(
     from smelter_tpu.ops.rotate import rotate_traced_cm, traced_work_size
 
     bh, bw_ = static.traced_size_buf  # type: ignore[misc]
-    mips = sources[static.source_index]
-    img = mips[0] if isinstance(mips, (list, tuple)) else mips
+    mips = _src_mips(sources[static.source_index])
+    img = mips[0]
     tile = resize_matmul_traced(
         jnp.moveaxis(img, -1, 0), bh, bw_, params.height, params.width,
         crop=(params.crop[0], params.crop[1], params.crop[2], params.crop[3]),

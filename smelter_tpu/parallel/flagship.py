@@ -199,10 +199,14 @@ def make_flagship_general_compose(
     levels = 2
 
     def general4k(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-        sources = [None] * n_inputs
-        for i in range(n_inputs):
-            rgba = cc.planar_yuv_to_rgba(y[i], u[i], v[i])
-            sources[i] = build_mips(rgba, levels)
+        # deferred sources: the fast-path layouts crop+resize the subsampled
+        # YUV planes directly on the MXU (exact vs convert-then-resize; see
+        # color_convert.yuv_tile_rgba_cm) — full-res f32 RGBA never
+        # materializes, same as the production program's input handling
+        sources = [
+            cc.DeferredYuvSource(y[i], u[i], v[i], mip_levels=levels)
+            for i in range(n_inputs)
+        ]
         canvas = compose_layouts(
             (out_res.width, out_res.height), statics, params, sources,
             planar=True,

@@ -1041,11 +1041,21 @@ class OutputProgram:
                         return None
                     if p.input_id not in input_memo:
                         fmt, res = input_formats[p.input_id]
-                        rgba = cc.convert_to_rgba_f32(
-                            fmt.value,
-                            access.get(p.input_id, frame_buf, raw_planes),
-                        )
-                        input_memo[p.input_id] = build_mips(rgba, _mip_levels(res))
+                        planes = access.get(p.input_id, frame_buf, raw_planes)
+                        if fmt.is_planar_yuv:
+                            # defer the RGBA conversion: fast-path layouts
+                            # crop+resize the subsampled planes directly on
+                            # the MXU; .mips() converts on first gather use
+                            input_memo[p.input_id] = cc.DeferredYuvSource(
+                                *planes,
+                                full_range=fmt.is_full_range,
+                                mip_levels=_mip_levels(res),
+                            )
+                        else:
+                            rgba = cc.convert_to_rgba_f32(fmt.value, planes)
+                            input_memo[p.input_id] = build_mips(
+                                rgba, _mip_levels(res)
+                            )
                     return input_memo[p.input_id]
                 if isinstance(p, (TextNode, ImageNode)):
                     tex = aux_textures[nid]
@@ -1059,9 +1069,7 @@ class OutputProgram:
                 if isinstance(p, ShaderNode):
                     children = [eval_node(ch) for ch in node.children]
                     inputs = [
-                        (c[0] if isinstance(c, list) else c)
-                        for c in children
-                        if c is not None
+                        _full_rgba(c) for c in children if c is not None
                     ]
                     fn = shaders.get(p.shader_id)
                     res = (int(p.size[0]), int(p.size[1]))
@@ -1090,8 +1098,9 @@ class OutputProgram:
                         return build_mips(page, _mip_levels(res))
                     # native embedding: composite children above/below the
                     # page content (web_renderer.rs NativeEmbedding*Content)
-                    children = [c[0] if isinstance(c, list) else c
-                                for c in child_outs if c is not None]
+                    children = [
+                        _full_rgba(c) for c in child_outs if c is not None
+                    ]
                     if page is None and not children:
                         return None
                     if page is None:
@@ -1149,7 +1158,7 @@ class OutputProgram:
                 )
                 rgba = jnp.zeros(shape, jnp.float32)
             else:
-                rgba = out[0] if isinstance(out, list) else out
+                rgba = _full_rgba(out)
             # un-premultiply is NOT done: outputs are opaque video frames
             if root_planar:
                 if out_format == PixelFormat.PLANAR_YUV420:
@@ -1170,6 +1179,14 @@ class OutputProgram:
             raise ValueError(f"unsupported output format {out_format}")
 
         return jax.jit(traced)
+
+
+def _full_rgba(src):
+    """Full-resolution (H, W, 4) f32 RGBA of an eval_node result (mip list,
+    bare array, or a DeferredYuvSource converted on first use)."""
+    if hasattr(src, "mips"):
+        return src.mips()[0]
+    return src[0] if isinstance(src, list) else src
 
 
 def _layout_res_from_key(key: tuple, nid: int) -> Resolution:

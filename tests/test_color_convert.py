@@ -102,3 +102,80 @@ def test_chroma_upsample_bilinear_constant():
     up = np.asarray(cc.upsample_chroma_bilinear(plane, 2, 2))
     assert up.shape == (8, 8)
     assert np.allclose(up, 0.25)
+
+
+def _tile_vs_oracle(rgba: np.ndarray, crop, out_h, out_w):
+    from smelter_tpu.ops.resample import resize_matmul
+
+    y, u, v = cc.rgba_to_planar_yuv420(jnp.asarray(rgba))
+    src = cc.DeferredYuvSource(y, u, v)
+    new = np.asarray(jnp.clip(src.tile_cm(crop, out_h, out_w), 0.0, 1.0))
+    full = cc.planar_yuv_to_rgba(y, u, v)
+    ct, cl, chh, cww = crop
+    patch = full[ct : ct + chh, cl : cl + cww]
+    old = np.asarray(
+        jnp.clip(
+            resize_matmul(jnp.moveaxis(patch, -1, 0), out_h, out_w), 0.0, 1.0
+        )
+    )
+    return new, np.abs(new - old) * 255.0
+
+
+def test_yuv_tile_rgba_cm_exact_in_gamut():
+    """The deferred crop+resize+convert path (composed chroma weights,
+    subsampled-plane matmuls) matches convert-then-resize wherever the
+    full-res conversion stays in gamut: the affine BT.709 matrix commutes
+    with weight-normalized resizes."""
+    yy, xx = np.mgrid[0:108, 0:192]
+    # low-saturation content: chroma-resampled pixels stay in gamut
+    rgba = np.stack(
+        [
+            96 + xx * 64 // 192,
+            96 + yy * 64 // 108,
+            96 + (xx + yy) * 64 // 300,
+            np.full_like(xx, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    rgba[40:70, 80:120, :3] = 160
+    new, d = _tile_vs_oracle(rgba, (7, 11, 80, 160), 60, 120)
+    assert new.shape == (4, 60, 120)
+    assert np.allclose(new[3], 1.0)
+    # residual is bf16 rounding taken in two different orders: the oracle
+    # upsamples chroma in f32 then resizes in bf16; the deferred path rounds
+    # the composed weights to bf16 once
+    assert d.max() <= 3.0, d.max()
+    assert d.mean() < 0.5, d.mean()
+
+
+def test_yuv_tile_rgba_cm_bounded_at_gamut_edges():
+    """At saturated edges the old path clipped RGB per pixel at FULL res
+    before resampling (matching a GPU rgba8 texture), while the deferred
+    path filters the unclipped signal in YUV and clamps once at the end —
+    standard video-scaler behavior. The deviation is confined to 1-2 px
+    seams around gamut-clipped pixels and bounded by the overshoot."""
+    yy, xx = np.mgrid[0:108, 0:192]
+    rgba = np.stack(
+        [
+            xx * 255 // 192,
+            yy * 255 // 108,
+            (xx + yy) * 255 // 300,
+            np.full_like(xx, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    rgba[40:70, 80:120, :3] = 255  # saturated block against a gradient
+    _, d = _tile_vs_oracle(rgba, (7, 11, 80, 160), 60, 120)
+    assert d.max() <= 24.0, d.max()  # bounded seam, not a broken convert
+    assert d.mean() < 0.5, d.mean()  # and globally tight
+    assert (d.max(axis=0) > 2.0).mean() < 0.05  # <5% of pixels affected
+
+
+def test_deferred_yuv_source_mips_memoized():
+    y = jnp.zeros((32, 64), jnp.uint8)
+    u = jnp.full((16, 32), 128, jnp.uint8)
+    v = jnp.full((16, 32), 128, jnp.uint8)
+    src = cc.DeferredYuvSource(y, u, v, mip_levels=2)
+    m1 = src.mips()
+    assert src.mips() is m1 and len(m1) == 2
+    assert m1[0].shape == (32, 64, 4)
