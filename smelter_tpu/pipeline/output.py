@@ -297,10 +297,17 @@ class PipelineOutput:
                 if enc is None:
                     self.sink.write_video_packet(frame)
                     continue
-                y, u, v = _frame_to_planes(
-                    frame, opts.resolution,
-                    getattr(opts.encoder, "pixel_format", "yuv420p"),
-                )
+                from smelter_tpu.utils import tracing
+
+                # the device->host materialization of the rendered planes
+                # lands here (np.asarray waits on the async compose), so it
+                # gets its own span — otherwise the wait would be silently
+                # attributed to codec.video_encode
+                with tracing.span("render.fetch_host"):
+                    y, u, v = _frame_to_planes(
+                        frame, opts.resolution,
+                        getattr(opts.encoder, "pixel_format", "yuv420p"),
+                    )
                 force_kf = self._keyframe_request.is_set()
                 if force_kf:
                     self._keyframe_request.clear()

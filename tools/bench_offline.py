@@ -151,10 +151,14 @@ def main() -> None:
             end_condition=EndCondition(all_inputs=True),
         ),
     )
+    from smelter_tpu.utils import tracing
+
+    tracing.reset()  # per-stage spans: decode / queue / render / fetch / encode
     t0 = time.perf_counter()
     pipeline.start()
-    pipeline.wait_for_outputs_done(timeout=1200)
+    pipeline.wait_for_outputs_done(timeout=3600)
     wall_s = time.perf_counter() - t0
+    spans = tracing.report()
     pipeline.close()
     out_size = os.path.getsize(out_path) if os.path.exists(out_path) else 0
     import shutil
@@ -175,6 +179,13 @@ def main() -> None:
         "fps": args.fps,
         "out_bytes": out_size,
         "source_gen_s": round(gen_s, 2),
+        # per-stage attribution (wall-clock inside each span; stages overlap
+        # across threads, so totals can exceed wall_s on multicore hosts)
+        "spans": {
+            k: spans[k]
+            for k in sorted(spans)
+            if k.startswith(("codec.", "queue.", "render.", "audio."))
+        },
     }))
 
 
