@@ -648,6 +648,17 @@ class UpdateOutputRequest(ApiModel):
     schedule_time_ms: Optional[float] = None
 
 
+class UnregisterRequest(ApiModel):
+    """Body for input/output/renderer unregister routes.
+
+    `schedule_time_ms` defers the unregister to a queue PTS (0 = the start
+    request), matching `src/routes/unregister_request.rs:18-37`; an empty
+    body unregisters immediately.
+    """
+
+    schedule_time_ms: Optional[float] = None
+
+
 View.model_rebuild()
 Rescaler.model_rebuild()
 Tiles.model_rebuild()

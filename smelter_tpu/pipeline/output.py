@@ -431,6 +431,7 @@ class Mp4OutputSink(OutputSink):
         self._need_audio = False
         self._header = False
         self._pending: List[Tuple[str, object]] = []
+        self._ts_offset: Optional[float] = None
 
     def _maybe_open(self) -> None:
         ready = (not self._need_video or self._video_stream is not None) and (
@@ -479,7 +480,14 @@ class Mp4OutputSink(OutputSink):
 
     def _write(self, kind: str, pkt) -> None:
         stream = self._video_stream if kind == "video" else self._audio_stream
-        self._mux.write(stream, pkt.data, pkt.pts_s or 0.0, pkt.dts_s, pkt.is_keyframe)
+        # rebase to the first packet so the file starts at pts 0 regardless
+        # of when the output was registered on the pipeline clock
+        # (mp4_output.rs:305-381 timestamp_offset)
+        if self._ts_offset is None:
+            self._ts_offset = pkt.pts_s or 0.0
+        pts = max((pkt.pts_s or 0.0) - self._ts_offset, 0.0)
+        dts = None if pkt.dts_s is None else max(pkt.dts_s - self._ts_offset, 0.0)
+        self._mux.write(stream, pkt.data, pts, dts, pkt.is_keyframe)
 
     def write_video_packet(self, pkt) -> None:
         with self._lock:

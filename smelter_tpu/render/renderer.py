@@ -176,8 +176,14 @@ class Renderer:
 
         with tracing.span("render.frame"), self._lock:
             pts = frame_set.pts
-            # refresh last-frame cache
+            # refresh last-frame cache; skip inputs unregistered while this
+            # frameset was in flight in the render channel — otherwise their
+            # frame would re-enter the cache after unregister_input popped it
+            # and the freeze-frame fallback would keep showing a removed
+            # input for stream_fallback_timeout longer
             for iid, frame in frame_set.frames.items():
+                if iid not in self._inputs:
+                    continue
                 self._last_frames[iid] = frame
                 self._inputs[iid] = pts
             frames: Dict[str, Frame] = {}

@@ -149,6 +149,36 @@ async def _run_blocking(fn, *args):
     return await loop.run_in_executor(None, fn, *args)
 
 
+async def _unregister_schedule(request: web.Request) -> Optional[float]:
+    """Parse an unregister body into a schedule time (seconds) or None.
+
+    Mirrors `src/routes/unregister_request.rs:18-37`: the body is optional;
+    `schedule_time_ms` defers the unregister to that queue PTS (0 = start).
+    """
+    raw = await request.read()
+    if not raw:
+        return None
+    req = api.UnregisterRequest.model_validate_json(raw)
+    if req.schedule_time_ms is None:
+        return None
+    return req.schedule_time_ms / 1000.0
+
+
+def _schedule_unregister(state: ApiState, when: float, what: str, fn) -> None:
+    """Queue `fn` at PTS `when`; scheduled failures log (routes.rs behavior —
+    the HTTP 200 already went out, so errors can only be reported here)."""
+
+    def run() -> None:
+        try:
+            fn()
+        except Exception:  # noqa: BLE001
+            logger.exception(
+                "scheduled unregister of %s at %.3fs failed", what, when
+            )
+
+    state.pipeline.queue.schedule_event(when, run)
+
+
 _STATE_KEY = web.AppKey("state", object)
 
 
@@ -476,11 +506,19 @@ def build_app(state: ApiState) -> web.Application:
 
     async def unregister_input(request: web.Request) -> web.Response:
         input_id = request.match_info["id"]
-        try:
-            await _run_blocking(state.pipeline.unregister_input, input_id)
+
+        def do() -> None:
+            state.pipeline.unregister_input(input_id)
             state.input_kinds.pop(input_id, None)
             if state.moq_state is not None:
                 state.moq_state.unregister(input_id)
+
+        try:
+            when = await _unregister_schedule(request)
+            if when is not None:
+                _schedule_unregister(state, when, f"input {input_id!r}", do)
+            else:
+                await _run_blocking(do)
             return _json_ok()
         except KeyError:
             return _error_response(
@@ -679,9 +717,17 @@ def build_app(state: ApiState) -> web.Application:
 
     async def unregister_output(request: web.Request) -> web.Response:
         output_id = request.match_info["id"]
-        try:
-            await _run_blocking(state.pipeline.unregister_output, output_id)
+
+        def do() -> None:
+            state.pipeline.unregister_output(output_id)
             state.output_kinds.pop(output_id, None)
+
+        try:
+            when = await _unregister_schedule(request)
+            if when is not None:
+                _schedule_unregister(state, when, f"output {output_id!r}", do)
+            else:
+                await _run_blocking(do)
             return _json_ok()
         except KeyError:
             return _error_response(
@@ -754,10 +800,18 @@ def build_app(state: ApiState) -> web.Application:
             return _error_response(exc)
 
     async def unregister_shader(request: web.Request) -> web.Response:
+        shader_id = request.match_info["id"]
         try:
-            await _run_blocking(
-                state.pipeline.renderer.unregister_shader, request.match_info["id"]
-            )
+            when = await _unregister_schedule(request)
+            if when is not None:
+                _schedule_unregister(
+                    state, when, f"shader {shader_id!r}",
+                    lambda: state.pipeline.renderer.unregister_shader(shader_id),
+                )
+            else:
+                await _run_blocking(
+                    state.pipeline.renderer.unregister_shader, shader_id
+                )
             return _json_ok()
         except Exception as exc:  # noqa: BLE001
             return _error_response(exc)
@@ -786,10 +840,18 @@ def build_app(state: ApiState) -> web.Application:
             return _error_response(exc)
 
     async def unregister_image(request: web.Request) -> web.Response:
+        image_id = request.match_info["id"]
         try:
-            await _run_blocking(
-                state.pipeline.renderer.unregister_image, request.match_info["id"]
-            )
+            when = await _unregister_schedule(request)
+            if when is not None:
+                _schedule_unregister(
+                    state, when, f"image {image_id!r}",
+                    lambda: state.pipeline.renderer.unregister_image(image_id),
+                )
+            else:
+                await _run_blocking(
+                    state.pipeline.renderer.unregister_image, image_id
+                )
             return _json_ok()
         except Exception as exc:  # noqa: BLE001
             return _error_response(exc)
@@ -821,9 +883,16 @@ def build_app(state: ApiState) -> web.Application:
     async def unregister_web_renderer(request: web.Request) -> web.Response:
         instance_id = request.match_info["id"]
         try:
-            await _run_blocking(
-                state.pipeline.renderer.web.unregister, instance_id
-            )
+            when = await _unregister_schedule(request)
+            if when is not None:
+                _schedule_unregister(
+                    state, when, f"web renderer {instance_id!r}",
+                    lambda: state.pipeline.renderer.web.unregister(instance_id),
+                )
+            else:
+                await _run_blocking(
+                    state.pipeline.renderer.web.unregister, instance_id
+                )
             return _json_ok()
         except Exception as exc:  # noqa: BLE001
             return _error_response(exc)
@@ -1108,6 +1177,14 @@ def run(config: Optional[Config] = None) -> None:
     cfg = config or read_config()
     from smelter_tpu.config import apply_xla_debug, init_logger
 
+    # SMELTER_DEVICE=cpu pins compositing to host CPU (useful when the
+    # default accelerator is remote and per-frame fetches would dominate);
+    # must land before any JAX initialization, hence here and not ApiState.
+    device = os.environ.get("SMELTER_DEVICE", "").strip().lower()
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     init_logger(cfg.logger)
     apply_xla_debug(cfg.xla_debug)
     state = ApiState(cfg)

@@ -344,6 +344,80 @@ def test_server_reset_and_decklink(server, tmp_path):
         assert "DeckLink" in r.json()["message"]
 
 
+def test_server_scheduled_unregister(server, tmp_path):
+    """`schedule_time_ms` on unregister routes defers the action to a queue
+    PTS (unregister_request.rs:18-37): an input-less output scheduled to
+    unregister at 1 s produces ~30 frames at 30 fps and emits OUTPUT_DONE."""
+    out_path = str(tmp_path / "out.mp4")
+    with httpx.Client(base_url=server.base, timeout=60) as c:
+        r = c.post(
+            "/api/output/out/register",
+            json={
+                "type": "mp4",
+                "path": out_path,
+                "video": {
+                    "resolution": {"width": 320, "height": 240},
+                    "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                    "initial": {
+                        "root": {"type": "view",
+                                 "background_color": "#336699FF"}
+                    },
+                },
+            },
+        )
+        assert r.status_code == 200, r.text
+
+        # unknown body fields must still be rejected (deny-unknown parity)
+        r = c.post("/api/output/out/unregister", json={"schedule_ms": 1})
+        assert r.status_code == 400
+
+        r = c.post("/api/output/out/unregister",
+                   json={"schedule_time_ms": 1000})
+        assert r.status_code == 200, r.text
+        assert c.post("/api/start", json={}).status_code == 200
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            kinds = {
+                (e.kind, e.entity_id)
+                for e in server.state.pipeline.events.history()
+            }
+            if ("OUTPUT_DONE", "out") in kinds:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("OUTPUT_DONE not observed for scheduled unregister")
+
+        # the output is gone from /status after the scheduled event fired
+        st = c.get("/status").json()
+        assert st["outputs"] == []
+
+    from smelter_tpu.io.codec import Demuxer, VideoDecoder
+
+    d = Demuxer(out_path)
+    info = {s.media_type: s for s in d.streams()}["video"]
+    assert info.width == 320
+    vdec = VideoDecoder(info.codec, info.extradata)
+    n = 0
+    while True:
+        pkt = d.read()
+        if pkt is None:
+            break
+        vdec.send(pkt.data, pkt.pts_s or 0.0)
+        while True:
+            f = vdec.receive()
+            if f is None or f == "eof":
+                break
+            n += 1
+    vdec.send_eof()
+    while True:
+        f = vdec.receive()
+        if f is None or f == "eof":
+            break
+        n += 1
+    assert abs(n - 30) <= 1
+
+
 def test_server_moq_roundtrip(server, tmp_path):
     """MoQ through the HTTP API (reference moq/server.rs + client_output.rs):
     the fixture server registers a moq_server input and records it to MP4;
