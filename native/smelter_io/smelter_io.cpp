@@ -995,4 +995,13 @@ int sm_mux_write(int h, int32_t stream, const uint8_t *data, int32_t size,
 
 int sm_mux_close(int h) { return g_mux.erase(h) ? 0 : fail("bad mux handle"); }
 
+/* linked FFmpeg library versions (AV_VERSION_INT packing), used by
+ * tools/dependency_check.py — behavioral analogue of the reference's
+ * FFmpeg version validation (tools/src/bin/dependency_check.rs) */
+uint32_t sm_avcodec_version(void) { return avcodec_version(); }
+uint32_t sm_avformat_version(void) { return avformat_version(); }
+uint32_t sm_avutil_version(void) { return avutil_version(); }
+uint32_t sm_swscale_version(void) { return swscale_version(); }
+uint32_t sm_swresample_version(void) { return swresample_version(); }
+
 } /* extern "C" */
