@@ -242,6 +242,63 @@ def yuv_tile_rgba_cm(
     return jnp.stack([r, g, b, jnp.ones_like(r)])
 
 
+def yuv_tiles_rgba_cm_batched(
+    ys: jnp.ndarray,  # (n, H, W) u8 luma planes, identical shapes
+    us: jnp.ndarray,  # (n, Hc, Wc)
+    vs: jnp.ndarray,  # (n, Hc, Wc)
+    crop,  # (top, left, h, w) in luma pixels, static ints — shared
+    out_h: int,
+    out_w: int,
+    full_range: bool = False,
+    kind: str = "lanczos3",
+    compute_dtype=jnp.bfloat16,
+):
+    """Batched `yuv_tile_rgba_cm`: n sources sharing plane shapes, crop and
+    target size resize+convert in ONE stacked einsum per axis/plane instead
+    of 6 small einsums per source — same weights, same math, so each batch
+    element equals the unbatched call exactly. Returns (n, 4, out_h, out_w).
+
+    TPU-first: the flagship scene resizes 16 same-shape 1080p inputs to the
+    same tile size; a 16-way batch axis turns 96 dispatches into 6 and keeps
+    the MXU on large tiles."""
+    import numpy as np
+
+    from smelter_tpu.ops.resample import _dense_axis_weights
+
+    ct, cl, chh, cww = crop
+    Wh = _dense_axis_weights(chh, out_h, kind)
+    Ww = _dense_axis_weights(cww, out_w, kind)
+    Uh = _chroma_upsample_matrix(ys.shape[1], us.shape[1])
+    Uw = _chroma_upsample_matrix(ys.shape[2], us.shape[2])
+    Wch = np.ascontiguousarray(Wh @ Uh[ct : ct + chh])
+    Wcw = np.ascontiguousarray(Ww @ Uw[cl : cl + cww])
+
+    def _rs(imgs, Wr, Wc):
+        x = imgs.astype(compute_dtype)
+        a = jnp.asarray(Wr, compute_dtype)
+        b = jnp.asarray(Wc, compute_dtype)
+        x = jnp.einsum(
+            "oh,nhw->now", a, x, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+        return jnp.einsum(
+            "ow,nhw->nho", b, x, preferred_element_type=jnp.float32
+        )
+
+    yt = _rs(ys[:, ct : ct + chh, cl : cl + cww], Wh, Ww) * (1.0 / 255.0)
+    ut = _rs(us, Wch, Wcw) * (1.0 / 255.0)
+    vt = _rs(vs, Wch, Wcw) * (1.0 / 255.0)
+    if not full_range:
+        yt = (yt - _FOOTROOM) * (1.0 / _Y_SCALE)
+        ut = (ut - _FOOTROOM) * (1.0 / _UV_SCALE)
+        vt = (vt - _FOOTROOM) * (1.0 / _UV_SCALE)
+    ut = ut - 0.5
+    vt = vt - 0.5
+    r = yt + 1.5748 * vt
+    g = yt - 0.1873 * ut - 0.4681 * vt
+    b = yt + 1.8556 * ut
+    return jnp.stack([r, g, b, jnp.ones_like(r)], axis=1)
+
+
 class DeferredYuvSource:
     """Planar-YUV input source whose RGBA conversion is deferred: static
     fast-path texture layouts crop+resize the subsampled planes directly on

@@ -179,3 +179,77 @@ def test_deferred_yuv_source_mips_memoized():
     m1 = src.mips()
     assert src.mips() is m1 and len(m1) == 2
     assert m1[0].shape == (32, 64, 4)
+
+
+def test_batched_yuv_tiles_match_single():
+    """yuv_tiles_rgba_cm_batched == per-source tile_cm exactly (same
+    weights, same einsum contractions, just a batch axis)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smelter_tpu.ops.color_convert import (
+        DeferredYuvSource,
+        yuv_tiles_rgba_cm_batched,
+    )
+
+    rng = np.random.default_rng(7)
+    srcs = []
+    for _ in range(3):
+        y = jnp.asarray(rng.integers(0, 256, (72, 128), np.uint8))
+        u = jnp.asarray(rng.integers(0, 256, (36, 64), np.uint8))
+        v = jnp.asarray(rng.integers(0, 256, (36, 64), np.uint8))
+        srcs.append(DeferredYuvSource(y, u, v))
+    crop = (8, 16, 48, 96)
+    batched = np.asarray(yuv_tiles_rgba_cm_batched(
+        jnp.stack([s.planes[0] for s in srcs]),
+        jnp.stack([s.planes[1] for s in srcs]),
+        jnp.stack([s.planes[2] for s in srcs]),
+        crop, 32, 64,
+    ))
+    for i, s in enumerate(srcs):
+        single = np.asarray(s.tile_cm(crop, 32, 64))
+        assert np.array_equal(batched[i], single), i
+
+
+def test_compose_prefetch_batches_same_shape_tiles(monkeypatch):
+    """compose_layouts prefetches same-shape deferred-YUV tiles in one batch:
+    per-source tile_cm is never called, output unchanged."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import smelter_tpu.ops.compose as compose_mod
+    from smelter_tpu.ops.color_convert import DeferredYuvSource
+    from smelter_tpu.ops.compose import LayoutStatic, compose_layouts
+    from tests.test_compose import _params
+
+    rng = np.random.default_rng(3)
+    calls = {"n": 0}
+    srcs = []
+    for _ in range(4):
+        y = jnp.asarray(rng.integers(0, 256, (72, 128), np.uint8))
+        u = jnp.asarray(rng.integers(0, 256, (36, 64), np.uint8))
+        v = jnp.asarray(rng.integers(0, 256, (36, 64), np.uint8))
+        src = DeferredYuvSource(y, u, v)
+        orig = src.tile_cm
+        def counted(crop, oh, ow, _orig=orig):
+            calls["n"] += 1
+            return _orig(crop, oh, ow)
+        src.tile_cm = counted
+        srcs.append(src)
+
+    st, ps = [], []
+    for k in range(4):
+        st.append(LayoutStatic(
+            content="texture", source_index=k,
+            static_rect=(10 + 40 * k, 8, 36, 64),
+            static_crop=(0, 0, 72, 128),
+        ))
+        ps.append(_params(top=10.0 + 40 * k, left=8.0, width=64.0,
+                          height=36.0))
+    out = np.asarray(compose_layouts((96, 192), st, ps, srcs))
+    assert calls["n"] == 0, "prefetch did not serve the tiles"
+
+    monkeypatch.setattr(compose_mod, "_prefetch_tiles", lambda *a: {})
+    flat = np.asarray(compose_layouts((96, 192), st, ps, srcs))
+    assert calls["n"] == 4
+    assert np.array_equal(out, flat)
