@@ -31,6 +31,8 @@ def main() -> None:
     register_input = pydantic.TypeAdapter(api.RegisterInput).json_schema()
     register_output = pydantic.TypeAdapter(api.RegisterOutput).json_schema()
     update_output = pydantic.TypeAdapter(api.UpdateOutputRequest).json_schema()
+    unregister = pydantic.TypeAdapter(api.UnregisterRequest).json_schema()
+    unregister_body = {"content": {"application/json": {"schema": unregister}}}
 
     openapi = {
         "openapi": "3.0.3",
@@ -44,6 +46,7 @@ def main() -> None:
             }},
             "/api/input/{id}/unregister": {"post": {
                 "operationId": "unregister_input",
+                "requestBody": unregister_body,
                 "responses": {"200": {"description": "ok"}}}},
             "/api/input/{id}/update": {"post": {
                 "operationId": "update_input",
@@ -60,6 +63,7 @@ def main() -> None:
                 "responses": {"200": {"description": "registered"}}}},
             "/api/output/{id}/unregister": {"post": {
                 "operationId": "unregister_output",
+                "requestBody": unregister_body,
                 "responses": {"200": {"description": "ok"}}}},
             "/api/output/{id}/update": {"post": {
                 "operationId": "update_output",
@@ -72,8 +76,23 @@ def main() -> None:
             "/api/shader/{id}/register": {"post": {
                 "operationId": "register_shader",
                 "responses": {"200": {"description": "ok"}}}},
+            "/api/shader/{id}/unregister": {"post": {
+                "operationId": "unregister_shader",
+                "requestBody": unregister_body,
+                "responses": {"200": {"description": "ok"}}}},
             "/api/image/{id}/register": {"post": {
                 "operationId": "register_image",
+                "responses": {"200": {"description": "ok"}}}},
+            "/api/image/{id}/unregister": {"post": {
+                "operationId": "unregister_image",
+                "requestBody": unregister_body,
+                "responses": {"200": {"description": "ok"}}}},
+            "/api/web-renderer/{id}/register": {"post": {
+                "operationId": "register_web_renderer",
+                "responses": {"200": {"description": "ok"}}}},
+            "/api/web-renderer/{id}/unregister": {"post": {
+                "operationId": "unregister_web_renderer",
+                "requestBody": unregister_body,
                 "responses": {"200": {"description": "ok"}}}},
             "/api/font/register": {"post": {
                 "operationId": "register_font",
