@@ -255,7 +255,21 @@ class Pipeline:
             tracks[f"audio{suffix}"] = track_cls()
         return ProtocolReport(type=kind, tracks=tracks)
 
-    def unregister_input(self, input_id: str) -> None:
+    def unregister_input(
+        self, input_id: str, schedule_time: Optional[float] = None
+    ) -> None:
+        """Remove an input now, or at queue PTS `schedule_time` (seconds
+        since start) via the scheduled-event machinery, like update_output
+        (unregister_request.rs). Scheduled removals raise nothing if the
+        input is already gone by then."""
+        if schedule_time is not None:
+            def _run() -> None:
+                try:
+                    self.unregister_input(input_id)
+                except KeyError:
+                    pass
+            self.queue.schedule_event(schedule_time, _run)
+            return
         with self._lock:
             source = self._inputs.pop(input_id, None)
             if source is None:
@@ -384,7 +398,19 @@ class Pipeline:
             out.start()
             return out
 
-    def unregister_output(self, output_id: str) -> None:
+    def unregister_output(
+        self, output_id: str, schedule_time: Optional[float] = None
+    ) -> None:
+        """Remove an output now, or at queue PTS `schedule_time` (seconds
+        since start), mirroring unregister_input."""
+        if schedule_time is not None:
+            def _run() -> None:
+                try:
+                    self.unregister_output(output_id)
+                except KeyError:
+                    pass
+            self.queue.schedule_event(schedule_time, _run)
+            return
         with self._lock:
             out = self._outputs.pop(output_id, None)
             if out is None:
