@@ -693,20 +693,50 @@ def _plan_bands(groups, h: int):
     if n < 4:
         return None
     ivs = [(u[0], u[0] + u[2]) for _, u, _ in groups]
+
+    def _crossings(y: int) -> int:
+        return sum(1 for a, b in ivs if a < y < b)
+
+    # candidate cut positions: group boundaries (a cut flush with a group's
+    # edge never splits that group), snapped AWAY from the interval so the
+    # snap cannot land inside it — starts floor to 8, ends ceil to 8
+    cand = sorted({y for a, b in ivs
+                   for y in ((a // 8) * 8, ((b + 7) // 8) * 8)
+                   if 0 < y < h})
+
+    def _cost(bands) -> float:
+        # copy traffic in canvas-copies, plus a small per-write constant
+        # (launch overhead: a ~3 µs dispatch vs the ~80 µs 4K canvas copy)
+        c = 2.0  # the split and the concat, one canvas copy each
+        for a, b in ivs:
+            for y0, y1 in bands:
+                if y0 < b and a < y1:
+                    c += (y1 - y0) / h + 0.04
+        return c
+
     best_cost = float(n)  # flat path: one canvas copy per group
     best = None
     for bcount in (2, 4, 8, 16):
         if h // bcount < 64:
             break
-        edges = sorted({((h * i // bcount) // 8) * 8
-                        for i in range(1, bcount)} - {0})
-        edges = [0] + edges + [h]
+        cuts = []
+        for i in range(1, bcount):
+            target = h * i // bcount
+            lo, hi = target - h // (2 * bcount), target + h // (2 * bcount)
+            near = [y for y in cand if lo <= y <= hi]
+            uniform = (target // 8) * 8
+            if 0 < uniform < h:
+                near.append(uniform)
+            if not near:
+                continue
+            # fewest group crossings, then closest to the uniform target
+            cuts.append(min(near, key=lambda y: (_crossings(y),
+                                                 abs(y - target))))
+        edges = [0] + sorted(set(cuts)) + [h]
+        if len(edges) < 3:
+            continue
         bands = list(zip(edges, edges[1:]))
-        cost = 2.0  # the split and the concat, one canvas copy each
-        for a, b in ivs:
-            for y0, y1 in bands:
-                if y0 < b and a < y1:
-                    cost += (y1 - y0) / h
+        cost = _cost(bands)
         if cost < best_cost:
             best_cost, best = cost, bands
     return best
