@@ -118,3 +118,62 @@ def test_ts_sdk_request_replay(server, tmp_path):  # noqa: F811
     assert audio.shape[0] > 40000
     # red input content still present after the update
     assert float(np.mean([float(f[2].mean()) for f in frames])) > 120
+
+
+def test_ts_sdk_offline_render_replay(server, tmp_path):  # noqa: F811
+    """The OfflineSmelter.render flow (`ts/smelter-core/src/facade.ts`):
+    register the offline output with the captured scene, schedule its
+    unregister at durationMs, start, wait for OUTPUT_DONE — the output file
+    must carry ~durationMs of frames (the scheduled unregister is what ends
+    an input-less offline render)."""
+    out_path = str(tmp_path / "offline.mp4")
+    duration_ms = 1500.0
+    with httpx.Client(base_url=server.base, timeout=120) as c:
+        r = c.post(
+            "/api/output/output_1/register",
+            json={
+                "type": "mp4",
+                "path": out_path,
+                "video": {
+                    "resolution": {"width": 256, "height": 144},
+                    "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                    "initial": {"root": {
+                        "type": "view",
+                        "background_color": "#AA3355FF",
+                    }},
+                },
+            },
+        )
+        assert r.status_code == 200, r.text
+        # facade.ts:242-245 — unregisterOutput(id, {schedule_time_ms})
+        r = c.post("/api/output/output_1/unregister",
+                   json={"schedule_time_ms": duration_ms})
+        assert r.status_code == 200, r.text
+        assert c.post("/api/start", json={}).status_code == 200
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            done = {
+                (e.kind, e.entity_id)
+                for e in server.state.pipeline.events.history()
+            }
+            if ("OUTPUT_DONE", "output_1") in done:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("offline render did not finish")
+
+    from smelter_tpu.io.codec import Demuxer
+
+    d = Demuxer(out_path)
+    n = 0
+    first_pts = None
+    while True:
+        pkt = d.read()
+        if pkt is None:
+            break
+        if first_pts is None:
+            first_pts = pkt.pts_s
+        n += 1
+    assert abs(n - 45) <= 1  # 1.5 s at 30 fps
+    assert (first_pts or 0.0) < 0.05  # file starts at pts 0 (rebased)
