@@ -26,9 +26,11 @@ class Event:
 _QUEUE_KIND_MAP = {
     ("video", "delivered"): "VIDEO_INPUT_DELIVERED",
     ("video", "playing"): "VIDEO_INPUT_PLAYING",
+    ("video", "paused"): "VIDEO_INPUT_PAUSED",
     ("video", "eos"): "VIDEO_INPUT_EOS",
     ("audio", "delivered"): "AUDIO_INPUT_DELIVERED",
     ("audio", "playing"): "AUDIO_INPUT_PLAYING",
+    ("audio", "paused"): "AUDIO_INPUT_PAUSED",
     ("audio", "eos"): "AUDIO_INPUT_EOS",
 }
 

@@ -361,6 +361,7 @@ class Pipeline:
                 current_inputs=set(self._inputs.keys()),
                 on_done=self._on_output_done,
                 mixing_sample_rate=self.options.mixing_sample_rate,
+                on_error=self._on_output_error,
             )
             # sinks that receive RTCP PLI feedback propagate keyframe
             # requests into the encoder (reference handle_keyframe_requests)
@@ -462,6 +463,14 @@ class Pipeline:
     def _on_output_done(self, output_id: str) -> None:
         self.events.emit(Event("OUTPUT_DONE", output_id))
 
+    def _on_output_error(self, output_id: str, err: str, which: str) -> None:
+        """A track chain of an output fully stopped (event.rs OutputError,
+        severity Critical)."""
+        self.events.emit(Event(
+            "OUTPUT_ERROR", output_id,
+            properties={"severity": "critical", "err": err, "track": which},
+        ))
+
     # ------------------------------------------------------------------ control
 
     def start(self) -> None:
@@ -562,8 +571,10 @@ class Pipeline:
             with self._lock:
                 for iid, qf in batch.frames.items():
                     if qf.is_eos and iid not in self._video_eos_seen:
+                        # the queue already emitted VIDEO_INPUT_EOS when it
+                        # built this batch (single wire event per track,
+                        # video_input.rs check_eos); here only end conditions
                         self._video_eos_seen.add(iid)
-                        self.events.emit(Event("VIDEO_INPUT_EOS", iid))
                         for out in self._outputs.values():
                             if out.video_end.on_input_eos(iid):
                                 out.send_video_eos()
@@ -610,7 +621,6 @@ class Pipeline:
                 for iid, is_eos in batch.eos.items():
                     if is_eos and iid not in self._audio_eos_seen:
                         self._audio_eos_seen.add(iid)
-                        self.events.emit(Event("AUDIO_INPUT_EOS", iid))
                         for out in self._outputs.values():
                             if out.audio_end.on_input_eos(iid):
                                 out.send_audio_eos()

@@ -10,6 +10,7 @@ overlaps TPU compose of the next frame.
 
 from __future__ import annotations
 
+import logging
 import threading
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Set, Tuple
@@ -18,6 +19,8 @@ import numpy as np
 
 from smelter_tpu.core.types import Frame, PixelFormat, Resolution
 from smelter_tpu.utils.channels import Channel, Closed
+
+logger = logging.getLogger("smelter.pipeline.output")
 
 
 @dataclass(frozen=True)
@@ -166,6 +169,7 @@ class PipelineOutput:
         current_inputs: Set[str],
         on_done: Callable[[str], None],
         mixing_sample_rate: int = 48000,
+        on_error: Optional[Callable[[str, str, str], None]] = None,
     ) -> None:
         self.mixing_sample_rate = mixing_sample_rate
         self.output_id = output_id
@@ -180,6 +184,7 @@ class PipelineOutput:
             audio.end_condition if audio else EndCondition(), current_inputs
         )
         self._on_done = on_done
+        self._on_error = on_error
         self.encoded_video_packets = 0
         # per-track byte meters for /stats protocol reports (set by the
         # pipeline at register time; every sink type shares this boundary)
@@ -327,10 +332,25 @@ class PipelineOutput:
                     if pkt is None or pkt == "eof":
                         break
                     self.sink.write_video_packet(pkt)
+        except Exception as exc:  # noqa: BLE001
+            self._report_error("video", exc)
         finally:
             if enc is not None:
                 enc.close()
             self._chain_done("video")
+
+    def _report_error(self, which: str, exc: Exception) -> None:
+        """An encoder/sink chain died: surface it as an OUTPUT_ERROR event
+        (event.rs OutputError, severity Critical — the chain fully stopped)
+        instead of a silent thread death."""
+        logger.exception("output %s %s chain failed", self.output_id, which)
+        if self._on_error is not None:
+            try:
+                self._on_error(
+                    self.output_id, f"{type(exc).__name__}: {exc}", which
+                )
+            except Exception:  # noqa: BLE001
+                pass
 
     def _run_audio(self) -> None:
         opts = self.audio_opts
@@ -377,6 +397,8 @@ class PipelineOutput:
                     if pkt is None or pkt == "eof":
                         break
                     self.sink.write_audio_packet(pkt)
+        except Exception as exc:  # noqa: BLE001
+            self._report_error("audio", exc)
         finally:
             if enc is not None:
                 enc.close()

@@ -180,9 +180,20 @@ class _AudioReceiver:
         self.disconnected = False
         self.state = "new"
 
-    def _try_enqueue(self) -> None:
+    def _try_enqueue(self, needed_pts: Optional[float] = None) -> None:
+        """Fill the buffer from the channel. `max_size` bounds steady-state
+        depth, but when the caller needs samples up to `needed_pts` the
+        buffer may grow PAST it until that pts is covered (reference
+        audio_input.rs try_enqueue_until:296-311) — otherwise a pause longer
+        than the buffer leaves stale batches pinned at max_size and a
+        required input deadlocks the whole queue on resume."""
         while not self.disconnected:
-            if self._size() >= self.max_size:
+            has_needed = (
+                needed_pts is None
+                or (bool(self.buffer)
+                    and self.buffer[-1].start_pts >= needed_pts)
+            )
+            if has_needed and self._size() >= self.max_size:
                 return
             try:
                 item = self.channel.try_recv()
@@ -209,18 +220,18 @@ class _AudioReceiver:
 
     def pop_for_range(self, end_pts: float) -> List[AudioSamples]:
         """Pop every batch with start_pts < end_pts (each exactly once)."""
-        self._try_enqueue()
+        self._try_enqueue(end_pts)
         out = []
         while self.buffer and self.buffer[0].start_pts < end_pts:
             out.append(self.buffer.popleft())
-            self._try_enqueue()
+            self._try_enqueue(end_pts)
         self._maybe_done()
         return out
 
     def is_ready_for_range(self, end_pts: float) -> bool:
         if self.disconnected:
             return True
-        self._try_enqueue()
+        self._try_enqueue(end_pts)
         return bool(self.buffer) and self.buffer[-1].start_pts >= end_pts
 
     def get_state(self) -> str:
@@ -339,11 +350,20 @@ class QueueInput:
                     if input_pts >= 0:
                         self.paused_frame = self.current.video.get_for_pts(input_pts)
             self.paused_pts = pts
+            # PAUSED is not once-guarded (each pause re-notifies,
+            # video_input.rs:106-108); emit per present track
+            if self.current.video is not None:
+                self.queue.emit_event(self.input_id, "paused")
+            if self.current.audio is not None:
+                self.queue.emit_event(self.input_id, "audio:paused")
 
     def resume(self) -> None:
         with self._lock:
+            if self.paused_pts is None:
+                return
             self.paused_pts = None
             self.paused_frame = None
+            self._rearm_playing()
 
     # -- offset resolution (reference video_input.rs resolve_offset) --------------
 
@@ -353,21 +373,34 @@ class QueueInput:
             return mode[1]
         return None
 
-    def _resolve_offset(self, buffer_pts: float, start_pts: float) -> Optional[float]:
+    def _resolve_offset(
+        self, buffer_pts: float, start_pts: float, media: str = "video"
+    ) -> Optional[float]:
         track = self.current
         receiver = track.video or track.audio
         if receiver is None or receiver.get_state() != "running":
             return track.track_offset.get()
-        self._emit_once("delivered")
+        self._emit_once("delivered", media)
         ofs = self._offset_from_start()
         if ofs is not None:
             return track.track_offset.get_or_init(ofs + start_pts)
         return track.track_offset.get_or_init(buffer_pts)
 
-    def _emit_once(self, kind: str) -> None:
-        if kind not in self._events_emitted:
-            self._events_emitted.add(kind)
-            self.queue.emit_event(self.input_id, kind)
+    def _emit_once(self, kind: str, media: str = "video") -> None:
+        """Per-track one-shot wire events (the reference keeps one
+        EmitOnceGuard per VideoQueueInput / AudioQueueInput; this input
+        handles both media, so the guard key carries the track)."""
+        key = kind if media == "video" else f"audio:{kind}"
+        if key not in self._events_emitted:
+            self._events_emitted.add(key)
+            self.queue.emit_event(self.input_id, key)
+
+    def _rearm_playing(self) -> None:
+        """After resume, the next served frame/samples re-emit PLAYING
+        (video_input.rs resume: 'it will send playing event on next
+        frame')."""
+        self._events_emitted.discard("playing")
+        self._events_emitted.discard("audio:playing")
 
     # -- video -----------------------------------------------------------------------
 
@@ -389,7 +422,7 @@ class QueueInput:
                 return QueueVideoFrame(None, is_eos=self._check_video_eos())
             frame = track.video.get_for_pts(pts - offset)
             if frame is not None:
-                self._emit_once("playing")
+                self._emit_once("playing", "video")
                 frame = Frame(
                     frame.data, frame.format, frame.resolution, frame.pts + offset
                 )
@@ -401,7 +434,7 @@ class QueueInput:
             return False
         if track.video.get_state() == "done" and not track.video_eos_sent:
             track.video_eos_sent = True
-            self._emit_once("eos")
+            self._emit_once("eos", "video")
             return True
         return False
 
@@ -430,12 +463,12 @@ class QueueInput:
             track = self.current
             if track.audio is None or self.paused_pts is not None:
                 return ([], False)
-            offset = self._resolve_offset(pts_range[0], start_pts)
+            offset = self._resolve_offset(pts_range[0], start_pts, "audio")
             if offset is None:
                 return ([], self._check_audio_eos())
             batches = track.audio.pop_for_range(pts_range[1] - offset)
             if batches:
-                self._emit_once("playing")
+                self._emit_once("playing", "audio")
             shifted = [
                 AudioSamples(b.samples, b.start_pts + offset) for b in batches
             ]
@@ -447,6 +480,7 @@ class QueueInput:
             return False
         if track.audio.get_state() == "done" and not track.audio_eos_sent:
             track.audio_eos_sent = True
+            self._emit_once("eos", "audio")
             return True
         return False
 
@@ -455,7 +489,7 @@ class QueueInput:
             track = self.current
             if track.audio is None or self.paused_pts is not None:
                 return True
-            offset = self._resolve_offset(pts_range[0], start_pts)
+            offset = self._resolve_offset(pts_range[0], start_pts, "audio")
             if offset is not None:
                 return track.audio.is_ready_for_range(pts_range[1] - offset)
             state = track.audio.get_state()

@@ -1002,7 +1002,8 @@ def build_app(state: ApiState) -> web.Application:
                     {"type": event.kind, "replayed": True,
                      **({"input_id": event.entity_id}
                         if "INPUT" in event.kind
-                        else {"output_id": event.entity_id})}
+                        else {"output_id": event.entity_id}),
+                     **event.properties}
                 )
         try:
             while not ws.closed:
@@ -1019,7 +1020,8 @@ def build_app(state: ApiState) -> web.Application:
                     continue
                 await ws.send_json(
                     {"type": event.kind, **({"input_id": event.entity_id}
-                     if "INPUT" in event.kind else {"output_id": event.entity_id})}
+                     if "INPUT" in event.kind else {"output_id": event.entity_id}),
+                     **event.properties}
                 )
         finally:
             state.pipeline.events.unsubscribe(sub)

@@ -109,11 +109,20 @@ def test_pause_resume_seek(tmp_path):
     assert len(paused) >= 10
     assert max(paused) - min(paused) <= 2.0, f"paused but moving: {paused[:5]}.."
 
+    # pause emitted the wire event (event.rs VideoInputStreamPaused)
+    kinds = [e.kind for e in pipeline.events.history()]
+    assert "VIDEO_INPUT_PAUSED" in kinds
+
     # phase 3: resume — advances again
     pipeline.update_input("clip", pause=False)
     collect(0.4)
     resumed = collect(0.8)
     assert max(resumed) - min(resumed) > 5, "should advance after resume"
+
+    # resume re-arms PLAYING: a second VIDEO_INPUT_PLAYING fires once
+    # frames flow again (video_input.rs resume comment)
+    kinds = [e.kind for e in pipeline.events.history()]
+    assert kinds.count("VIDEO_INPUT_PLAYING") >= 2, kinds
 
     # phase 4: seek to 5.0s — luma jumps into the [5s, 6s) band
     # (Y = 20 + (frame % 180): at 5.0s → 170, rising to 199 by 6.0s)

@@ -378,3 +378,52 @@ def test_encoder_pixel_format_yuv444_and_422():
         pipeline.close()
         assert n >= 8, (fmt, n)
         assert sps_profile(sink.video_extradata) == want_profile, fmt
+
+
+def test_output_error_event(tmp_path):
+    """A dead encoder/sink chain surfaces as OUTPUT_ERROR (event.rs
+    OutputError severity=Critical) instead of a silent thread death: an MP4
+    sink pointed at a nonexistent directory fails in setup_video."""
+    import time
+
+    src = str(tmp_path / "a.mp4")
+    _make_source_mp4(src, "red", 440.0)
+    pipeline = Pipeline(PipelineOptions(
+        output_framerate=Framerate(FPS),
+        ahead_of_time_processing=True,
+        never_drop_output_frames=True,
+    ))
+    try:
+        pipeline.register_input(
+            "in_a", Mp4Input(Mp4InputOptions(path=src)),
+            RegisterInputOptions(required=True, offset=0.0),
+        )
+        pipeline.register_output(
+            "out",
+            Mp4OutputSink(str(tmp_path / "no_such_dir" / "deep" / "out.mp4")),
+            video=OutputVideoOptions(
+                resolution=Resolution(160, 120),
+                encoder=VideoEncoderOptions(codec="h264", preset="ultrafast"),
+                initial_root=comp.Rescaler(
+                    child=comp.InputStream(input_id="in_a")
+                ),
+                end_condition=EndCondition(all_inputs=True),
+            ),
+        )
+        pipeline.start()
+        deadline = time.time() + 30
+        err = None
+        while time.time() < deadline:
+            err = next(
+                (e for e in pipeline.events.history()
+                 if e.kind == "OUTPUT_ERROR"), None,
+            )
+            if err is not None:
+                break
+            time.sleep(0.1)
+        assert err is not None, "OUTPUT_ERROR never emitted"
+        assert err.entity_id == "out"
+        assert err.properties["severity"] == "critical"
+        assert err.properties["track"] == "video"
+    finally:
+        pipeline.close()

@@ -306,3 +306,94 @@ def test_offset_from_start_exact_frame_selection_trace():
     # the final frame (135) has no successor: the 140 ms batch must not
     # have been emitted yet (the queue can't prove 135 is current)
     assert 0.14 not in by_pts
+
+
+def test_audio_events_carry_audio_kinds():
+    """Audio delivered/playing/eos emit the audio-prefixed queue kinds (the
+    wire maps them to AUDIO_INPUT_*; they used to masquerade as video)."""
+    q, clock, vout, aout, events = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_video=False, has_audio=True)
+    ach = qi.current.audio.channel
+    q.start(vout, aout)
+    ach.try_send(_samples(pts=0.0))
+    ach.close()
+    clock.advance(0.3)
+    q.on_tick()
+    kinds = [k for _, k in events]
+    assert "audio:delivered" in kinds
+    assert "audio:playing" in kinds
+    assert "audio:eos" in kinds
+    # no video events for an input without frames served
+    assert "playing" not in kinds
+
+
+def test_pause_emits_paused_and_resume_rearms_playing():
+    q, clock, vout, aout, events = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    vch = qi.current.video.channel
+    q.start(vout, aout)
+    for i in range(6):
+        vch.try_send(_frame(pts=i * 0.04))
+    clock.advance(0.05)
+    q.on_tick()
+    assert ("a", "playing") in events
+    qi.pause()
+    assert ("a", "paused") in events
+    events.clear()
+    qi.resume()
+    clock.advance(0.08)
+    q.on_tick()
+    # PLAYING re-emits on the first frame served after resume
+    assert ("a", "playing") in events
+
+
+def test_eos_emitted_once_per_track():
+    q, clock, vout, aout, events = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    vch = qi.current.video.channel
+    q.start(vout, aout)
+    vch.try_send(_frame(pts=0.0))
+    vch.close()
+    clock.advance(0.3)
+    q.on_tick()
+    clock.advance(0.3)
+    q.on_tick()
+    assert [k for _, k in events].count("eos") == 1
+
+
+def test_pause_longer_than_audio_buffer_recovers():
+    """Pausing a required audio input for longer than its buffered depth
+    must not wedge the queue: on resume the receiver buffers PAST max_size
+    until the needed pts is covered (audio_input.rs try_enqueue_until), the
+    backlog drains, and PLAYING re-emits."""
+    q, clock, vout, aout, events = make_queue(fps=25)
+    qi = q.add_input(
+        "a", QueueInputOptions(required=True),
+        has_video=False, has_audio=True,
+    )
+    ach = qi.current.audio.channel
+    q.start(vout, aout)
+    next_pts = [0.0]
+
+    def feed():
+        # a blocked reader thread: pushes whenever the channel has room
+        while ach.try_send(_samples(pts=next_pts[0], n=960)):
+            next_pts[0] += 0.02
+
+    feed()
+    clock.advance(0.1)
+    q.on_tick()
+    assert ("a", "audio:playing") in events
+    qi.pause()
+    # paused for 1 s — far past the ~0.18 s audio buffer depth
+    for _ in range(10):
+        clock.advance(0.1)
+        q.on_tick()
+        feed()
+    qi.resume()
+    events.clear()
+    for _ in range(30):
+        feed()
+        clock.advance(0.05)
+        q.on_tick()
+    assert ("a", "audio:playing") in events, "queue wedged after resume"

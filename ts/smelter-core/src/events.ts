@@ -17,17 +17,27 @@ export type SmelterEvent =
         | typeof SmelterEventType.AUDIO_INPUT_DELIVERED
         | typeof SmelterEventType.VIDEO_INPUT_PLAYING
         | typeof SmelterEventType.AUDIO_INPUT_PLAYING
+        | typeof SmelterEventType.VIDEO_INPUT_PAUSED
+        | typeof SmelterEventType.AUDIO_INPUT_PAUSED
         | typeof SmelterEventType.VIDEO_INPUT_EOS
         | typeof SmelterEventType.AUDIO_INPUT_EOS;
       inputRef: InputRef;
     }
-  | { type: typeof SmelterEventType.OUTPUT_DONE; outputId: string };
+  | { type: typeof SmelterEventType.OUTPUT_DONE; outputId: string }
+  | {
+      type: typeof SmelterEventType.OUTPUT_ERROR;
+      outputId: string;
+      severity: sm.SmelterErrorSeverity;
+      err: string;
+    };
 
 const INPUT_EVENT_TYPES: string[] = [
   SmelterEventType.VIDEO_INPUT_DELIVERED,
   SmelterEventType.AUDIO_INPUT_DELIVERED,
   SmelterEventType.VIDEO_INPUT_PLAYING,
   SmelterEventType.AUDIO_INPUT_PLAYING,
+  SmelterEventType.VIDEO_INPUT_PAUSED,
+  SmelterEventType.AUDIO_INPUT_PAUSED,
   SmelterEventType.VIDEO_INPUT_EOS,
   SmelterEventType.AUDIO_INPUT_EOS,
 ];
@@ -47,6 +57,15 @@ export function parseEvent(raw: unknown, logger: Logger): SmelterEvent | null {
   if (event.type === SmelterEventType.OUTPUT_DONE) {
     return { type: SmelterEventType.OUTPUT_DONE, outputId: event.output_id ?? '' };
   }
+  if (event.type === SmelterEventType.OUTPUT_ERROR) {
+    const err = raw as { severity?: string; err?: string };
+    return {
+      type: SmelterEventType.OUTPUT_ERROR,
+      outputId: event.output_id ?? '',
+      severity: (err.severity ?? 'critical') as sm.SmelterErrorSeverity,
+      err: err.err ?? '',
+    };
+  }
   logger.debug(`Unknown event type: ${event.type}`);
   return null;
 }
@@ -56,9 +75,11 @@ const PHASE_BY_EVENT: Partial<
 > = {
   [SmelterEventType.VIDEO_INPUT_DELIVERED]: { track: 'videoState', phase: 'ready' },
   [SmelterEventType.VIDEO_INPUT_PLAYING]: { track: 'videoState', phase: 'playing' },
+  [SmelterEventType.VIDEO_INPUT_PAUSED]: { track: 'videoState', phase: 'paused' },
   [SmelterEventType.VIDEO_INPUT_EOS]: { track: 'videoState', phase: 'finished' },
   [SmelterEventType.AUDIO_INPUT_DELIVERED]: { track: 'audioState', phase: 'ready' },
   [SmelterEventType.AUDIO_INPUT_PLAYING]: { track: 'audioState', phase: 'playing' },
+  [SmelterEventType.AUDIO_INPUT_PAUSED]: { track: 'audioState', phase: 'paused' },
   [SmelterEventType.AUDIO_INPUT_EOS]: { track: 'audioState', phase: 'finished' },
 };
 
