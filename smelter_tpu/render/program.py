@@ -626,6 +626,7 @@ class OutputProgram:
         self._next_id = 0
         self._assign_ids(root)
         self._jit_cache: Dict[tuple, Callable] = {}
+        self._pinned_images: Dict[str, object] = {}
         import threading as _threading
 
         self._compile_lock = _threading.Lock()
@@ -690,7 +691,15 @@ class OutputProgram:
                 key_parts.append((nid, "text", res))
                 return res
             if isinstance(p, ImageNode):
-                asset = image_store.get(p.image_id)
+                # pin the asset on first use: the LIVE scene keeps rendering
+                # its images even if they are unregistered afterwards
+                # (reference semantics — the registry only gates FUTURE scene
+                # updates, integration-tests unregistering.rs); scene updates
+                # build a fresh program, which re-resolves and re-validates
+                asset = self._pinned_images.get(p.image_id)
+                if asset is None:
+                    asset = image_store.get(p.image_id)
+                    self._pinned_images[p.image_id] = asset
                 frame = asset.frame_at(pts)
                 aux[nid] = frame
                 res = Resolution(frame.shape[1], frame.shape[0])

@@ -601,3 +601,35 @@ def test_yuv_uniform_color_roundtrip_quantization():
     assert np.all(rgba[..., 0] == 50) and np.all(rgba[..., 1] == 0)
     assert np.all(rgba[..., 3] == 255)
     r.close()
+
+
+def test_live_scene_survives_image_unregister(tmp_path):
+    """Unregistering an image only gates FUTURE scene updates; the live
+    scene keeps rendering its pinned asset (integration-tests
+    unregistering.rs: the output keeps flowing after image_1/unregister)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    png = str(tmp_path / "logo.png")
+    arr = np.zeros((16, 16, 4), np.uint8)
+    arr[..., 0] = 255
+    arr[..., 3] = 255
+    PILImage.fromarray(arr).save(png)
+
+    r = Renderer()
+    try:
+        r.register_image("logo", path=png)
+        scene = comp.View(
+            background_color=RGBAColor(0, 60, 0),
+            children=[comp.Image(image_id="logo")],
+        )
+        r.update_scene("out", scene, Resolution(64, 64), PixelFormat.RGBA)
+        r.render(FrameSet(pts=0.0))
+        r.unregister_image("logo")
+        out = r.render(FrameSet(pts=0.1)).frames["out"]
+        rgb = np.asarray(out.data)
+        assert (rgb[..., 0] > 200).any(), "pinned image gone from live scene"
+        with pytest.raises(ValueError, match="not registered"):
+            r.update_scene("out", scene, Resolution(64, 64), PixelFormat.RGBA)
+    finally:
+        r.close()
