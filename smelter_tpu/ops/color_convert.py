@@ -205,41 +205,14 @@ def yuv_tile_rgba_cm(
     deviation: the limited-range expansion / RGB clamps are not applied
     per-pixel at FULL resolution first, so out-of-range YUV noise (below
     footroom / above headroom) blends linearly instead of pre-clamped —
-    the end-of-pipe u8 clamp still bounds the output."""
-    import numpy as np
+    the end-of-pipe u8 clamp still bounds the output.
 
-    from smelter_tpu.ops.resample import _dense_axis_weights
-
-    ct, cl, chh, cww = crop
-    Wh = _dense_axis_weights(chh, out_h, kind)  # (out_h, crop_h)
-    Ww = _dense_axis_weights(cww, out_w, kind)  # (out_w, crop_w)
-    Uh = _chroma_upsample_matrix(y.shape[0], u.shape[0])
-    Uw = _chroma_upsample_matrix(y.shape[1], u.shape[1])
-    Wch = np.ascontiguousarray(Wh @ Uh[ct : ct + chh])  # (out_h, chroma_h)
-    Wcw = np.ascontiguousarray(Ww @ Uw[cl : cl + cww])  # (out_w, chroma_w)
-
-    def _rs(img, Wr, Wc):
-        x = img.astype(compute_dtype)
-        a = jnp.asarray(Wr, compute_dtype)
-        b = jnp.asarray(Wc, compute_dtype)
-        x = jnp.einsum(
-            "oh,hw->ow", a, x, preferred_element_type=jnp.float32
-        ).astype(compute_dtype)
-        return jnp.einsum("ow,hw->ho", b, x, preferred_element_type=jnp.float32)
-
-    yt = _rs(y[ct : ct + chh, cl : cl + cww], Wh, Ww) * (1.0 / 255.0)
-    ut = _rs(u, Wch, Wcw) * (1.0 / 255.0)
-    vt = _rs(v, Wch, Wcw) * (1.0 / 255.0)
-    if not full_range:
-        yt = (yt - _FOOTROOM) * (1.0 / _Y_SCALE)
-        ut = (ut - _FOOTROOM) * (1.0 / _UV_SCALE)
-        vt = (vt - _FOOTROOM) * (1.0 / _UV_SCALE)
-    ut = ut - 0.5
-    vt = vt - 0.5
-    r = yt + 1.5748 * vt
-    g = yt - 0.1873 * ut - 0.4681 * vt
-    b = yt + 1.8556 * ut
-    return jnp.stack([r, g, b, jnp.ones_like(r)])
+    Implemented as the 1-element case of `yuv_tiles_rgba_cm_batched` so the
+    conversion math lives in exactly one place."""
+    return yuv_tiles_rgba_cm_batched(
+        y[None], u[None], v[None], crop, out_h, out_w,
+        full_range=full_range, kind=kind, compute_dtype=compute_dtype,
+    )[0]
 
 
 def yuv_tiles_rgba_cm_batched(

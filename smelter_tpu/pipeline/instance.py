@@ -463,12 +463,12 @@ class Pipeline:
     def _on_output_done(self, output_id: str) -> None:
         self.events.emit(Event("OUTPUT_DONE", output_id))
 
-    def _on_output_error(self, output_id: str, err: str, which: str) -> None:
-        """A track chain of an output fully stopped (event.rs OutputError,
-        severity Critical)."""
+    def _on_output_error(self, output_id: str, err: str, stack: str) -> None:
+        """A track chain of an output fully stopped. Wire properties match
+        event.rs:63-68 exactly: output_id, severity, err, stack."""
         self.events.emit(Event(
             "OUTPUT_ERROR", output_id,
-            properties={"severity": "critical", "err": err, "track": which},
+            properties={"severity": "critical", "err": err, "stack": stack},
         ))
 
     # ------------------------------------------------------------------ control

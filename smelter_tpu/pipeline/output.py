@@ -343,11 +343,15 @@ class PipelineOutput:
         """An encoder/sink chain died: surface it as an OUTPUT_ERROR event
         (event.rs OutputError, severity Critical — the chain fully stopped)
         instead of a silent thread death."""
+        import traceback
+
         logger.exception("output %s %s chain failed", self.output_id, which)
         if self._on_error is not None:
             try:
                 self._on_error(
-                    self.output_id, f"{type(exc).__name__}: {exc}", which
+                    self.output_id,
+                    f"{which} chain: {type(exc).__name__}: {exc}",
+                    "".join(traceback.format_exception(exc)).strip(),
                 )
             except Exception:  # noqa: BLE001
                 pass

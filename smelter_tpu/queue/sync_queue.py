@@ -23,6 +23,7 @@ Python re-implementation of the reference queue
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from collections import deque
@@ -31,6 +32,8 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 from smelter_tpu.core.types import AudioSamples, Frame, Framerate
 from smelter_tpu.utils.channels import Channel, Closed
+
+logger = logging.getLogger("smelter.queue")
 
 DEFAULT_AUDIO_CHUNK = 0.020
 DEFAULT_TICK = 0.005
@@ -380,7 +383,13 @@ class QueueInput:
         receiver = track.video or track.audio
         if receiver is None or receiver.get_state() != "running":
             return track.track_offset.get()
-        self._emit_once("delivered", media)
+        # DELIVERED is per track: only emit when THIS media's receiver has
+        # actually received something (offset resolution stays driven by the
+        # primary receiver, but a lagging audio decoder must not look
+        # delivered just because video is)
+        own = track.video if media == "video" else track.audio
+        if own is not None and own.get_state() == "running":
+            self._emit_once("delivered", media)
         ofs = self._offset_from_start()
         if ofs is not None:
             return track.track_offset.get_or_init(ofs + start_pts)
@@ -680,6 +689,7 @@ class Queue:
     def on_tick(self) -> None:
         """Process as many buffers as are due; called every tick."""
         while not self._should_close.is_set():
+            callback = None
             with self._lock:
                 audio_range = self._next_audio_range()
                 video_pts = self._next_video_pts()
@@ -695,8 +705,17 @@ class Queue:
                 ):
                     self.last_pts = event_pts
                     _, callback = self._scheduled.pop(0)
+            if callback is not None:
+                # run OUTSIDE self._lock: callbacks re-enter pipeline methods
+                # that take Pipeline._lock then Queue._lock — invoking them
+                # under Queue._lock inverts that order against concurrent
+                # immediate register/unregister calls (ABBA deadlock). And a
+                # raising callback must not kill the queue thread.
+                try:
                     callback()
-                    continue
+                except Exception:  # noqa: BLE001
+                    logger.exception("scheduled queue event failed")
+                continue
             if video_pts > audio_range[0]:
                 if not self._try_push_audio(audio_range):
                     break

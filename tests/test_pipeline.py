@@ -423,7 +423,9 @@ def test_output_error_event(tmp_path):
             time.sleep(0.1)
         assert err is not None, "OUTPUT_ERROR never emitted"
         assert err.entity_id == "out"
+        # wire properties mirror event.rs:63-68: severity, err, stack
         assert err.properties["severity"] == "critical"
-        assert err.properties["track"] == "video"
+        assert "video chain" in err.properties["err"]
+        assert "Traceback" in err.properties["stack"]
     finally:
         pipeline.close()

@@ -397,3 +397,35 @@ def test_pause_longer_than_audio_buffer_recovers():
         clock.advance(0.05)
         q.on_tick()
     assert ("a", "audio:playing") in events, "queue wedged after resume"
+
+
+def test_scheduled_callback_failure_does_not_kill_queue():
+    """A raising scheduled callback (e.g. an update scheduled after its
+    output was unregistered) must be logged and skipped, not propagate out
+    of on_tick — and callbacks run OUTSIDE the queue lock so they can
+    re-enter pipeline/queue methods without inverting lock order."""
+    q, clock, vout, aout, _ = make_queue(fps=25)
+    qi = q.add_input("a", QueueInputOptions(), has_audio=False)
+    vch = qi.current.video.channel
+    q.start(vout, aout)
+    ran = []
+
+    def boom():
+        # prove the queue lock is NOT held here: acquiring it via a public
+        # queue method from the callback must not deadlock even if the lock
+        # were non-reentrant for this thread
+        q.schedule_event(99.0, lambda: None)
+        ran.append(True)
+        raise RuntimeError("scheduled update after unregister")
+
+    q.schedule_event(0.05, boom)
+    for i in range(8):
+        vch.try_send(_frame(pts=i * 0.04))
+    clock.advance(0.3)
+    q.on_tick()  # must not raise
+    assert ran, "callback never fired"
+    got = []
+    while len(vout):
+        got.append(vout.recv())
+    # frames continued past the failing event's pts
+    assert any(b.pts > 0.05 for b in got)

@@ -15,7 +15,7 @@ export enum SmelterEventType {
   OUTPUT_ERROR = 'OUTPUT_ERROR',
 }
 
-export type SmelterErrorSeverity = 'critical' | 'transient';
+export type SmelterErrorSeverity = 'critical' | 'transient' | 'warning';
 
 export type SmelterEvent =
   | { type: SmelterEventType.AUDIO_INPUT_DELIVERED; inputId: string }
