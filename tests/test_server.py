@@ -630,3 +630,62 @@ def test_preview_page_served(server):
     r = httpx.get(f"{server.base}/preview/<script>alert(1)<%2fscript>")
     assert r.status_code == 200
     assert "<script>alert(1)" not in r.text
+
+
+def test_server_font_register_and_render(server, tmp_path):
+    """/api/font/register with a file path makes the family usable in Text
+    components (routes.rs font register + reference font registration)."""
+    r = None
+    with httpx.Client(base_url=server.base, timeout=120) as c:
+        r = c.post("/api/font/register", json={
+            "path": "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+        })
+        assert r.status_code == 200, r.text
+        out_path = str(tmp_path / "font.mp4")
+        r = c.post("/api/output/out/register", json={
+            "type": "mp4", "path": out_path,
+            "video": {
+                "resolution": {"width": 192, "height": 64},
+                "encoder": {"type": "ffmpeg_h264", "preset": "ultrafast"},
+                "initial": {"root": {
+                    "type": "view", "background_color": "#000000FF",
+                    "children": [{"type": "text", "text": "Serif",
+                                   "font_size": 36.0,
+                                   "font_family": "DejaVu Serif",
+                                   "weight": "bold",
+                                   "color": "#FFFFFFFF"}],
+                }},
+            },
+        })
+        assert r.status_code == 200, r.text
+        r = c.post("/api/output/out/unregister",
+                   json={"schedule_time_ms": 500})
+        assert r.status_code == 200
+        assert c.post("/api/start", json={}).status_code == 200
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            kinds = {(e.kind, e.entity_id)
+                     for e in server.state.pipeline.events.history()}
+            if ("OUTPUT_DONE", "out") in kinds:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("font render did not finish")
+
+    from smelter_tpu.io.codec import Demuxer, VideoDecoder
+
+    d = Demuxer(out_path)
+    info = {s.media_type: s for s in d.streams()}["video"]
+    vdec = VideoDecoder(info.codec, info.extradata)
+    bright = 0
+    while True:
+        pkt = d.read()
+        if pkt is None:
+            break
+        vdec.send(pkt.data, pkt.pts_s or 0.0)
+        while True:
+            f = vdec.receive()
+            if f is None or f == "eof":
+                break
+            bright = max(bright, int((np.asarray(f[0]) > 180).sum()))
+    assert bright > 50, "text glyphs missing from output"
