@@ -95,6 +95,24 @@ def _profiled_device_ms(run, sync, iters: int, fn_name: str):
 
 
 def main() -> None:
+    # if the accelerator backend is unreachable (remote-tunnel outage), fall
+    # back to the CPU backend and SAY SO in the JSON rather than crashing
+    # with no output at all — a fallback line is attributable, a traceback
+    # is not. CPU numbers are NOT comparable to the TPU headline.
+    global ITERS, WARMUP
+    backend_error = None
+    try:
+        jax.devices()
+    except RuntimeError as exc:
+        backend_error = str(exc).split("\n")[0]
+        jax.config.update("jax_platforms", "cpu")
+        ITERS, WARMUP = 6, 1  # CPU fallback: keep the run bounded
+        print(json.dumps({
+            "warning": "accelerator backend unavailable; running the bench "
+                       "on the CPU backend (numbers NOT comparable)",
+            "backend_error": backend_error,
+        }), file=sys.stderr)
+
     from smelter_tpu.core.types import Resolution
     from smelter_tpu.parallel.flagship import make_flagship_compose
 
@@ -284,6 +302,8 @@ def main() -> None:
         "n_inputs": N_INPUTS,
         "device": str(jax.devices()[0]),
     }
+    if backend_error is not None:
+        result["backend_fallback"] = backend_error
     if device_durs:
         result["device_p50_ms"] = round(statistics.median(device_durs), 3)
         result["device_p95_ms"] = round(
