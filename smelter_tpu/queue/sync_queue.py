@@ -388,7 +388,9 @@ class QueueInput:
         # primary receiver, but a lagging audio decoder must not look
         # delivered just because video is)
         own = track.video if media == "video" else track.audio
-        if own is not None and own.get_state() == "running":
+        if own is receiver or (
+            own is not None and own.get_state() == "running"
+        ):
             self._emit_once("delivered", media)
         ofs = self._offset_from_start()
         if ofs is not None:

@@ -615,6 +615,7 @@ class OutputProgram:
         out_format: PixelFormat,
         shaders: ShaderRegistry,
         web=None,
+        image_store=None,
     ) -> None:
         self.root = root
         self.resolution = resolution
@@ -626,7 +627,21 @@ class OutputProgram:
         self._next_id = 0
         self._assign_ids(root)
         self._jit_cache: Dict[tuple, Callable] = {}
+        # the LIVE scene keeps rendering its images even if they are
+        # unregistered afterwards (reference semantics: the registry only
+        # gates FUTURE scene updates, integration-tests unregistering.rs) —
+        # resolve every image NOW, while the scene-update validation that
+        # just confirmed registration still holds; pinning lazily at first
+        # plan() would leave a pre-first-frame window where an unregister
+        # kills the render thread
         self._pinned_images: Dict[str, object] = {}
+        if image_store is not None:
+            for node in self._nodes.values():
+                p = node.params
+                if isinstance(p, ImageNode):
+                    self._pinned_images[p.image_id] = image_store.get(
+                        p.image_id
+                    )
         import threading as _threading
 
         self._compile_lock = _threading.Lock()

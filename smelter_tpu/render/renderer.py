@@ -115,7 +115,7 @@ class Renderer:
                 self._last_outputs.pop(output_id, None)
             self._programs[output_id] = OutputProgram(
                 node.node, resolution, output_format, self.shaders,
-                web=self.web,
+                web=self.web, image_store=self.images,
             )
             self._output_formats[output_id] = output_format
 

@@ -633,3 +633,32 @@ def test_live_scene_survives_image_unregister(tmp_path):
             r.update_scene("out", scene, Resolution(64, 64), PixelFormat.RGBA)
     finally:
         r.close()
+
+
+def test_image_unregister_before_first_frame(tmp_path):
+    """The pre-first-frame window: unregister the image BEFORE any render of
+    the new scene — the program pinned the asset at construction, so the
+    first frame must still render it (no render-thread crash)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    png = str(tmp_path / "logo.png")
+    arr = np.zeros((16, 16, 4), np.uint8)
+    arr[..., 2] = 255
+    arr[..., 3] = 255
+    PILImage.fromarray(arr).save(png)
+
+    r = Renderer()
+    try:
+        r.register_image("logo", path=png)
+        scene = comp.View(
+            background_color=RGBAColor(40, 0, 0),
+            children=[comp.Image(image_id="logo")],
+        )
+        r.update_scene("out", scene, Resolution(64, 64), PixelFormat.RGBA)
+        r.unregister_image("logo")  # before the first render
+        out = r.render(FrameSet(pts=0.0)).frames["out"]
+        rgb = np.asarray(out.data)
+        assert (rgb[..., 2] > 200).any(), "pinned image missing on 1st frame"
+    finally:
+        r.close()

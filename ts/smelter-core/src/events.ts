@@ -29,6 +29,7 @@ export type SmelterEvent =
       outputId: string;
       severity: sm.SmelterErrorSeverity;
       err: string;
+      stack: string;
     };
 
 const INPUT_EVENT_TYPES: string[] = [
@@ -58,12 +59,13 @@ export function parseEvent(raw: unknown, logger: Logger): SmelterEvent | null {
     return { type: SmelterEventType.OUTPUT_DONE, outputId: event.output_id ?? '' };
   }
   if (event.type === SmelterEventType.OUTPUT_ERROR) {
-    const err = raw as { severity?: string; err?: string };
+    const err = raw as { severity?: string; err?: string; stack?: string };
     return {
       type: SmelterEventType.OUTPUT_ERROR,
       outputId: event.output_id ?? '',
       severity: (err.severity ?? 'critical') as sm.SmelterErrorSeverity,
       err: err.err ?? '',
+      stack: err.stack ?? '',
     };
   }
   logger.debug(`Unknown event type: ${event.type}`);

@@ -32,4 +32,5 @@ export type SmelterEvent =
       outputId: string;
       severity: SmelterErrorSeverity;
       err: string;
+      stack: string;
     };
