@@ -635,13 +635,17 @@ class OutputProgram:
         # plan() would leave a pre-first-frame window where an unregister
         # kills the render thread
         self._pinned_images: Dict[str, object] = {}
-        if image_store is not None:
-            for node in self._nodes.values():
-                p = node.params
-                if isinstance(p, ImageNode):
-                    self._pinned_images[p.image_id] = image_store.get(
-                        p.image_id
-                    )
+        self._pinned_shaders: Dict[str, Callable] = {}
+        for node in self._nodes.values():
+            p = node.params
+            if isinstance(p, ImageNode) and image_store is not None:
+                self._pinned_images[p.image_id] = image_store.get(p.image_id)
+            if (
+                isinstance(p, ShaderNode)
+                and shaders is not None
+                and shaders.has(p.shader_id)
+            ):
+                self._pinned_shaders[p.shader_id] = shaders.get(p.shader_id)
         import threading as _threading
 
         self._compile_lock = _threading.Lock()
@@ -1095,7 +1099,12 @@ class OutputProgram:
                     inputs = [
                         _full_rgba(c) for c in children if c is not None
                     ]
-                    fn = shaders.get(p.shader_id)
+                    # pinned at program construction (same live-scene
+                    # semantics as images: a later unregister only gates
+                    # future scene updates)
+                    fn = self._pinned_shaders.get(p.shader_id)
+                    if fn is None:
+                        fn = shaders.get(p.shader_id)
                     res = (int(p.size[0]), int(p.size[1]))
                     out = fn(inputs, shader_params.get(nid), res, time)
                     out = out.astype(jnp.float32)

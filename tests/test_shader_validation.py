@@ -207,3 +207,43 @@ def test_max_textures_enforced_at_plan_time():
             )
     finally:
         r.close()
+
+
+def test_shader_unregister_before_first_frame():
+    """Live-scene pinning applies to shaders too: unregistering between
+    update_scene and the first render must not break the program (the
+    registry only gates future scene updates)."""
+    import numpy as np
+
+    from smelter_tpu.core.types import (
+        Frame,
+        FrameSet,
+        PixelFormat,
+        Resolution,
+    )
+    from smelter_tpu.scene import components as comp
+
+    r = Renderer()
+    try:
+        r.register_input("in0")
+        r.register_shader(
+            "inv",
+            "def main(inputs, params, resolution, time):\n"
+            "    tex = inputs[0]\n"
+            "    return jnp.concatenate([1.0 - tex[..., :3], tex[..., 3:4]],"
+            " axis=-1)\n",
+        )
+        scene = comp.Shader(shader_id="inv", width=32.0, height=32.0,
+                            children=[comp.InputStream(input_id="in0")])
+        r.update_scene("out", scene, Resolution(32, 32), PixelFormat.RGBA)
+        r.unregister_shader("inv")  # before the first render
+        f = Frame(np.full((32, 32, 4), 200, np.uint8), PixelFormat.RGBA,
+                  Resolution(32, 32), 0.0)
+        out = r.render(FrameSet(pts=0.0, frames={"in0": f})).frames["out"]
+        px = np.asarray(out.data)[16, 16, :3]
+        assert (px < 100).all(), px  # inverted content still renders
+        with pytest.raises(ValueError, match="not registered"):
+            r.update_scene("out", scene, Resolution(32, 32),
+                           PixelFormat.RGBA)
+    finally:
+        r.close()
