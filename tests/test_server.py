@@ -689,3 +689,75 @@ def test_server_font_register_and_render(server, tmp_path):
                 break
             bright = max(bright, int((np.asarray(f[0]) > 180).sum()))
     assert bright > 50, "text glyphs missing from output"
+
+
+def test_server_reset_during_active_render(server, tmp_path):
+    """/api/reset while the pipeline is actively rendering must close the
+    old pipeline cleanly (no hang on channels/threads) and the fresh
+    pipeline must run a full job afterwards."""
+    src = str(tmp_path / "a.mp4")
+    _make_source_mp4(src, "red", 440.0)
+    with httpx.Client(base_url=server.base, timeout=60) as c:
+        assert c.post("/api/input/a/register",
+                      json={"type": "mp4", "path": src, "loop": True}
+                      ).status_code == 200
+        assert c.post("/api/output/out/register", json={
+            "type": "mp4", "path": str(tmp_path / "out1.mp4"),
+            "video": {"resolution": {"width": 160, "height": 120},
+                      "encoder": {"type": "ffmpeg_h264",
+                                   "preset": "ultrafast"},
+                      "initial": {"root": {
+                          "type": "rescaler",
+                          "child": {"type": "input_stream",
+                                     "input_id": "a"}}}},
+        }).status_code == 200
+        assert c.post("/api/start", json={}).status_code == 200
+        # let it render a bit, then reset mid-run (bounded: a hang here
+        # means close() deadlocked against the render/queue threads)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if server.state.pipeline.stats.video_frames_rendered > 5:
+                break
+            time.sleep(0.1)
+        t0 = time.time()
+        assert c.post("/api/reset", json={}).status_code == 200
+        assert time.time() - t0 < 15.0, "reset hung against live threads"
+        st = c.get("/status").json()
+        assert st["inputs"] == [] and st["outputs"] == []
+
+        # a full job on the fresh pipeline
+        out2 = str(tmp_path / "out2.mp4")
+        assert c.post("/api/input/a/register",
+                      json={"type": "mp4", "path": src, "required": True,
+                            "offset_ms": 0}).status_code == 200
+        assert c.post("/api/output/out/register", json={
+            "type": "mp4", "path": out2,
+            "video": {"resolution": {"width": 160, "height": 120},
+                      "encoder": {"type": "ffmpeg_h264",
+                                   "preset": "ultrafast"},
+                      "initial": {"root": {
+                          "type": "rescaler",
+                          "child": {"type": "input_stream",
+                                     "input_id": "a"}}},
+                      "send_eos_when": {"all_inputs": True}},
+        }).status_code == 200
+        assert c.post("/api/start", json={}).status_code == 200
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            kinds = {(e.kind, e.entity_id)
+                     for e in server.state.pipeline.events.history()}
+            if ("OUTPUT_DONE", "out") in kinds:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("post-reset run did not finish")
+
+    from smelter_tpu.io.codec import Demuxer
+
+    d = Demuxer(out2)
+    n = 0
+    while True:
+        if d.read() is None:
+            break
+        n += 1
+    assert abs(n - 60) <= 2, n  # 2 s source at 30 fps, AOT never-drop
