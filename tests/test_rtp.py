@@ -701,3 +701,69 @@ def test_rtp_input_av_sync_from_sender_reports():
         assert frames[0].pts == pytest.approx(0.5, abs=0.02), frames[0].pts
     finally:
         source.stop()
+
+
+def test_rtp_push_input_before_start(tmp_path):
+    """Packets delivered BEFORE /start must be buffered and composed from
+    pts 0 when the input has an explicit offset (reference
+    push_input_before_start_tcp: the pre-start dump plays back fully)."""
+    out_path = str(tmp_path / "out.mp4")
+
+    pipeline = Pipeline(
+        PipelineOptions(
+            output_framerate=Framerate(30),
+            ahead_of_time_processing=True,
+            never_drop_output_frames=True,
+        )
+    )
+    source = RtpInputSource(
+        RtpInputOptions(transport="tcp_server", video_codec="h264")
+    )
+    pipeline.register_input(
+        "cam", source, RegisterInputOptions(required=True, offset=0.0)
+    )
+    pipeline.register_output(
+        "out",
+        Mp4OutputSink(out_path),
+        video=OutputVideoOptions(
+            resolution=Resolution(128, 96),
+            encoder=VideoEncoderOptions(codec="h264", preset="ultrafast"),
+            initial_root=comp.Rescaler(child=comp.InputStream(input_id="cam")),
+            end_condition=EndCondition(all_inputs=True),
+        ),
+    )
+
+    vpkts = _encode_test_frames(n=30)
+    payloader = H264Payloader(ssrc=1, mtu=1200)
+    rtp_stream = []
+    for p in vpkts:
+        rtp_stream += payloader.payload(p.data, p.pts_s or 0.0)
+
+    # push the ENTIRE stream before start, then give the decode thread a
+    # moment to buffer it
+    _tcp_send_rtp(source.port, rtp_stream)
+    time.sleep(1.0)
+    pipeline.start()
+    pipeline.wait_for_outputs_done(timeout=240)
+    pipeline.close()
+
+    from smelter_tpu.io.codec import Demuxer, VideoDecoder
+
+    d = Demuxer(out_path)
+    info = {s.media_type: s for s in d.streams()}["video"]
+    vdec = VideoDecoder(info.codec, info.extradata)
+    frames = []
+    while True:
+        pkt = d.read()
+        if pkt is None:
+            break
+        vdec.send(pkt.data, pkt.pts_s or 0.0)
+        while True:
+            f = vdec.receive()
+            if f is None or f == "eof":
+                break
+            frames.append(f)
+    # the full 1 s clip plays from pts 0 — nothing pre-start is dropped
+    assert len(frames) >= 25, len(frames)
+    ys = [float(f[0].mean()) for f in frames]
+    assert max(ys) - min(ys) > 50
