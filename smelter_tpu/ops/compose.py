@@ -775,16 +775,33 @@ def _assemble_groups(canvas, groups, sources, h: int, w: int):
             else:
                 parts[b] = parts[b].at[:, ly : ly + uh, ux : ux + uw].set(acc)
             continue
-        # crossing group: fold members once over transparent, split the write
-        layer = jnp.zeros((4, uh, uw), jnp.float32)
-        for st, p in members:
-            layer = _over(_region_layer(st, p, sources, uy, ux, uh, uw), layer)
+        # crossing group: split the write across its bands. Non-texture
+        # members (color/box_shadow SDFs) are elementwise, so their chunks
+        # render directly at band-local coordinates — no intermediate union
+        # buffer (the common full-canvas background layer stays one pass per
+        # band). Texture members must not re-run their resize per chunk, so
+        # a mixed group folds ONCE over transparency (premultiplied OVER is
+        # associative) and only slices the result.
+        layer = None
+        if any(st.content == "texture" for st, _ in members):
+            layer = jnp.zeros((4, uh, uw), jnp.float32)
+            for st, p in members:
+                layer = _over(
+                    _region_layer(st, p, sources, uy, ux, uh, uw), layer
+                )
         for b in hit:
             y0, y1 = bands[b]
             cy0, cy1 = max(uy, y0), min(uy + uh, y1)
-            chunk = layer[:, cy0 - uy : cy1 - uy]
             under = parts[b][:, cy0 - y0 : cy1 - y0, ux : ux + uw]
-            blended = _over(chunk, under)
+            if layer is not None:
+                blended = _over(layer[:, cy0 - uy : cy1 - uy], under)
+            else:
+                blended = under
+                for st, p in members:
+                    blended = _over(
+                        _region_layer(st, p, sources, cy0, ux, cy1 - cy0, uw),
+                        blended,
+                    )
             if (cy1 - cy0, uw) == (y1 - y0, w):
                 parts[b] = blended
             else:
