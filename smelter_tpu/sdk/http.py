@@ -11,6 +11,13 @@ from typing import Optional
 import httpx
 
 
+def _schedule_body(schedule_time_ms: Optional[float]) -> dict:
+    """Unregister routes accept an optional deferred-action time
+    (unregister_request.rs schedule_time_ms)."""
+    return ({} if schedule_time_ms is None
+            else {"schedule_time_ms": schedule_time_ms})
+
+
 class SmelterApiError(RuntimeError):
     def __init__(self, status: int, body: dict) -> None:
         super().__init__(f"{status}: {body.get('message', body)}")
@@ -36,14 +43,18 @@ class SmelterClient:
     def register_input(self, input_id: str, spec: dict) -> dict:
         return self._post(f"/api/input/{input_id}/register", spec)
 
-    def unregister_input(self, input_id: str) -> dict:
-        return self._post(f"/api/input/{input_id}/unregister")
+    def unregister_input(self, input_id: str,
+                         schedule_time_ms: Optional[float] = None) -> dict:
+        return self._post(f"/api/input/{input_id}/unregister",
+                          _schedule_body(schedule_time_ms))
 
     def register_output(self, output_id: str, spec: dict) -> dict:
         return self._post(f"/api/output/{output_id}/register", spec)
 
-    def unregister_output(self, output_id: str) -> dict:
-        return self._post(f"/api/output/{output_id}/unregister")
+    def unregister_output(self, output_id: str,
+                          schedule_time_ms: Optional[float] = None) -> dict:
+        return self._post(f"/api/output/{output_id}/unregister",
+                          _schedule_body(schedule_time_ms))
 
     def update_output(self, output_id: str, video: Optional[dict] = None,
                       audio: Optional[dict] = None,
@@ -65,8 +76,18 @@ class SmelterClient:
     def register_shader(self, shader_id: str, source: str) -> dict:
         return self._post(f"/api/shader/{shader_id}/register", {"source": source})
 
+    def unregister_shader(self, shader_id: str,
+                          schedule_time_ms: Optional[float] = None) -> dict:
+        return self._post(f"/api/shader/{shader_id}/unregister",
+                          _schedule_body(schedule_time_ms))
+
     def register_image(self, image_id: str, **spec) -> dict:
         return self._post(f"/api/image/{image_id}/register", spec)
+
+    def unregister_image(self, image_id: str,
+                         schedule_time_ms: Optional[float] = None) -> dict:
+        return self._post(f"/api/image/{image_id}/unregister",
+                          _schedule_body(schedule_time_ms))
 
     def register_font(self, path: Optional[str] = None, url: Optional[str] = None) -> dict:
         return self._post("/api/font/register", {"path": path, "url": url})
