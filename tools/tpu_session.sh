@@ -37,4 +37,7 @@ step bash -c 'python tools/bench_scenes.py | tee "$OUT/scenes.txt"'
 echo "=== 4. flagship per-op breakdown $(date +%H:%M:%S)"
 step bash -c 'python tools/bench_flagship_ops.py | tee "$OUT/flagship_ops.txt"'
 
+echo "=== 5. animated-transition device times $(date +%H:%M:%S)"
+step bash -c 'python tools/bench_animations.py | tee "$OUT/animations.txt"'
+
 echo "=== done $(date +%H:%M:%S) — results in $OUT"
