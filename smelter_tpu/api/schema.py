@@ -568,7 +568,7 @@ class V4l2Input(ApiModel):
     # kept as an accepted alias for earlier clients of this build
     path: Optional[str] = None
     device_path: Optional[str] = None
-    format: Optional[str] = None        # reference V4l2InputFormat (yuyv)
+    format: Optional[str] = None        # reference V4l2InputFormat (yuyv | nv12)
     resolution: Optional[Resolution] = None
     framerate: Optional[int] = None
     required: Optional[bool] = None

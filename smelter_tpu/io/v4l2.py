@@ -1,10 +1,16 @@
 """V4L2 camera input (reference `smelter-core/src/pipeline/v4l2/`).
 
 Pure-Python implementation of the V4L2 streaming API via ioctl + mmap:
-query caps, set format (YUYV), request/queue mmap buffers, stream on,
-dequeue frames. Frames enter the queue as INTERLEAVED_YUYV422 (the render
-core's format converters handle them like the reference's
-interleaved_yuyv_to_rgba.wgsl).
+query caps, negotiate format (YUYV or NV12, like `v4l2_input.rs:38-47`),
+request/queue mmap buffers, stream on, dequeue frames. YUYV frames enter
+the queue as INTERLEAVED_YUYV422, NV12 frames as PixelFormat.NV12 (y, uv)
+planes — the render core's converters handle both (reference
+interleaved_yuyv_to_rgba.wgsl / nv12_to_rgba.wgsl).
+
+Format negotiation mirrors `v4l2_input.rs:try_set_format` (188-204): request
+the configured fourcc, accept whatever the driver negotiates with a warning
+if it differs, and fail only when the negotiated fourcc is neither YUYV nor
+NV12 (UnsupportedFormat).
 """
 
 from __future__ import annotations
@@ -41,6 +47,9 @@ VIDIOC_S_PARM = 0xC0CC5616
 V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
 V4L2_MEMORY_MMAP = 1
 V4L2_PIX_FMT_YUYV = 0x56595559  # 'YUYV'
+V4L2_PIX_FMT_NV12 = 0x3231564E  # 'NV12'
+FOURCC_BY_FORMAT = {"yuyv": V4L2_PIX_FMT_YUYV, "nv12": V4L2_PIX_FMT_NV12}
+FORMAT_BY_FOURCC = {v: k for k, v in FOURCC_BY_FORMAT.items()}
 V4L2_CAP_VIDEO_CAPTURE = 0x00000001
 V4L2_CAP_STREAMING = 0x04000000
 
@@ -196,10 +205,11 @@ class V4l2InputOptions:
     height: int = 720
     n_buffers: int = 4
     framerate: Optional[int] = None  # requested fps (VIDIOC_S_PARM); None = driver default
+    format: str = "yuyv"  # requested fourcc: "yuyv" | "nv12" (V4l2InputFormat)
 
 
 class V4l2Input(InputSource):
-    """Camera capture input: YUYV mmap streaming on a dedicated thread."""
+    """Camera capture input: YUYV/NV12 mmap streaming on a dedicated thread."""
 
     has_video = True
     has_audio = False
@@ -215,17 +225,40 @@ class V4l2Input(InputSource):
             fcntl.ioctl(self._fd, VIDIOC_QUERYCAP, caps)
             if not caps.device_caps & V4L2_CAP_VIDEO_CAPTURE:
                 raise OSError("not a capture device")
+            requested = FOURCC_BY_FORMAT.get(options.format.lower())
+            if requested is None:
+                raise OSError(f"unsupported v4l2 format {options.format!r} "
+                              "(yuyv | nv12)")
             fmt = v4l2_format()
             fmt.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
             fmt.fmt.pix.width = options.width
             fmt.fmt.pix.height = options.height
-            fmt.fmt.pix.pixelformat = V4L2_PIX_FMT_YUYV
+            fmt.fmt.pix.pixelformat = requested
             fmt.fmt.pix.field = 1  # V4L2_FIELD_NONE
             fcntl.ioctl(self._fd, VIDIOC_S_FMT, fmt)
-            if fmt.fmt.pix.pixelformat != V4L2_PIX_FMT_YUYV:
-                raise OSError("device does not support YUYV")
+            negotiated = fmt.fmt.pix.pixelformat
+            if negotiated != requested:
+                # v4l2_input.rs:188-204: the driver is free to negotiate a
+                # different format — warn, then accept it only if supported
+                logger.warning(
+                    "requested %s but driver configured %s",
+                    options.format,
+                    FORMAT_BY_FOURCC.get(
+                        negotiated,
+                        negotiated.to_bytes(4, "little").decode(
+                            "ascii", "replace"),
+                    ),
+                )
+            self.format = FORMAT_BY_FOURCC.get(negotiated)
+            if self.format is None:
+                raise OSError(
+                    "device negotiated unsupported format "
+                    + negotiated.to_bytes(4, "little").decode("ascii",
+                                                              "replace")
+                )
             self.width = fmt.fmt.pix.width
             self.height = fmt.fmt.pix.height
+            self._stride = fmt.fmt.pix.bytesperline or 0
             if options.framerate:
                 # wire `framerate` (api.V4l2Input.framerate): request the
                 # capture interval; drivers clamp to what the sensor does
@@ -240,6 +273,30 @@ class V4l2Input(InputSource):
         except Exception:
             os.close(self._fd)
             raise
+
+    def _frame_data(self, raw: np.ndarray):
+        """Copy one dequeued buffer into queue-frame arrays, honoring the
+        driver's row stride (bytesperline can exceed the visible width)."""
+        h, w = self.height, self.width
+        if self.format == "nv12":
+            # contiguous Y plane (h rows) then interleaved UV (h/2 rows)
+            stride = self._stride or w
+            y = raw[: stride * h].reshape(h, stride)[:, :w].copy()
+            uv = (
+                raw[stride * h : stride * h + stride * (h // 2)]
+                .reshape(h // 2, stride)[:, :w]
+                .reshape(h // 2, w // 2, 2)
+                .copy()
+            )
+            return (y, uv), PixelFormat.NV12
+        stride = self._stride or w * 2
+        data = (
+            raw[: stride * h]
+            .reshape(h, stride)[:, : w * 2]
+            .reshape(h, w // 2, 4)
+            .copy()
+        )
+        return data, PixelFormat.INTERLEAVED_YUYV422
 
     def start(self, ctx: InputCtx) -> None:
         self._thread = threading.Thread(
@@ -287,12 +344,13 @@ class V4l2Input(InputSource):
                 ts = buf.timestamp.tv_sec + buf.timestamp.tv_usec / 1e6
                 if first_ts is None:
                     first_ts = ts
-                data = np.frombuffer(
+                raw = np.frombuffer(
                     mmaps[buf.index], dtype=np.uint8, count=buf.bytesused
-                ).reshape(self.height, self.width // 2, 4)
+                )
+                data, pixfmt = self._frame_data(raw)
                 frame = Frame(
-                    data=data.copy(),
-                    format=PixelFormat.INTERLEAVED_YUYV422,
+                    data=data,
+                    format=pixfmt,
                     resolution=Resolution(self.width, self.height),
                     pts=ts - first_ts,
                 )

@@ -29,7 +29,6 @@ Corner-radius order is [top_left, top_right, bottom_right, bottom_left].
 from __future__ import annotations
 
 import math
-import threading
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -158,20 +157,18 @@ def _src_mips(src) -> Sequence:
     return src if isinstance(src, (list, tuple)) else [src]
 
 
-_TILE_PREFETCH = threading.local()
-
-
 def _src_tile_cm(src, crop, out_h: int, out_w: int) -> jnp.ndarray:
     """Channel-major (4, out_h, out_w) f32 tile: the source's `crop` window
     resized via MXU matmuls. Deferred planar-YUV sources crop+resize their
     subsampled planes directly (color_convert.yuv_tile_rgba_cm) — no
-    full-res RGBA materialization. Tiles batch-prefetched for the current
-    compose (`_prefetch_tiles`) are served from the stacked result."""
-    cache = getattr(_TILE_PREFETCH, "cache", None)
-    if cache is not None:
-        hit = cache.get((id(src), tuple(crop), out_h, out_w))
-        if hit is not None:
-            return hit
+    full-res RGBA materialization.
+
+    NOTE (round-5 device A/B, bench_artifacts/banding_ab_r05.json): a
+    cross-source batched variant that stacked same-shape sources into one
+    6-einsum batch measured +0.57 ms on the 4K flagship scene — the
+    jnp.stack of 16 full input planes costs copies the per-source einsums
+    never pay, and the small einsums were already MXU-bound. Deleted; each
+    source resizes independently."""
     if hasattr(src, "tile_cm"):
         return src.tile_cm(crop, out_h, out_w)
     from smelter_tpu.ops.resample import resize_matmul
@@ -182,53 +179,6 @@ def _src_tile_cm(src, crop, out_h: int, out_w: int) -> jnp.ndarray:
     return resize_matmul(jnp.moveaxis(patch, -1, 0), out_h, out_w).astype(
         jnp.float32
     )
-
-
-def _prefetch_tiles(items, sources) -> dict:
-    """Batch deferred-YUV tile resizes across the scene's static texture
-    layouts: sources sharing (plane shapes, crop, target size, range) stack
-    into ONE 6-einsum batch (color_convert.yuv_tiles_rgba_cm_batched)
-    instead of 6 small einsums each. Returns {(id(src), crop, h, w): tile};
-    per-element results equal the unbatched `tile_cm` calls exactly."""
-    from collections import defaultdict
-
-    want = {}
-    for st, _ in items:
-        if (
-            st.content != "texture"
-            or st.static_rect is None
-            or st.static_crop is None
-            or st.traced_position
-            or st.traced_size_buf is not None
-        ):
-            continue
-        src = sources[st.source_index]
-        if not hasattr(src, "planes"):
-            continue
-        th, tw = st.static_rect[2], st.static_rect[3]
-        want.setdefault((id(src), tuple(st.static_crop), th, tw), src)
-
-    groups = defaultdict(list)
-    for (sid, crop, th, tw), src in want.items():
-        y, u, _ = src.planes
-        groups[(y.shape, u.shape, crop, th, tw, src.full_range)].append(
-            (sid, crop, th, tw, src)
-        )
-    cache = {}
-    for (_, _, crop, th, tw, full_range), mem in groups.items():
-        if len(mem) < 2:
-            continue
-        from smelter_tpu.ops.color_convert import yuv_tiles_rgba_cm_batched
-
-        ys = jnp.stack([m[4].planes[0] for m in mem])
-        us = jnp.stack([m[4].planes[1] for m in mem])
-        vs = jnp.stack([m[4].planes[2] for m in mem])
-        tiles = yuv_tiles_rgba_cm_batched(
-            ys, us, vs, crop, th, tw, full_range=full_range
-        )
-        for i, (sid, c, h_, w_, _) in enumerate(mem):
-            cache[(sid, c, h_, w_)] = tiles[i]
-    return cache
 
 
 def render_single_layout(
@@ -672,143 +622,20 @@ def _blend_group(canvas, members, union, sources, h: int, w: int):
     return canvas.at[:, uy : uy + uh, ux : ux + uw].set(acc)
 
 
-def _plan_bands(groups, h: int):
-    """Static horizontal cut lines for strip-partitioned assembly. Returns
-    [(y0, y1), ...] covering [0, h), or None when banding cannot pay.
-
-    Why: a dynamic-update-slice on the full canvas costs one whole-canvas
-    copy regardless of the updated region (~88 µs each on a 132 MB 4K f32
-    canvas), so n groups pay n canvas copies. Splitting the canvas once into
-    B strips (one canvas copy), writing each group only into the strip(s) it
-    intersects, and re-joining with one H-concat (one more canvas copy) pays
-    roughly sum(k_g)/B + 2 copies, where k_g is how many strips group g
-    crosses — a win from n >= 4 groups. Cuts run along H so the 128-lane W
-    axis of the channel-major canvas stays intact (an earlier x-axis cell
-    concat measured slower for exactly that reason) and land on sublane
-    multiples of 8. Groups crossing a cut split only their WRITE: the union
-    layer renders once (premultiplied OVER is associative), so texture
-    resizes are never duplicated. The band count is chosen by this traffic
-    model over candidate B; None means the flat DUS path wins."""
-    n = len(groups)
-    if n < 4:
-        return None
-    ivs = [(u[0], u[0] + u[2]) for _, u, _ in groups]
-
-    def _crossings(y: int) -> int:
-        return sum(1 for a, b in ivs if a < y < b)
-
-    # candidate cut positions: group boundaries (a cut flush with a group's
-    # edge never splits that group), snapped AWAY from the interval so the
-    # snap cannot land inside it — starts floor to 8, ends ceil to 8
-    cand = sorted({y for a, b in ivs
-                   for y in ((a // 8) * 8, ((b + 7) // 8) * 8)
-                   if 0 < y < h})
-
-    def _cost(bands) -> float:
-        # copy traffic in canvas-copies, plus a small per-write constant
-        # (launch overhead: a ~3 µs dispatch vs the ~80 µs 4K canvas copy)
-        c = 2.0  # the split and the concat, one canvas copy each
-        for a, b in ivs:
-            for y0, y1 in bands:
-                if y0 < b and a < y1:
-                    c += (y1 - y0) / h + 0.04
-        return c
-
-    best_cost = float(n)  # flat path: one canvas copy per group
-    best = None
-    for bcount in (2, 4, 8, 16):
-        if h // bcount < 64:
-            break
-        cuts = []
-        for i in range(1, bcount):
-            target = h * i // bcount
-            lo, hi = target - h // (2 * bcount), target + h // (2 * bcount)
-            near = [y for y in cand if lo <= y <= hi]
-            uniform = (target // 8) * 8
-            if 0 < uniform < h:
-                near.append(uniform)
-            if not near:
-                continue
-            # fewest group crossings, then closest to the uniform target
-            cuts.append(min(near, key=lambda y: (_crossings(y),
-                                                 abs(y - target))))
-        edges = [0] + sorted(set(cuts)) + [h]
-        if len(edges) < 3:
-            continue
-        bands = list(zip(edges, edges[1:]))
-        cost = _cost(bands)
-        if cost < best_cost:
-            best_cost, best = cost, bands
-    return best
-
-
 def _assemble_groups(canvas, groups, sources, h: int, w: int):
-    """Assemble a run of coalesced groups onto the canvas in paint order.
+    """Assemble a run of coalesced groups onto the canvas in paint order:
+    one full-canvas slice update per group.
 
-    When the `_plan_bands` traffic model pays, the canvas is
-    strip-partitioned: each group's union layer is rendered once over a
-    transparent region and OVER-blended into only the band slice(s) it
-    intersects, then the bands re-join with a single H-concat. Blending the
-    folded layer is exactly the sequential member blend (premultiplied OVER
-    associativity), and groups apply in paint order per band, so the result
-    is bit-identical to the flat path (one full-canvas DUS per group)."""
-    bands = _plan_bands(groups, h)
-    if bands is None:
-        for members, union, _ in groups:
-            canvas = _blend_group(canvas, members, union, sources, h, w)
-        return canvas
-    parts = [canvas[:, y0:y1] for y0, y1 in bands]
+    NOTE (round-5 device A/B, bench_artifacts/banding_ab_r05.json): a
+    strip-banding variant that split the canvas into horizontal bands and
+    re-joined with one H-concat — motivated by a traffic model in which
+    each group's dynamic-update-slice pays a whole-canvas copy — measured
+    +0.56 ms on the 4K flagship scene and was deleted. XLA elides most DUS
+    copies in-place inside the fused program; the concat re-join's fresh
+    canvas materialization is real. Keep assembly flat."""
     for members, union, _ in groups:
-        uy, ux, uh, uw = union
-        hit = [i for i, (y0, y1) in enumerate(bands)
-               if y0 < uy + uh and uy < y1]
-        if len(hit) == 1:
-            # fully inside one band: blend straight onto the band slice
-            b = hit[0]
-            y0, y1 = bands[b]
-            ly = uy - y0
-            acc = parts[b][:, ly : ly + uh, ux : ux + uw]
-            for st, p in members:
-                acc = _over(_region_layer(st, p, sources, uy, ux, uh, uw), acc)
-            if (uh, uw) == (y1 - y0, w):
-                parts[b] = acc
-            else:
-                parts[b] = parts[b].at[:, ly : ly + uh, ux : ux + uw].set(acc)
-            continue
-        # crossing group: split the write across its bands. Non-texture
-        # members (color/box_shadow SDFs) are elementwise, so their chunks
-        # render directly at band-local coordinates — no intermediate union
-        # buffer (the common full-canvas background layer stays one pass per
-        # band). Texture members must not re-run their resize per chunk, so
-        # a mixed group folds ONCE over transparency (premultiplied OVER is
-        # associative) and only slices the result.
-        layer = None
-        if any(st.content == "texture" for st, _ in members):
-            layer = jnp.zeros((4, uh, uw), jnp.float32)
-            for st, p in members:
-                layer = _over(
-                    _region_layer(st, p, sources, uy, ux, uh, uw), layer
-                )
-        for b in hit:
-            y0, y1 = bands[b]
-            cy0, cy1 = max(uy, y0), min(uy + uh, y1)
-            under = parts[b][:, cy0 - y0 : cy1 - y0, ux : ux + uw]
-            if layer is not None:
-                blended = _over(layer[:, cy0 - uy : cy1 - uy], under)
-            else:
-                blended = under
-                for st, p in members:
-                    blended = _over(
-                        _region_layer(st, p, sources, cy0, ux, cy1 - cy0, uw),
-                        blended,
-                    )
-            if (cy1 - cy0, uw) == (y1 - y0, w):
-                parts[b] = blended
-            else:
-                parts[b] = parts[b].at[
-                    :, cy0 - y0 : cy1 - y0, ux : ux + uw
-                ].set(blended)
-    return jnp.concatenate(parts, axis=1)
+        canvas = _blend_group(canvas, members, union, sources, h, w)
+    return canvas
 
 
 def compose_layouts(
@@ -820,16 +647,10 @@ def compose_layouts(
     planar: bool = False,
 ) -> jnp.ndarray:
     """Blend all layouts over a transparent canvas (see
-    `_compose_layouts_impl` for the full algorithm notes); also scopes the
-    batched deferred-YUV tile prefetch to this compose — the cache holds
-    tracers of THIS trace, and leaking it into the next trace would be a
-    tracer-leak error at best."""
-    try:
-        return _compose_layouts_impl(
-            resolution, statics, params, sources, background, planar
-        )
-    finally:
-        _TILE_PREFETCH.cache = None
+    `_compose_layouts_impl` for the full algorithm notes)."""
+    return _compose_layouts_impl(
+        resolution, statics, params, sources, background, planar
+    )
 
 
 def _compose_layouts_impl(
@@ -863,7 +684,6 @@ def _compose_layouts_impl(
     )
     px = py = None
     items = list(zip(statics, params))
-    _TILE_PREFETCH.cache = _prefetch_tiles(items, sources)
 
     def _local(st: LayoutStatic) -> bool:
         if st.traced_position or st.traced_size_buf is not None:

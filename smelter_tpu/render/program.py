@@ -20,6 +20,7 @@ compiles once and is cached.
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
@@ -652,6 +653,10 @@ class OutputProgram:
         self._compiling: set = set()
         self._aux_dev: Dict[int, tuple] = {}
         self._used_frames: Dict[str, Frame] = {}
+        self._image_store = image_store
+        # chromium_embedding of non-input subtrees: per-child sub-programs
+        # + last pushed content signature (see _plan_subtree_embed)
+        self._embed_programs: Dict[int, "OutputProgram"] = {}
         # (node_id, layout_index) -> last rect signature; used to detect
         # animating layouts (transitions) and route them to the general path
         self._rect_history: Dict[tuple, tuple] = {}
@@ -742,8 +747,7 @@ class OutputProgram:
                 # latest page frame enters like an image texture; without a
                 # sidecar the node renders transparent (reference
                 # web_renderer_fallback.rs)
-                for ch in node.children:
-                    visit(ch)
+                child_res = [visit(ch) for ch in node.children]
                 inst = self.web.get(p.instance_id) if self.web else None
                 method = (
                     inst.spec.embedding_method
@@ -755,12 +759,16 @@ class OutputProgram:
                     and inst.active
                     and method == "chromium_embedding"
                 ):
-                    # uplink: push InputStream children INTO the page
-                    # (embedder.rs embed_sources); non-input children
-                    # would need per-frame device readback, so they fall
-                    # back to the page-only view in this mode
+                    # uplink: push child frames INTO the page (embedder.rs:83
+                    # embed_sources). InputStream children convert their host
+                    # frame directly; any OTHER subtree renders through a
+                    # cached per-child sub-program to RGBA and is read back
+                    # (the CDP analogue of the reference copying every
+                    # child's rendered texture into CEF shared memory,
+                    # web_renderer.rs:24-26) — re-rendered and re-pushed
+                    # only when its content signature changes
                     embeds = []
-                    for ch in node.children:
+                    for ch, cres in zip(node.children, child_res):
                         cp = ch.params
                         entry = None
                         if isinstance(cp, InputStreamNode):
@@ -774,6 +782,11 @@ class OutputProgram:
                                     f.pts,
                                     lambda f=f: _frame_rgba_np(f),
                                 )
+                        elif cres is not None:
+                            entry = self._plan_subtree_embed(
+                                ch, cres, pts, input_frames,
+                                image_store, text_renderer,
+                            )
                         embeds.append(entry)
                     if any(e is not None for e in embeds):
                         inst.embed_sources(embeds)
@@ -891,6 +904,68 @@ class OutputProgram:
         )
         self._used_frames = used_frames
         return tuple(key_parts), plan
+
+    def _plan_subtree_embed(self, child, res: Resolution, pts: float,
+                            input_frames, image_store, text_renderer):
+        """Embed entry for a NON-InputStream child of a chromium_embedding
+        WebView: render the child subtree to RGBA via a cached sub-program,
+        read it back, and hand it to embed_sources (embedder.rs:83 pushes
+        every child's rendered texture into the page; CEF gets it via
+        shared memory, we carry it over CDP).
+
+        The returned entry is (signature, thunk): embed_sources dedups on
+        the signature before the thunk runs, so a static subtree pays the
+        device render + host readback ONCE — only content changes (layout
+        params, input frame pts, aux texture identity) re-render."""
+        nid = self.node_id(child)
+        sub = self._embed_programs.get(nid)
+        if sub is None or sub.resolution != res:
+            sub = OutputProgram(
+                child, res, PixelFormat.RGBA, self.shaders,
+                web=self.web, image_store=image_store or self._image_store,
+            )
+            self._embed_programs[nid] = sub
+        try:
+            skey, splan = sub.plan(pts, input_frames, image_store,
+                                   text_renderer)
+        except Exception:
+            logging.getLogger("smelter.render").exception(
+                "web-embed subtree plan failed (node %d)", nid
+            )
+            return None
+        # packed_params' trailing element is the frame time (shader `time`
+        # uniform): a static subtree must not re-push every pts, so the
+        # time slot only joins the signature when the subtree actually
+        # contains time-driven nodes (shaders). Animating layouts are still
+        # caught — their rect params change with pts.
+        has_shader = any(
+            isinstance(n.params, ShaderNode) for n in sub._nodes.values()
+        )
+        params = splan.packed_params
+        param_bytes = params.tobytes() if has_shader else params[:-1].tobytes()
+        sig = hash((
+            skey,
+            param_bytes,
+            tuple(sorted(
+                (iid, f.pts) for iid, f in sub._used_frames.items()
+            )),
+            tuple(sorted(
+                (anid, id(a)) for anid, a in splan.aux_textures.items()
+            )),
+        ))
+
+        def thunk(sub=sub):
+            out = sub.render(pts, input_frames, image_store, text_renderer)
+            arr = np.asarray(out)  # (H, W, 4) u8, premultiplied
+            # the page's putImageData expects straight alpha
+            a = arr[..., 3:4].astype(np.float32)
+            scale = np.where(a > 0.0, 255.0 / np.maximum(a, 1.0), 0.0)
+            rgb = np.clip(
+                arr[..., :3].astype(np.float32) * scale, 0.0, 255.0
+            ).astype(np.uint8)
+            return np.concatenate([rgb, arr[..., 3:]], axis=-1)
+
+        return (sig, thunk)
 
     def _dev_aux(self, nid: int, arr):
         """Device-resident cache for aux (text/image) textures: unchanged

@@ -315,11 +315,13 @@ def build_app(state: ApiState) -> web.Application:
                     from smelter_tpu.io.v4l2 import V4l2Input, V4l2InputOptions
                     from smelter_tpu.pipeline.instance import RegisterInputOptions
 
-                    if spec.format and spec.format.lower() not in ("yuyv",):
+                    if spec.format and spec.format.lower() not in (
+                        "yuyv", "nv12",
+                    ):
                         raise ApiError(
                             "V4L2_FORMAT_UNSUPPORTED",
                             f"v4l2 format {spec.format!r} not supported "
-                            "(yuyv only)", 400,
+                            "(yuyv | nv12)", 400,
                         )
                     res = spec.resolution
                     source = V4l2Input(
@@ -329,6 +331,7 @@ def build_app(state: ApiState) -> web.Application:
                             width=res.width if res else 1280,
                             height=res.height if res else 720,
                             framerate=spec.framerate,
+                            format=(spec.format or "yuyv").lower(),
                         )
                     )
                     sc = spec.side_channel or {}

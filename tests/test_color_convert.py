@@ -209,47 +209,3 @@ def test_batched_yuv_tiles_match_single():
     for i, s in enumerate(srcs):
         single = np.asarray(s.tile_cm(crop, 32, 64))
         assert np.array_equal(batched[i], single), i
-
-
-def test_compose_prefetch_batches_same_shape_tiles(monkeypatch):
-    """compose_layouts prefetches same-shape deferred-YUV tiles in one batch:
-    per-source tile_cm is never called, output unchanged."""
-    import numpy as np
-    import jax.numpy as jnp
-
-    import smelter_tpu.ops.compose as compose_mod
-    from smelter_tpu.ops.color_convert import DeferredYuvSource
-    from smelter_tpu.ops.compose import LayoutStatic, compose_layouts
-    from tests.test_compose import _params
-
-    rng = np.random.default_rng(3)
-    calls = {"n": 0}
-    srcs = []
-    for _ in range(4):
-        y = jnp.asarray(rng.integers(0, 256, (72, 128), np.uint8))
-        u = jnp.asarray(rng.integers(0, 256, (36, 64), np.uint8))
-        v = jnp.asarray(rng.integers(0, 256, (36, 64), np.uint8))
-        src = DeferredYuvSource(y, u, v)
-        orig = src.tile_cm
-        def counted(crop, oh, ow, _orig=orig):
-            calls["n"] += 1
-            return _orig(crop, oh, ow)
-        src.tile_cm = counted
-        srcs.append(src)
-
-    st, ps = [], []
-    for k in range(4):
-        st.append(LayoutStatic(
-            content="texture", source_index=k,
-            static_rect=(10 + 40 * k, 8, 36, 64),
-            static_crop=(0, 0, 72, 128),
-        ))
-        ps.append(_params(top=10.0 + 40 * k, left=8.0, width=64.0,
-                          height=36.0))
-    out = np.asarray(compose_layouts((96, 192), st, ps, srcs))
-    assert calls["n"] == 0, "prefetch did not serve the tiles"
-
-    monkeypatch.setattr(compose_mod, "_prefetch_tiles", lambda *a: {})
-    flat = np.asarray(compose_layouts((96, 192), st, ps, srcs))
-    assert calls["n"] == 4
-    assert np.array_equal(out, flat)

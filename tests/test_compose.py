@@ -181,78 +181,3 @@ def test_animated_params_no_recompile():
 
 
 # ----------------------------------------------- strip-partitioned assembly
-
-
-def _local_color(top, left, h, w, color):
-    st = LayoutStatic(content="color", static_rect=(top, left, h, w),
-                      static_color=tuple(int(c * 255) for c in color))
-    p = _params(top=float(top), left=float(left), width=float(w),
-                height=float(h), color=color)
-    return st, p
-
-
-def test_plan_bands_model():
-    from smelter_tpu.ops.compose import _plan_bands
-
-    # 8 groups spread over a tall canvas: banding pays, bands cover [0, h)
-    groups = [([], (64 * k + 8, 0, 40, 50), k) for k in range(8)]
-    bands = _plan_bands(groups, 512)
-    assert bands is not None
-    assert bands[0][0] == 0 and bands[-1][1] == 512
-    assert all(a[1] == b[0] for a, b in zip(bands, bands[1:]))
-    # cuts land on sublane multiples of 8
-    assert all(y0 % 8 == 0 for y0, _ in bands)
-
-
-def test_plan_bands_declines_when_flat_wins():
-    from smelter_tpu.ops.compose import _plan_bands
-
-    # too few groups
-    assert _plan_bands([([], (0, 0, 10, 10), 0)] * 3, 512) is None
-    # every group spans the full canvas height: each write still costs a
-    # whole canvas, so banding only adds the split+concat
-    groups = [([], (0, 20 * k, 512, 10), k) for k in range(6)]
-    assert _plan_bands(groups, 512) is None
-    # canvas too short to cut into >= 64-row strips
-    groups = [([], (8 * k, 0, 6, 10), k) for k in range(8)]
-    assert _plan_bands(groups, 100) is None
-
-
-def test_banded_assembly_matches_flat(monkeypatch):
-    """Overlapping color rects spread over a tall canvas, including one
-    group that CROSSES band cuts: the banded assembly (engagement asserted)
-    must be bit-identical to the flat DUS path."""
-    import smelter_tpu.ops.compose as compose_mod
-
-    items = [
-        # three overlapping rects near the top (order matters)
-        _local_color(8, 4, 100, 120, (1, 0, 0, 1)),
-        _local_color(40, 60, 100, 120, (0, 1, 0, 0.5)),
-        _local_color(80, 120, 80, 90, (0, 0, 1, 1)),
-        # a tall rect crossing the middle of the canvas (split write path)
-        _local_color(180, 30, 200, 60, (0, 1, 1, 0.8)),
-        # two disjoint rects near the bottom
-        _local_color(400, 4, 90, 90, (1, 1, 0, 1)),
-        _local_color(400, 200, 90, 90, (1, 0, 1, 0.7)),
-    ]
-    st = [s for s, _ in items]
-    p = [q for _, q in items]
-
-    engaged = {"n": 0}
-    orig = compose_mod._plan_bands
-
-    def counting(groups, h):
-        r = orig(groups, h)
-        if r is not None:
-            engaged["n"] += 1
-        return r
-
-    monkeypatch.setattr(compose_mod, "_plan_bands", counting)
-    banded = np.asarray(compose_layouts((320, 512), st, p, []))
-    assert engaged["n"] >= 1, "banding never engaged"
-
-    monkeypatch.setattr(compose_mod, "_plan_bands", lambda *a: None)
-    flat = np.asarray(compose_layouts((320, 512), st, p, []))
-    assert np.array_equal(banded, flat)
-    # sanity: something rendered in all three areas
-    assert flat[20, 10, 3] > 0 and flat[250, 40, 3] > 0 and flat[450, 10, 3] > 0

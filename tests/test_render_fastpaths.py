@@ -508,47 +508,3 @@ def test_masked_rotation_stays_on_fast_path():
         assert data[10, 10, 2] <= 40 and abs(int(data[10, 10, 2]) - 30) < 8
     finally:
         r.close()
-
-
-def test_flagship_general_scene_engages_banding(monkeypatch):
-    """The flagship-shaped general scene (rounded/bordered/shadowed grid,
-    two rotated) must strip-partition its blend-group assembly: banding
-    engages, most groups land in a single band, and the banded output is
-    bit-identical to the flat DUS assembly. Pins the _plan_bands planner to
-    the production scene shape without needing a TPU."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    import smelter_tpu.ops.compose as compose_mod
-    from smelter_tpu.parallel.flagship import make_flagship_general_compose
-
-    fn, example = make_flagship_general_compose(
-        n_inputs=16,
-        in_res=Resolution(192, 108),
-        out_res=Resolution(768, 432),
-    )
-
-    plans = []
-    orig = compose_mod._plan_bands
-
-    def recording(groups, h):
-        bands = orig(groups, h)
-        plans.append((groups, h, bands))
-        return bands
-
-    monkeypatch.setattr(compose_mod, "_plan_bands", recording)
-    banded = [np.asarray(p) for p in fn(*example)]
-    banded_runs = [(g, h, b) for g, h, b in plans if b is not None]
-    assert banded_runs, "no compose run engaged banding"
-    groups, h, bands = max(banded_runs, key=lambda r: len(r[0]))
-    single = sum(
-        1 for _, (uy, _, uh, _), _ in groups
-        if any(y0 <= uy and uy + uh <= y1 for y0, y1 in bands)
-    )
-    assert len(groups) >= 8
-    assert single >= len(groups) // 2, (single, len(groups), bands)
-
-    monkeypatch.setattr(compose_mod, "_plan_bands", lambda *a: None)
-    flat = [np.asarray(p) for p in fn(*example)]
-    for b, f in zip(banded, flat):
-        assert np.array_equal(b, f)

@@ -152,3 +152,39 @@ def test_ts_imports_resolve():
                         f"does not export it"
                     )
     assert checked > 100, f"resolver only checked {checked} bindings — scan broken?"
+
+
+def test_ts_namespace_member_references_resolve():
+    """`import * as Ns from '...'` followed by `Ns.Member` usage: every
+    referenced member must be an actual export of the resolved module.
+    This covers the cross-package *type* references (e.g. `Api.Component`
+    in annotations) that named-import checking cannot see — the closest
+    thing to `tsc --noEmit` available without node in the image."""
+    checked = 0
+    for scan in SCAN_DIRS:
+        root = TS_ROOT / scan
+        if not root.is_dir():
+            continue
+        for ts_file in root.rglob("*.ts*"):
+            if "node_modules" in ts_file.parts or ts_file.suffix not in (".ts", ".tsx"):
+                continue
+            source = _strip_comments(ts_file.read_text())
+            for m in IMPORT_RE.finditer(source):
+                ns = m.group("ns")
+                if not ns:
+                    continue
+                target = _resolve(ts_file, m.group("spec"))
+                if target is None:
+                    continue
+                exports = _exports_of(target)
+                for ref in re.finditer(
+                    rf"(?<![\w$.]){re.escape(ns)}\.([A-Za-z_$][\w$]*)", source
+                ):
+                    checked += 1
+                    member = ref.group(1)
+                    assert member in exports, (
+                        f"{ts_file.relative_to(TS_ROOT)}: references "
+                        f"{ns}.{member}, but {target.relative_to(TS_ROOT)} "
+                        f"does not export {member!r}"
+                    )
+    assert checked > 20, f"namespace check saw only {checked} references — scan broken?"

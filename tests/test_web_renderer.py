@@ -192,6 +192,82 @@ def test_webview_chromium_embedding_pushes_child_frames(monkeypatch):
         mock.close()
 
 
+def test_webview_chromium_embedding_renders_non_input_subtree(monkeypatch):
+    """chromium_embedding with a NON-InputStream child: the reference pushes
+    every child's rendered texture into the page (embedder.rs:83,
+    web_renderer.rs:24-26) — not just input streams. The child subtree must
+    render through a cached sub-program, be read back as straight-alpha
+    RGBA, and be re-pushed only when its content changes."""
+    mock = MockCdpServer()
+    monkeypatch.setenv("SMELTER_WEB_RENDERER_CDP_URL", mock.url)
+    try:
+        r = Renderer()
+        r.register_input("cam")
+        inst = r.web.register(WebRendererSpec(
+            instance_id="page", url="https://example.com/",
+            resolution=(64, 48), embedding_method="chromium_embedding",
+        ))
+        assert inst.active
+        assert inst.wait_for_frame(10), "first screencast frame never landed"
+        r.update_scene(
+            "out",
+            comp.View(background_color=RGBAColor(0, 0, 0, 255),
+                      children=[comp.WebView(
+                          instance_id="page",
+                          children=[comp.View(
+                              position=comp.StaticPosition(width=32, height=24),
+                              background_color=RGBAColor(0, 0, 200, 255),
+                              children=[comp.InputStream(input_id="cam")],
+                          )])]),
+            Resolution(64, 48), PixelFormat.RGBA,
+        )
+        frame = _red_input_frame(16, 12)
+        out = np.asarray(
+            r.render(FrameSet(pts=0.0, frames={"cam": frame})).frames["out"].data
+        )
+        assert mock.evaluated.wait(10), "no Runtime.evaluate reached the page"
+        script = mock.evaluations[0]
+        assert "smelter_source_0" in script
+        assert ", 32, 24," in script  # the subtree's own resolution
+        b64 = script.rsplit("'", 2)[-2]
+        pixels = np.frombuffer(base64.b64decode(b64), np.uint8).reshape(24, 32, 4)
+        # the RENDERED subtree was pushed: the red input occupies its
+        # 16x12 top-left region, the view's blue background shows elsewhere
+        assert pixels[6, 8, 0] > 150 and pixels[6, 8, 2] < 80, (
+            pixels[6, 8].tolist()
+        )
+        assert pixels[6, 8, 3] == 255
+        assert pixels[18, 28, 2] > 150, pixels[18, 28].tolist()
+        # native output shows the PAGE, not the child (children live inside
+        # the page in this mode)
+        px = out[24, 32]
+        assert px[0] > 200 and 100 < px[1] < 160, px.tolist()
+
+        # unchanged content at a LATER pts: signature-deduped, no re-render
+        n_before = len(mock.evaluations)
+        r.render(FrameSet(pts=0.1, frames={"cam": frame}))
+        assert len(mock.evaluations) == n_before
+
+        # content change (new input frame) re-renders and re-pushes
+        from smelter_tpu.core.types import Frame
+
+        green = np.zeros((12, 16, 4), np.uint8)
+        green[..., 1] = 220
+        green[..., 3] = 255
+        frame2 = Frame(data=green, format=PixelFormat.RGBA,
+                       resolution=Resolution(16, 12), pts=0.2)
+        r.render(FrameSet(pts=0.2, frames={"cam": frame2}))
+        assert len(mock.evaluations) == n_before + 1
+        b64 = mock.evaluations[-1].rsplit("'", 2)[-2]
+        pixels = np.frombuffer(base64.b64decode(b64), np.uint8).reshape(24, 32, 4)
+        assert pixels[6, 8, 1] > 150 and pixels[6, 8, 0] < 80, (
+            pixels[6, 8].tolist()
+        )
+        r.web.unregister("page")
+    finally:
+        mock.close()
+
+
 def test_webview_native_embedding_over_content(monkeypatch):
     """native_embedding_over_content ("overlay inputs OVER the website
     content", web_renderer.rs:30-34): children composite natively above
