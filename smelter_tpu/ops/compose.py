@@ -622,6 +622,23 @@ def _blend_group(canvas, members, union, sources, h: int, w: int):
     return canvas.at[:, uy : uy + uh, ux : ux + uw].set(acc)
 
 
+def _align_union(reg, h: int, w: int):
+    """Expand a group's union to TPU tiling boundaries — (8, 128)
+    sublane x lane for f32 — so the group's canvas slice read and
+    dynamic-update-slice write are tile-aligned (a misaligned DUS pays a
+    read-modify-write on every boundary tile; device A/B in
+    bench_artifacts/align_ab_r05.json). Exact: member contributions are
+    evaluated over the whole (expanded) union and are exactly zero outside
+    their footprint (see _region_layer), and OVER with a zero layer is the
+    identity."""
+    uy, ux, uh, uw = reg
+    y0 = (uy // 8) * 8
+    x0 = (ux // 128) * 128
+    y1 = min(h, -(-(uy + uh) // 8) * 8)
+    x1 = min(w, -(-(ux + uw) // 128) * 128)
+    return y0, x0, y1 - y0, x1 - x0
+
+
 def _assemble_groups(canvas, groups, sources, h: int, w: int):
     """Assemble a run of coalesced groups onto the canvas in paint order:
     one full-canvas slice update per group.
@@ -702,6 +719,7 @@ def _compose_layouts_impl(
             return None
         return y0, x0, y1 - y0, x1 - x0
 
+
     i = 0
     while i < len(items):
         st, p = items[i]
@@ -768,6 +786,10 @@ def _compose_layouts_impl(
                 j += 1
             if cur is not None:
                 groups.append((cur[0], cur[1], cur[3]))
+            groups = [
+                (members, _align_union(union, h, w), idx)
+                for members, union, idx in groups
+            ]
             canvas = _assemble_groups(canvas, groups, sources, h, w)
             i = j
             continue

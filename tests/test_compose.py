@@ -181,3 +181,50 @@ def test_animated_params_no_recompile():
 
 
 # ----------------------------------------------- strip-partitioned assembly
+
+
+# ------------------------------------------------- tile-aligned group unions
+
+
+def test_aligned_unions_bit_exact():
+    """Expanding group unions to (8, 128) tile boundaries (_align_union)
+    must not change a single bit: contributions outside a member's footprint
+    are exactly zero and OVER with a zero layer is the identity. Misaligned
+    rects chosen to force expansion on every side."""
+    import jax
+
+    from smelter_tpu.ops import compose as C
+
+    src = np.random.default_rng(3).random((64, 96, 4)).astype(np.float32)
+    src[..., :3] *= src[..., 3:]
+    statics = [
+        LayoutStatic(
+            content="texture", source_index=0,
+            static_rect=(13, 37, 50, 70), static_crop=(0, 0, 64, 96),
+        ),
+        LayoutStatic(
+            content="color",
+            static_rect=(30, 60, 40, 90),
+        ),
+    ]
+    params = [
+        _params(top=13, left=37, width=70, height=50, crop=(0, 0, 96, 64)),
+        _params(top=30, left=60, width=90, height=40, color=(0, 0, 1, 0.5)),
+    ]
+    sources = [[jnp.asarray(src)]]
+
+    def render():
+        return np.asarray(
+            jax.jit(
+                lambda: compose_layouts((256, 144), statics, params, sources)
+            )()
+        )
+
+    aligned = render()
+    orig = C._align_union
+    C._align_union = lambda reg, h, w: reg
+    try:
+        unaligned = render()
+    finally:
+        C._align_union = orig
+    assert np.array_equal(aligned, unaligned)

@@ -26,10 +26,16 @@ import numpy as np
 
 def main() -> None:
     from smelter_tpu.core.types import Resolution
-    from smelter_tpu.parallel.flagship import make_flagship_compose
+    from smelter_tpu.parallel.flagship import (
+        make_flagship_compose,
+        make_flagship_general_compose,
+    )
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    fn, _ = make_flagship_compose(
+    argv = [a for a in sys.argv[1:] if a != "--general"]
+    general = "--general" in sys.argv[1:]
+    n = int(argv[0]) if argv else 16
+    make = make_flagship_general_compose if general else make_flagship_compose
+    fn, _ = make(
         n_inputs=n, in_res=Resolution(1920, 1080), out_res=Resolution(3840, 2160)
     )
     jfn = jax.jit(fn)
@@ -75,18 +81,19 @@ def main() -> None:
         durs = sorted(
             e["dur"] / 1000.0 for e in events
             if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in mod_tids
-            and str(e.get("name", "")).startswith("jit_fn(")
+            and str(e.get("name", "")).startswith("jit_")
         )
         totals = defaultdict(float)
         for e in events:
             if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
                 totals[e["name"]] += e["dur"] / 1000.0
         print(json.dumps({
+            "program": "general_4k" if general else "flagship_grid",
             "device_p50_ms": round(durs[len(durs) // 2], 3) if durs else None,
             "frames": len(durs),
             "top_ops_ms_per_frame": [
                 [name, round(total / max(len(durs), 1), 4)]
-                for name, total in sorted(totals.items(), key=lambda kv: -kv[1])[:16]
+                for name, total in sorted(totals.items(), key=lambda kv: -kv[1])[:32]
             ],
         }))
     finally:
