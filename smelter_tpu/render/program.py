@@ -576,13 +576,14 @@ def _frame_rgba_np(frame) -> np.ndarray:
     return np.frombuffer(_frame_to_rgba_bytes(frame), np.uint8).reshape(h, w, 4)
 
 # Process-wide trace serialization. A rare (~1-in-3 live soaks) trace-time
-# shape corruption was observed in the banded-shear rotation when two
-# background compiles traced concurrently (never single-threaded; see
-# ops/rotate.py diagnostic assert). The program code itself shares no
-# mutable state across traces, which points at JAX-internal global state
-# under concurrent tracing; serializing trace+first-call removes the race
-# class. Cost: concurrent background compiles queue — off the 60 Hz hot
-# path by construction (outputs freeze-frame until their program is ready).
+# shape corruption was observed in the (since-deleted) banded-shear
+# rotation when two background compiles traced concurrently — never
+# single-threaded. The program code itself shares no mutable state across
+# traces, which points at JAX-internal global state under concurrent
+# tracing; serializing trace+first-call removes the race class. Full
+# analysis + repro driver: docs/TRACE_RACE.md, tools/repro_trace_race.py.
+# Cost: concurrent background compiles queue — off the 60 Hz hot path by
+# construction (outputs freeze-frame until their program is ready).
 import atexit as _atexit
 import threading as _threading_mod
 import weakref as _weakref

@@ -2,13 +2,14 @@
 """Live-render soak: reproduce the round-1 concurrent-trace corruption.
 
 Round 1 saw a ~1-in-3 live-soak failure: trace-time shape mismatches in
-the banded-shear rotation (`ops/rotate._shear_x` diagnostic assert) when
-background compiles of new scene structures ran concurrently with the hot
-60 Hz render loop. Round 2 serialized all program tracing behind
-`render/program.py:_TRACE_LOCK` (+ 3x compile retry). This soak arms the
-diagnostic assert and drives the exact trigger: continuous scene-structure
-churn (new static rotation angles -> new banded-shear programs compiling
-in the background) while the foreground loop renders at full speed.
+the banded-shear rotation when background compiles of new scene structures
+ran concurrently with the hot 60 Hz render loop. Round 2 serialized all
+program tracing behind `render/program.py:_TRACE_LOCK` (+ 3x compile
+retry); round 3's barrel-shifter rewrite deleted the banded-shear code
+(and its diagnostic assert) entirely. This soak drives the original
+trigger: continuous scene-structure churn (new static rotation angles ->
+new rotation programs compiling in the background) while the foreground
+loop renders at full speed. Analysis: docs/TRACE_RACE.md.
 
 Usage: python tools/soak_live.py [--rounds 20] [--seconds 12]
 Exit 0 = all rounds clean; nonzero = corruption or render error.
