@@ -48,6 +48,11 @@ class LayoutStatic:
     content: str  # "texture" | "color" | "box_shadow"
     source_index: int = -1  # node texture index for content == "texture"
     n_masks: int = 0
+    # per-mask flag: mask introduced by a rotated ancestor (clips rotate
+    # with the parent that owns them). Static so unrotated masks skip the
+    # coordinate rotation entirely (bit-identical to the pre-rotation-mask
+    # code); the angle itself stays traced (params.masks[:, 8]).
+    rotated_masks: Tuple[bool, ...] = ()
     has_rotation: bool = False
     has_border: bool = False  # border_width can be > 0
     # fast path (rect not animating): integer placement rect + source crop.
@@ -96,7 +101,10 @@ class LayoutParams:
     color: jnp.ndarray  # (4,) straight alpha (color / shadow content)
     crop: jnp.ndarray  # (4,) [top, left, width, height] in source pixels
     blur_radius: jnp.ndarray
-    # masks: (n_masks, 8): [radius_tl, tr, br, bl, top, left, width, height]
+    # masks: (n_masks, 9):
+    # [radius_tl, tr, br, bl, top, left, width, height, rotation_rad]
+    # (rotation applied only for masks statically flagged rotated —
+    # LayoutStatic.rotated_masks; legacy 8-wide rows remain valid for them)
     masks: jnp.ndarray
 
 
@@ -132,14 +140,23 @@ def _premultiply(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([color[:3] * color[3], color[3:4]])[:, None, None]
 
 
-def _mask_alpha(px, py, params: LayoutParams, n_masks: int) -> jnp.ndarray:
+def _mask_alpha(px, py, params: LayoutParams, n_masks: int,
+                rotated: Tuple[bool, ...] = ()) -> jnp.ndarray:
     alpha = jnp.ones(px.shape, jnp.float32)
     for i in range(n_masks):
         m = params.masks[i]
         radius, top, left, w, h = m[0:4], m[4], m[5], m[6], m[7]
         cx = left + w * 0.5
         cy = top + h * 0.5
-        d = rounded_rect_sdf(px - cx, py - cy, w * 0.5, h * 0.5, radius)
+        dx, dy = px - cx, py - cy
+        if i < len(rotated) and rotated[i]:
+            # the mask rotates with the parent that introduced it: rotate
+            # the offset into the mask's local frame (same convention as
+            # render_single_layout's rotated rects; angle stays traced)
+            ang = m[8]
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            dx, dy = ca * dx + sa * dy, -sa * dx + ca * dy
+        d = rounded_rect_sdf(dx, dy, w * 0.5, h * 0.5, radius)
         alpha = alpha * smoothstep(-0.5, 0.5, -d)
     return alpha
 
@@ -204,7 +221,7 @@ def render_single_layout(
         rdy = -sin_a * dx + cos_a * dy
         dx, dy = rdx, rdy
 
-    mask_alpha = _mask_alpha(px, py, params, static.n_masks)
+    mask_alpha = _mask_alpha(px, py, params, static.n_masks, static.rotated_masks)
 
     if static.content == "box_shadow":
         edge = -rounded_rect_sdf(dx, dy, w * 0.5, h * 0.5, params.border_radius)
@@ -339,7 +356,7 @@ def _region_layer(
     cy = params.top + rh * 0.5
     dx = px - cx
     dy = py - cy
-    mask_alpha = _mask_alpha(px, py, params, static.n_masks)
+    mask_alpha = _mask_alpha(px, py, params, static.n_masks, static.rotated_masks)
     edge = -rounded_rect_sdf(dx, dy, rw * 0.5, rh * 0.5, params.border_radius)
 
     # (4, h, w) resize via MXU — already channel-major
@@ -459,7 +476,7 @@ def _apply_masks_region(tile, static: LayoutStatic, params: LayoutParams,
     px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] + origin_x
     py = jnp.broadcast_to(py, (h, w))
     px = jnp.broadcast_to(px, (h, w))
-    return tile * _mask_alpha(px, py, params, static.n_masks)[None]
+    return tile * _mask_alpha(px, py, params, static.n_masks, static.rotated_masks)[None]
 
 
 def _apply_masks_local(tile, static: LayoutStatic, params: LayoutParams):
@@ -473,7 +490,7 @@ def _apply_masks_local(tile, static: LayoutStatic, params: LayoutParams):
     px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :] + params.left
     py = jnp.broadcast_to(py, (h, w))
     px = jnp.broadcast_to(px, (h, w))
-    return tile * _mask_alpha(px, py, params, static.n_masks)[None]
+    return tile * _mask_alpha(px, py, params, static.n_masks, static.rotated_masks)[None]
 
 
 def _place_tile_traced(canvas, tile, top, left) -> jnp.ndarray:
@@ -605,7 +622,7 @@ def _render_rotozoom_layout(
         mx = (jnp.arange(S, dtype=jnp.float32) + 0.5)[None, :] - S * 0.5 + cx
         my = jnp.broadcast_to(my, (S, S))
         mx = jnp.broadcast_to(mx, (S, S))
-        rotated = rotated * _mask_alpha(mx, my, params, static.n_masks)[None]
+        rotated = rotated * _mask_alpha(mx, my, params, static.n_masks, static.rotated_masks)[None]
     return _place_tile_traced(canvas, rotated, cy - S * 0.5, cx - S * 0.5)
 
 

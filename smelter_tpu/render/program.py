@@ -207,9 +207,14 @@ def split_layout(
                 )
             if isinstance(c, RenderBoxShadow):
                 static_blur = float(c.blur_radius)
-    masks = np.zeros((max(n_masks, 1), 8), np.float32)
+    masks = np.zeros((max(n_masks, 1), 9), np.float32)
     for i, m in enumerate(layout.masks[:MAX_MASKS_COUNT]):
-        masks[i] = [*m.radius.as_tuple(), m.top, m.left, m.width, m.height]
+        masks[i] = [*m.radius.as_tuple(), m.top, m.left, m.width, m.height,
+                    math.radians(m.rotation_degrees)]
+    rotated_masks = tuple(
+        abs(m.rotation_degrees) > 1e-9
+        for m in layout.masks[:MAX_MASKS_COUNT]
+    )
 
     def color_vec(col) -> np.ndarray:
         return np.asarray(col.to_float(), np.float32)
@@ -231,6 +236,7 @@ def split_layout(
             content="texture",
             source_index=c.index,
             n_masks=min(n_masks, MAX_MASKS_COUNT),
+            rotated_masks=rotated_masks,
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
             has_border=c.border_width > 0.0,
             static_rect=static_rect,
@@ -255,6 +261,7 @@ def split_layout(
         static = LayoutStatic(
             content="color",
             n_masks=min(n_masks, MAX_MASKS_COUNT),
+            rotated_masks=rotated_masks,
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
             has_border=c.border_width > 0.0,
             static_rect=static_rect,
@@ -274,6 +281,7 @@ def split_layout(
         static = LayoutStatic(
             content="box_shadow",
             n_masks=min(n_masks, MAX_MASKS_COUNT),
+            rotated_masks=rotated_masks,
             has_rotation=abs(layout.rotation_degrees) > 1e-9,
             static_rect=static_rect,
             static_blur=static_blur,
@@ -372,7 +380,8 @@ def _offset_entries(
     out = []
     for e, src in inner:
         masks = tuple(
-            Mask(m.radius, m.top + dt, m.left + dl, m.width, m.height)
+            Mask(m.radius, m.top + dt, m.left + dl, m.width, m.height,
+                 m.rotation_degrees)
             for m in e.masks
         ) + tuple(layout.masks)
         out.append((_replace(e, top=e.top + dt, left=e.left + dl, masks=masks), src))
@@ -497,8 +506,8 @@ def _unpack_layout_params(
             rows = max(st.n_masks, 1)
             f = vec[off : off + _P_FIXED]
             off += _P_FIXED
-            masks = vec[off : off + rows * 8].reshape(rows, 8)
-            off += rows * 8
+            masks = vec[off : off + rows * 9].reshape(rows, 9)
+            off += rows * 9
             lst.append(
                 LayoutParams(
                     top=f[0], left=f[1], width=f[2], height=f[3],

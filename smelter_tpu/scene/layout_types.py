@@ -85,6 +85,12 @@ class Mask:
     left: float
     width: float
     height: float
+    # accumulated ancestor rotation: a clip mask introduced by a rotated
+    # parent rotates WITH that parent (the reference renders children into
+    # the parent's texture, so parent clips are inherently in the rotated
+    # frame). Composed the same way layout rotations are — angles add on
+    # hoist, the rect rotates about its own centre at render time.
+    rotation_degrees: float = 0.0
 
 
 # --- layout content ---------------------------------------------------------
@@ -202,7 +208,15 @@ class NestedLayout:
             self._box_shadow_layout(s, parent_masks) for s in self.box_shadow
         ]
         if self.mask is not None:
-            parent_masks = parent_masks + (self.mask,)
+            # the own mask belongs to (and rotates with) this layout: stamp
+            # this layout's rotation so the descent(-R)/hoist(+R) round trip
+            # through the frame transforms nets to +R in the canvas frame,
+            # while ancestor masks net to their own original rotation
+            parent_masks = parent_masks + (replace(
+                self.mask,
+                rotation_degrees=self.mask.rotation_degrees
+                + self.rotation_degrees,
+            ),)
         parent_masks = self._child_parent_masks(parent_masks)
 
         children_shadows: List[RenderLayout] = []
@@ -335,6 +349,7 @@ class NestedLayout:
                 left=(m.left - self.left) / self.scale_x,
                 width=m.width / self.scale_x,
                 height=m.height / self.scale_y,
+                rotation_degrees=m.rotation_degrees - self.rotation_degrees,
             )
             for m in masks
         )
@@ -349,6 +364,7 @@ class NestedLayout:
                 left=m.left * self.scale_x + self.left,
                 width=m.width * self.scale_x,
                 height=m.height * self.scale_y,
+                rotation_degrees=m.rotation_degrees + self.rotation_degrees,
             )
             for m in masks
         )

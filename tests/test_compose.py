@@ -228,3 +228,25 @@ def test_aligned_unions_bit_exact():
     finally:
         C._align_union = orig
     assert np.array_equal(aligned, unaligned)
+
+
+def test_rotated_parent_mask_follows_rotation():
+    """A clip mask introduced by a rotated parent rotates WITH it
+    (reference: children render into the parent's texture, so parent clips
+    live in the rotated frame). A 90deg-rotated wide mask over a full-canvas
+    color layer must pass the VERTICALLY elongated region."""
+    # mask rect: 40 wide x 8 tall centered at (32, 32), rotated 90deg
+    mask_row = np.zeros((1, 9), np.float32)
+    mask_row[0, 4:8] = (28.0, 12.0, 40.0, 8.0)  # top, left, w, h
+    mask_row[0, 8] = np.pi / 2.0
+    st = [LayoutStatic(content="color", n_masks=1, rotated_masks=(True,))]
+    p = [_params(top=0, left=0, width=64, height=64, color=(1, 0, 0, 1),
+                 masks=mask_row)]
+    out = np.asarray(compose_layouts((64, 64), st, p, []))
+    assert out[32 + 15, 32, 3] > 0.9   # inside the rotated (tall) mask
+    assert out[32, 32 + 15, 3] < 0.1   # inside the UNROTATED rect: clipped
+    # same mask, not flagged rotated: horizontal region passes
+    st2 = [LayoutStatic(content="color", n_masks=1, rotated_masks=(False,))]
+    out2 = np.asarray(compose_layouts((64, 64), st2, p, []))
+    assert out2[32, 32 + 15, 3] > 0.9
+    assert out2[32 + 15, 32, 3] < 0.1
