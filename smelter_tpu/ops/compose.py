@@ -656,6 +656,113 @@ def _align_union(reg, h: int, w: int):
     return y0, x0, y1 - y0, x1 - x0
 
 
+def _assembly_mode() -> str:
+    import os
+
+    return os.environ.get("SMELTER_SCENE_ASSEMBLY", "auto")
+
+
+def _try_scene_assembly(items, i: int, j: int, sources, h: int, w: int, clip):
+    """Route a canvas-opening run of region-local layouts (run index 0, no
+    background) through the single-pass Pallas SDF assembly kernel
+    (ops/pallas/scene_assembly.py): ALL the run's color/box-shadow members
+    are painted by one kernel pass that CREATES the canvas (each block
+    written exactly once, members culled per block), and the texture members
+    are returned for the regular aligned-union group path to blend on top.
+
+    The split pulls SDF members FORWARD past earlier group-routed members,
+    which is exact only when their footprints are disjoint (premultiplied
+    OVER commutes for disjoint supports, and a zero layer is the blend
+    identity): each SDF member joins the kernel only if its clipped
+    footprint intersects no earlier group-routed member's footprint —
+    otherwise it stays in the group run at its original position. Returns
+    (canvas, group_items) or None when nothing routes to the kernel (the
+    XLA group path remains the fallback and the off-TPU reference
+    implementation)."""
+    mode = _assembly_mode()
+    if mode == "off":
+        return None
+    if mode != "on":
+        from smelter_tpu.ops.pallas.scene_assembly import _on_tpu
+
+        if not _on_tpu():
+            return None
+    from smelter_tpu.ops.pallas import scene_assembly as sa
+
+    BH, BW = sa.block_shape()
+    specs, plist, group_items = [], [], []
+    group_regions: list = []  # clipped footprints routed to the group path
+    max_masks = 0
+
+    def _intersects(a, b):
+        return (a[0] < b[0] + b[2] and b[0] < a[0] + a[2]
+                and a[1] < b[1] + b[3] and b[1] < a[1] + a[3])
+
+    for k in range(i, j):
+        st, p = items[k]
+        reg = clip(_layer_region(st))
+        if reg is None:  # fully off-canvas: contributes nothing
+            continue
+        if st.content in ("color", "box_shadow") and not any(
+            _intersects(reg, gr) for gr in group_regions
+        ):
+            y0, x0, rh, rw = reg
+            specs.append(sa.MemberSpec(
+                st.content, st.has_border, st.has_rotation,
+                st.n_masks, st.rotated_masks,
+                (y0 // BH, -(-(y0 + rh) // BH),
+                 x0 // BW, -(-(x0 + rw) // BW)),
+            ))
+            plist.append(p)
+            max_masks = max(max_masks, st.n_masks)
+        else:
+            group_items.append((st, p))
+            group_regions.append(reg)
+    if not specs:
+        return None
+    params = sa.pack_member_params(plist, max_masks)
+    return sa.assemble_scene_planar((w, h), specs, params), group_items
+
+
+def _assemble_local_run(canvas, run_items, sources, h: int, w: int, clip):
+    """Blend a run of region-local layouts onto the canvas: coalesce into
+    union groups by the traffic model ((k+3)*|union| <= 3*sum(|r_i|) —
+    the union read+write plus extra per-member shading area must beat the
+    per-layout region reads+writes), align the unions to TPU tiling, and
+    assemble one aligned slice update per group."""
+    groups = []  # (members, union, paint_idx)
+    cur = None  # (members, (uy,ux,uh,uw), area_sum, idx)
+    for k, (st2, p2) in enumerate(run_items):
+        r2 = clip(_layer_region(st2))
+        if r2 is None:  # fully off-canvas: contributes nothing
+            continue
+        if cur is not None:
+            members, (uy, ux, uh, uw), area_sum, idx = cur
+            ny0 = min(uy, r2[0])
+            nx0 = min(ux, r2[1])
+            ny1 = max(uy + uh, r2[0] + r2[2])
+            nx1 = max(ux + uw, r2[1] + r2[3])
+            n_area = (ny1 - ny0) * (nx1 - nx0)
+            if (len(members) + 3) * n_area <= 3 * (area_sum + r2[2] * r2[3]):
+                members.append((st2, p2))
+                cur = (
+                    members,
+                    (ny0, nx0, ny1 - ny0, nx1 - nx0),
+                    area_sum + r2[2] * r2[3],
+                    idx,
+                )
+                continue
+            groups.append((members, (uy, ux, uh, uw), idx))
+        cur = ([(st2, p2)], r2, r2[2] * r2[3], k)
+    if cur is not None:
+        groups.append((cur[0], cur[1], cur[3]))
+    groups = [
+        (members, _align_union(union, h, w), idx)
+        for members, union, idx in groups
+    ]
+    return _assemble_groups(canvas, groups, sources, h, w)
+
+
 def _assemble_groups(canvas, groups, sources, h: int, w: int):
     """Assemble a run of coalesced groups onto the canvas in paint order:
     one full-canvas slice update per group.
@@ -766,49 +873,24 @@ def _compose_layouts_impl(
             i += 1
             continue
         if _local(st):
-            # gather the whole consecutive run of region-local layouts,
-            # coalesced into groups by the traffic model, then assemble all
-            # groups at once (band/cell concatenation when their footprints
-            # are disjoint — one canvas write instead of one DUS per group)
-            groups = []  # (members, union, paint_idx)
-            cur = None  # (members, (uy,ux,uh,uw), area_sum, idx)
-            j = i
-            while j < len(items) and _local(items[j][0]):
-                st2, p2 = items[j]
-                r2 = _clip(_layer_region(st2))
-                if r2 is None:  # fully off-canvas: contributes nothing
-                    j += 1
-                    continue
-                if cur is not None:
-                    members, (uy, ux, uh, uw), area_sum, idx = cur
-                    ny0 = min(uy, r2[0])
-                    nx0 = min(ux, r2[1])
-                    ny1 = max(uy + uh, r2[0] + r2[2])
-                    nx1 = max(ux + uw, r2[1] + r2[3])
-                    n_area = (ny1 - ny0) * (nx1 - nx0)
-                    if (len(members) + 3) * n_area <= 3 * (
-                        area_sum + r2[2] * r2[3]
-                    ):
-                        members.append((st2, p2))
-                        cur = (
-                            members,
-                            (ny0, nx0, ny1 - ny0, nx1 - nx0),
-                            area_sum + r2[2] * r2[3],
-                            idx,
-                        )
-                        j += 1
-                        continue
-                    groups.append((members, (uy, ux, uh, uw), idx))
-                cur = ([(st2, p2)], r2, r2[2] * r2[3], j)
-                j += 1
-            if cur is not None:
-                groups.append((cur[0], cur[1], cur[3]))
-            groups = [
-                (members, _align_union(union, h, w), idx)
-                for members, union, idx in groups
-            ]
-            canvas = _assemble_groups(canvas, groups, sources, h, w)
-            i = j
+            run_end = i
+            while run_end < len(items) and _local(items[run_end][0]):
+                run_end += 1
+            run_items = items[i:run_end]
+            if i == 0 and background is None:
+                # canvas-opening run: paint the SDF members (background,
+                # color backdrops, shadows) via the single-pass Pallas
+                # assembly kernel — the canvas is created with one write per
+                # block — then blend the textures through the group path
+                assembled = _try_scene_assembly(
+                    items, i, run_end, sources, h, w, _clip
+                )
+                if assembled is not None:
+                    canvas, run_items = assembled
+            canvas = _assemble_local_run(
+                canvas, run_items, sources, h, w, _clip
+            )
+            i = run_end
             continue
         if (
             st.static_rect is not None
