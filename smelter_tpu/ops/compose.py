@@ -707,11 +707,24 @@ def _try_scene_assembly(items, i: int, j: int, sources, h: int, w: int, clip):
             _intersects(reg, gr) for gr in group_regions
         ):
             y0, x0, rh, rw = reg
+            fill = None
+            if (st.content == "color" and st.no_radius
+                    and not st.has_border and not st.has_rotation
+                    and st.n_masks == 0):
+                # blocks fully in the flat interior (clipped rect shrunk by
+                # 2 px: 1 px covers the SDF smoothstep half-width, 1 more
+                # the planner's integer hull of the traced rect) skip the
+                # SDF math entirely
+                fy0, fy1 = -(-(y0 + 2) // BH), (y0 + rh - 2) // BH
+                fx0, fx1 = -(-(x0 + 2) // BW), (x0 + rw - 2) // BW
+                if fy0 < fy1 and fx0 < fx1:
+                    fill = (fy0, fy1, fx0, fx1)
             specs.append(sa.MemberSpec(
                 st.content, st.has_border, st.has_rotation,
                 st.n_masks, st.rotated_masks,
                 (y0 // BH, -(-(y0 + rh) // BH),
                  x0 // BW, -(-(x0 + rw) // BW)),
+                fill_blocks=fill,
             ))
             plist.append(p)
             max_masks = max(max_masks, st.n_masks)

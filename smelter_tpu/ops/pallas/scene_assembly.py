@@ -93,23 +93,31 @@ def _sdf(dx, dy, half_w, half_h, r_tl, r_tr, r_br, r_bl):
 class MemberSpec:
     """Static description of one SDF member (hashable; baked into the
     kernel). blocks = (by0, by1, bx0, bx1): half-open block-index ranges the
-    member's clipped footprint intersects on the (BH, BW) canvas grid."""
+    member's clipped footprint intersects on the (BH, BW) canvas grid.
+    fill_blocks: optional sub-range of blocks that lie entirely in the
+    member's interior where the layer is exactly its flat premultiplied
+    color — radius-free, border-free, mask-free, unrotated color members
+    only (alpha = smoothstep(-0.5, 0.5, depth) = 1 at depth >= 1). Those
+    blocks skip the whole SDF/sqrt/smoothstep chain (the full-canvas
+    background alone is ~33 M sqrt+div per 4K frame)."""
 
     __slots__ = ("kind", "has_border", "has_rotation", "n_masks",
-                 "rotated_masks", "blocks")
+                 "rotated_masks", "blocks", "fill_blocks")
 
     def __init__(self, kind, has_border, has_rotation, n_masks,
-                 rotated_masks, blocks):
+                 rotated_masks, blocks, fill_blocks=None):
         self.kind = kind
         self.has_border = bool(has_border)
         self.has_rotation = bool(has_rotation)
         self.n_masks = int(n_masks)
         self.rotated_masks = tuple(rotated_masks)
         self.blocks = tuple(int(b) for b in blocks)
+        self.fill_blocks = (None if fill_blocks is None
+                            else tuple(int(b) for b in fill_blocks))
 
     def key(self):
         return (self.kind, self.has_border, self.has_rotation, self.n_masks,
-                self.rotated_masks, self.blocks)
+                self.rotated_masks, self.blocks, self.fill_blocks)
 
 
 def _mask_alpha_rows(p, px, py, n_masks, rotated_masks, base):
@@ -199,6 +207,21 @@ def _kernel_body(specs, params_ref, out_ref, acc_ref):
     for li, spec in enumerate(specs):
         by0, by1, bx0, bx1 = spec.blocks
         hit = (bi >= by0) & (bi < by1) & (bj >= bx0) & (bj < bx1)
+
+        if spec.fill_blocks is not None:
+            fy0, fy1, fx0, fx1 = spec.fill_blocks
+            fill = (bi >= fy0) & (bi < fy1) & (bj >= fx0) & (bj < fx1)
+
+            @pl.when(fill)
+            def _(li=li):
+                # interior: layer == flat premultiplied color everywhere
+                p = [params_ref[li, c] for c in (9, 10, 11, 12)]
+                col = (p[0] * p[3], p[1] * p[3], p[2] * p[3], p[3])
+                one_minus_a = 1.0 - col[3]
+                for c in range(4):
+                    acc_ref[c] = col[c] + acc_ref[c] * one_minus_a
+
+            hit = hit & jnp.logical_not(fill)
 
         @pl.when(hit)
         def _(li=li, spec=spec):
