@@ -16,6 +16,32 @@ from typing import Optional
 from smelter_tpu.core.types import Framerate
 
 
+import contextlib
+import threading
+
+_XLA_ONLY = threading.local()
+
+
+@contextlib.contextmanager
+def force_xla_kernels():
+    """Disable the Pallas kernel routes (scene assembly, fused YUV output)
+    for any compose/convert call traced inside this context. Used by the
+    GSPMD-sharded multichip builders (parallel/flagship.py): a pallas_call
+    carries no GSPMD partitioning rule, so sharded traces must stay on the
+    pure-XLA paths (which partition cleanly and are the parity-pinned
+    reference implementation). Thread-local and re-entrant."""
+    prev = getattr(_XLA_ONLY, "on", False)
+    _XLA_ONLY.on = True
+    try:
+        yield
+    finally:
+        _XLA_ONLY.on = prev
+
+
+def xla_kernels_forced() -> bool:
+    return bool(getattr(_XLA_ONLY, "on", False))
+
+
 def _env_bool(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     if v is None:

@@ -336,6 +336,10 @@ def rgba_to_planar_yuv444(rgba: jnp.ndarray, full_range: bool = False):
 def _fused_yuv_mode() -> str:
     import os
 
+    from smelter_tpu.config import xla_kernels_forced
+
+    if xla_kernels_forced():  # GSPMD-sharded trace: no pallas routes
+        return "off"
     return os.environ.get("SMELTER_FUSED_YUV", "auto")
 
 

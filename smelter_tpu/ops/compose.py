@@ -659,6 +659,10 @@ def _align_union(reg, h: int, w: int):
 def _assembly_mode() -> str:
     import os
 
+    from smelter_tpu.config import xla_kernels_forced
+
+    if xla_kernels_forced():  # GSPMD-sharded trace: no pallas routes
+        return "off"
     return os.environ.get("SMELTER_SCENE_ASSEMBLY", "auto")
 
 

@@ -467,7 +467,20 @@ def make_multichip_general_step(
         background_color=RGBAColor(12, 24, 48, 255), children=children
     )
     flat = _scene_layouts(scene, n_inputs, in_res, out_res)
-    fn, example_args = _make_general_compose(flat, n_inputs, in_res, out_res)
+    base_fn, example_args = _make_general_compose(
+        flat, n_inputs, in_res, out_res
+    )
+
+    def fn(y, u, v):
+        # GSPMD-sharded trace: a pallas_call has no partitioning rule, so
+        # the compose/output must stay on the pure-XLA paths (which GSPMD
+        # splits cleanly; single-chip parity is unchanged because the CPU
+        # reference oracle uses the same XLA paths)
+        from smelter_tpu.config import force_xla_kernels
+
+        with force_xla_kernels():
+            return base_fn(y, u, v)
+
     in_spec = jax.sharding.NamedSharding(mesh, P("streams", None, None))
     out_spec = jax.sharding.NamedSharding(mesh, P("space", None))
     jitted = jax.jit(

@@ -153,6 +153,27 @@ def test_interleaved_canvas_matches():
     np.testing.assert_array_equal(a, b)
 
 
+def test_force_xla_kernels_overrides_env():
+    """GSPMD-sharded traces (parallel/flagship.py multichip builders) force
+    the pure-XLA paths even when the env switches request the kernels — a
+    pallas_call has no GSPMD partitioning rule."""
+    from smelter_tpu.config import force_xla_kernels
+    from smelter_tpu.ops.color_convert import _fused_yuv_mode
+    from smelter_tpu.ops.compose import _assembly_mode
+
+    os.environ["SMELTER_SCENE_ASSEMBLY"] = "on"
+    os.environ["SMELTER_FUSED_YUV"] = "on"
+    try:
+        with force_xla_kernels():
+            assert _assembly_mode() == "off"
+            assert _fused_yuv_mode() == "off"
+        assert _assembly_mode() == "on"
+        assert _fused_yuv_mode() == "on"
+    finally:
+        os.environ.pop("SMELTER_SCENE_ASSEMBLY", None)
+        os.environ.pop("SMELTER_FUSED_YUV", None)
+
+
 def test_off_canvas_member_skipped():
     """A fully off-canvas member contributes nothing on either path."""
     h, w = 64, 128
