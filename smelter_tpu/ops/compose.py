@@ -737,6 +737,11 @@ def _try_scene_assembly(items, i: int, j: int, sources, h: int, w: int, clip):
             group_regions.append(reg)
     if not specs:
         return None
+    # params rows live in kernel SMEM (scalar memory, small): bound the
+    # table so pathological scenes (hundreds of members / deep mask
+    # stacks) fall back to the XLA group path instead of overflowing
+    if len(specs) * (sa.PARAMS_BASE + sa.MASK_W * max_masks) * 4 > 16384:
+        return None
     params = sa.pack_member_params(plist, max_masks)
     return sa.assemble_scene_planar((w, h), specs, params), group_items
 

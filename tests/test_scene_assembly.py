@@ -153,6 +153,55 @@ def test_interleaved_canvas_matches():
     np.testing.assert_array_equal(a, b)
 
 
+def test_two_masks_one_rotated_bit_exact():
+    """A member clipped by two parent masks, one rotating with a rotated
+    ancestor, renders identically through the kernel."""
+    h, w = 160, 384
+    statics = [
+        LayoutStatic(content="color", static_rect=(0, 0, h, w)),
+        LayoutStatic(content="color", static_rect=(20, 40, 100, 200),
+                     n_masks=2, rotated_masks=(False, True)),
+    ]
+    params = [
+        _params(top=0, left=0, width=w, height=h, color=(0.3, 0.3, 0.3, 1.0)),
+        _params(top=20, left=40, width=200, height=100,
+                radius=(10, 10, 10, 10), color=(0.9, 0.4, 0.1, 0.95),
+                masks=[[8, 8, 8, 8, 25, 45, 180, 80, 0.0],
+                       [12, 12, 12, 12, 30, 60, 150, 70, 0.4]]),
+    ]
+    a, b = _compose_both((w, h), statics, params, [])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_huge_member_count_falls_back():
+    """Hundreds of members would overflow the kernel's SMEM param table —
+    the router must return None (XLA group path) instead."""
+    from smelter_tpu.ops.compose import _try_scene_assembly
+
+    h, w = 256, 512
+    items = []
+    for i in range(300):
+        st = LayoutStatic(content="color",
+                          static_rect=(8 * (i % 20), 16 * (i % 30), 16, 24))
+        p = _params(top=8 * (i % 20), left=16 * (i % 30), width=24, height=16,
+                    color=(0.5, 0.5, 0.5, 0.5))
+        items.append((st, p))
+
+    def clip(reg):
+        top, left, hh, ww = reg
+        y0, y1 = max(top, 0), min(top + hh, h)
+        x0, x1 = max(left, 0), min(left + ww, w)
+        if y0 >= y1 or x0 >= x1:
+            return None
+        return y0, x0, y1 - y0, x1 - x0
+
+    os.environ["SMELTER_SCENE_ASSEMBLY"] = "on"
+    try:
+        assert _try_scene_assembly(items, 0, len(items), [], h, w, clip) is None
+    finally:
+        os.environ.pop("SMELTER_SCENE_ASSEMBLY", None)
+
+
 def test_force_xla_kernels_overrides_env():
     """GSPMD-sharded traces (parallel/flagship.py multichip builders) force
     the pure-XLA paths even when the env switches request the kernels — a
