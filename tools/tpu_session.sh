@@ -40,4 +40,7 @@ step bash -c 'python tools/bench_flagship_ops.py | tee "$OUT/flagship_ops.txt"'
 echo "=== 5. animated-transition device times $(date +%H:%M:%S)"
 step bash -c 'python tools/bench_animations.py | tee "$OUT/animations.txt"'
 
+echo "=== 6. assembly/YUV kernel A/B + parity gate $(date +%H:%M:%S)"
+step bash -c 'python tools/bench_assembly_ab.py | tee "$OUT/assembly_ab.json"'
+
 echo "=== done $(date +%H:%M:%S) — results in $OUT"
