@@ -209,6 +209,51 @@ def test_border_radius_large_border_clip():
     )
 
 
+def test_border_radius_degenerate_clamp():
+    """radius=500 on a 100x100 box: the radius clamps to half the BORDERED
+    rect (reference with_border grows the rect by 2x border_width, then
+    clip_to_size caps each corner — view.rs:border_radius_clipping)."""
+    _render(
+        comp.View(
+            background_color=RGBAColor(255, 255, 0, 255),
+            children=[
+                comp.View(
+                    position=AbsolutePosition(
+                        width=100.0, height=50.0, top=25.0, left=25.0
+                    ),
+                    background_color=RED,
+                    border_radius=BorderRadius(500.0, 500.0, 500.0, 500.0),
+                )
+            ],
+        ),
+        "view_radius_degenerate_clamp",
+    )
+
+
+def test_border_radius_degenerate_clamp_large_border():
+    """radius=500 AND border_width=100 on a 100x100 box: the border eats
+    the whole interior; the drawn rect is the grown 300x300 box (reference
+    view.rs:border_radius_clipping_large_border_width semantics —
+    position.rs:with_border + types.rs:clip_to_size)."""
+    _render(
+        comp.View(
+            background_color=RGBAColor(255, 255, 0, 255),
+            children=[
+                comp.View(
+                    position=AbsolutePosition(
+                        width=100.0, height=100.0, top=25.0, left=25.0
+                    ),
+                    background_color=RED,
+                    border_radius=BorderRadius(500.0, 500.0, 500.0, 500.0),
+                    border_width=100.0,
+                    border_color=BLUE,
+                )
+            ],
+        ),
+        "view_radius_degenerate_clamp_large_border",
+    )
+
+
 # -------------------------------------------------- rescaler small slot
 
 
