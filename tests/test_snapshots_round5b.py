@@ -279,6 +279,57 @@ def test_rescaler_fit_small_resolution():
     )
 
 
+# --------------------------------------------- shader struct/list params
+
+
+def test_shader_circle_layout_params():
+    """User shader laying out its input textures on a circle driven by a
+    nested struct/list param (shader.rs reference test
+    user_params_circle_layout: params select per-texture placement)."""
+    r = Renderer()
+    try:
+        for i in range(4):
+            r.register_input(f"input_{i}")
+        r.register_shader(
+            "circle_layout",
+            "def main(inputs, params, resolution, time):\n"
+            "    w, h = resolution[0], resolution[1]\n"
+            "    canvas = jnp.zeros((h, w, 4), jnp.float32)\n"
+            "    cx, cy = params['center']['x'], params['center']['y']\n"
+            "    radius = params['radius']\n"
+            "    for i, ang in enumerate(params['angles_deg']):\n"
+            "        tile = inputs[i][::2, ::2]\n"
+            "        th, tw = tile.shape[0], tile.shape[1]\n"
+            "        a = ang * math.pi / 180.0\n"
+            "        x = jnp.round(cx + radius * jnp.cos(a) - tw / 2)\n"
+            "        y = jnp.round(cy + radius * jnp.sin(a) - th / 2)\n"
+            "        canvas = lax.dynamic_update_slice(\n"
+            "            canvas, tile,\n"
+            "            (y.astype(jnp.int32), x.astype(jnp.int32),\n"
+            "             jnp.zeros((), jnp.int32)))\n"
+            "    return canvas\n",
+        )
+        root = comp.Shader(
+            shader_id="circle_layout",
+            children=_inputs(4),
+            shader_param={
+                "center": {"x": 160.0, "y": 90.0},
+                "radius": 55.0,
+                "angles_deg": [0.0, 90.0, 180.0, 270.0],
+            },
+            width=float(RES.width),
+            height=float(RES.height),
+        )
+        r.update_scene("out", root, RES, PixelFormat.RGBA)
+        frames = {
+            f"input_{i}": make_test_input(i, IN_RES) for i in range(4)
+        }
+        out = r.render(FrameSet(pts=0.0, frames=frames)).frames["out"]
+        assert_snapshot("shader_circle_layout", out)
+    finally:
+        r.close()
+
+
 # ------------------------------------------------ composite video call
 
 
