@@ -333,6 +333,33 @@ def rgba_to_planar_yuv444(rgba: jnp.ndarray, full_range: bool = False):
 # ---------------------------------------------------------------------------
 
 
+CANVAS_FIXED_SCALE = 8192.0
+CANVAS_FIXED_OFFSET = 16384.0
+
+
+def canvas_decode(x: jnp.ndarray) -> jnp.ndarray:
+    """Canvas storage -> f32 premultiplied values.
+
+    uint16 canvases are fixed-point with HEADROOM — value*8192 + 16384,
+    i.e. the representable range is [-2, 6): the TPU production storage
+    for root planar canvases (compose._canvas_dtype), half the HBM
+    traffic of f32 at 1/8192 quantization (~0.03 u8 LSB per store, far
+    inside the 1-LSB snapshot tolerance). The headroom matters: Lanczos3
+    tile resizes ring past [0, 1] (measured [-0.31, 1.29] on noise) and
+    blends of ringing layers compound — the f32 path keeps all of that
+    until the final YUV clip, so a [0, 1]-clipping store format diverges
+    by tens of LSBs on sharp edges and a [-0.5, 1.5) one still by a few
+    (both measured). 16-bit FLOAT storage is not shippable either: bf16
+    measurably breaks the 1-LSB tolerance and Mosaic has no f16 — see
+    tools/bench_canvas_ab.py. Float canvases pass through (bf16
+    upcasts)."""
+    if x.dtype == jnp.uint16:
+        return (x.astype(jnp.float32) - CANVAS_FIXED_OFFSET) * (
+            1.0 / CANVAS_FIXED_SCALE
+        )
+    return x.astype(jnp.float32)
+
+
 def _fused_yuv_mode() -> str:
     import os
 
@@ -357,6 +384,7 @@ def planar_rgba_to_yuv420(rgba_cm: jnp.ndarray, full_range: bool = False):
 
         if yuv_out.eligible(rgba_cm) and (mode == "on" or yuv_out._on_tpu()):
             return yuv_out.rgba_cm_to_yuv420_fused(rgba_cm, full_range)
+    rgba_cm = canvas_decode(rgba_cm)  # u16/bf16 canvases: matrix in f32
     y, u, v = rgb_planes_to_yuv(rgba_cm[0], rgba_cm[1], rgba_cm[2], full_range)
     return (
         f32_to_u8(y),
@@ -366,6 +394,7 @@ def planar_rgba_to_yuv420(rgba_cm: jnp.ndarray, full_range: bool = False):
 
 
 def planar_rgba_to_yuv422(rgba_cm: jnp.ndarray, full_range: bool = False):
+    rgba_cm = canvas_decode(rgba_cm)
     y, u, v = rgb_planes_to_yuv(rgba_cm[0], rgba_cm[1], rgba_cm[2], full_range)
     return (
         f32_to_u8(y),
@@ -375,6 +404,7 @@ def planar_rgba_to_yuv422(rgba_cm: jnp.ndarray, full_range: bool = False):
 
 
 def planar_rgba_to_yuv444(rgba_cm: jnp.ndarray, full_range: bool = False):
+    rgba_cm = canvas_decode(rgba_cm)
     y, u, v = rgb_planes_to_yuv(rgba_cm[0], rgba_cm[1], rgba_cm[2], full_range)
     return (f32_to_u8(y), f32_to_u8(u), f32_to_u8(v))
 

@@ -35,6 +35,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from smelter_tpu.ops.color_convert import canvas_decode
 from smelter_tpu.ops.resample import sample_bilinear, sample_bilinear_mip
 
 MAX_MASKS_COUNT = 20
@@ -416,8 +417,10 @@ def _blend_region(canvas, layer, otop: int, oleft: int) -> jnp.ndarray:
     if y0 >= y1 or x0 >= x1:
         return canvas
     vis = layer[:, y0 - otop : y1 - otop, x0 - oleft : x1 - oleft]
-    region = canvas[:, y0:y1, x0:x1]
-    return canvas.at[:, y0:y1, x0:x1].set(_over(vis, region))
+    region = canvas_decode(canvas[:, y0:y1, x0:x1])
+    return canvas.at[:, y0:y1, x0:x1].set(
+        _canvas_encode(_over(vis, region), canvas.dtype)
+    )
 
 
 def _render_rotated_rect_layout_traced(
@@ -512,16 +515,20 @@ def _place_tile_traced(canvas, tile, top, left) -> jnp.ndarray:
         layer = jnp.zeros((4, H + 2 * h, W + 2 * w), jnp.float32)
         layer = lax.dynamic_update_slice(layer, tile, (jnp.int32(0), ty + h, tx + w))
         layer = layer[:, h : h + H, w : w + W]
-        return _over(layer, canvas)
+        return _canvas_encode(_over(layer, canvas_decode(canvas)), canvas.dtype)
     sy = jnp.clip(ty, 0, max(H - h, 0))
     sx = jnp.clip(tx, 0, max(W - w, 0))
     padded_tile = jnp.pad(tile, [(0, 0), (h, h), (w, w)])
     shifted = lax.dynamic_slice(
         padded_tile, (jnp.int32(0), h - (ty - sy), w - (tx - sx)), (4, h, w)
     )
-    region = lax.dynamic_slice(canvas, (jnp.int32(0), sy, sx), (4, h, w))
+    region = canvas_decode(
+        lax.dynamic_slice(canvas, (jnp.int32(0), sy, sx), (4, h, w))
+    )
     return lax.dynamic_update_slice(
-        canvas, _over(shifted, region), (jnp.int32(0), sy, sx)
+        canvas,
+        _canvas_encode(_over(shifted, region), canvas.dtype),
+        (jnp.int32(0), sy, sx),
     )
 
 
@@ -631,27 +638,30 @@ def _blend_group(canvas, members, union, sources, h: int, w: int):
     elementwise chain, one slice write (none at all when the union covers
     the full canvas)."""
     uy, ux, uh, uw = union
-    acc = canvas[:, uy : uy + uh, ux : ux + uw]
+    # the region decodes to f32, the whole chain blends in f32, and only
+    # the stored value quantizes back to the canvas storage dtype
+    acc = canvas_decode(canvas[:, uy : uy + uh, ux : ux + uw])
     for st, p in members:
         acc = _over(_region_layer(st, p, sources, uy, ux, uh, uw), acc)
+    acc = _canvas_encode(acc, canvas.dtype)
     if (uh, uw) == (h, w):
         return acc
     return canvas.at[:, uy : uy + uh, ux : ux + uw].set(acc)
 
 
-def _align_union(reg, h: int, w: int):
-    """Expand a group's union to TPU tiling boundaries — (8, 128)
-    sublane x lane for f32 — so the group's canvas slice read and
-    dynamic-update-slice write are tile-aligned (a misaligned DUS pays a
+def _align_union(reg, h: int, w: int, sublane: int = 8):
+    """Expand a group's union to TPU tiling boundaries — sublane x lane =
+    (8, 128) for f32, (16, 128) for bf16 — so the group's canvas slice read
+    and dynamic-update-slice write are tile-aligned (a misaligned DUS pays a
     read-modify-write on every boundary tile; device A/B in
     bench_artifacts/align_ab_r05.json). Exact: member contributions are
     evaluated over the whole (expanded) union and are exactly zero outside
     their footprint (see _region_layer), and OVER with a zero layer is the
     identity."""
     uy, ux, uh, uw = reg
-    y0 = (uy // 8) * 8
+    y0 = (uy // sublane) * sublane
     x0 = (ux // 128) * 128
-    y1 = min(h, -(-(uy + uh) // 8) * 8)
+    y1 = min(h, -(-(uy + uh) // sublane) * sublane)
     x1 = min(w, -(-(ux + uw) // 128) * 128)
     return y0, x0, y1 - y0, x1 - x0
 
@@ -666,7 +676,73 @@ def _assembly_mode() -> str:
     return os.environ.get("SMELTER_SCENE_ASSEMBLY", "auto")
 
 
-def _try_scene_assembly(items, i: int, j: int, sources, h: int, w: int, clip):
+def _canvas_dtype(planar: bool):
+    """Storage dtype of the root planar canvas (SMELTER_CANVAS_DTYPE:
+    auto|float32|uint16|bfloat16|float16, auto = uint16 on TPU only).
+
+    A 16-bit canvas halves the canvas HBM traffic — on the 16-input 4K
+    general scene that is the dominant remaining cost (the 132 MB f32
+    canvas is written by the assembly kernel, read+written by every
+    texture group chain and re-read by the YUV output). Every BLEND stays
+    f32: canvas reads decode to f32 (color_convert.canvas_decode), layers
+    are f32, and only the stored value quantizes (_canvas_encode).
+
+    Why FIXED-POINT u16 (value*8192 + 16384, headroom [-2, 6) for
+    Lanczos ringing — an unclamped [0,1]*65535 encoding clips ringing
+    that f32 keeps until the final YUV clip, up to 38 u8 LSB off) and
+    not a 16-bit float: canvas values are premultiplied ~[0, 1], so u16
+    quantization is a uniform 1/8192 ~= 0.03 u8 LSB per store —
+    invisible next to the 1-LSB snapshot tolerance even through the
+    worst case (assembly write + one group blend + 2x2 chroma pooling).
+    bf16 (2^-9 spacing at the range
+    top, ~0.5 LSB/store) measurably BREAKS that tolerance — the device
+    A/B caught 2-LSB chroma deviations on blend-edge pixels where both
+    quantized stores feed the chroma pool — and f16 (which would fit) has
+    no Mosaic lowering on this libtpu ("Unsupported type in mosaic
+    dialect: 'f16'"). Device A/B + parity gate: tools/bench_canvas_ab.py,
+    bench_artifacts/canvas_ab_r05.json. CPU keeps f32 (the parity-pinned
+    reference); GSPMD-sharded traces force f32 with the XLA kernel paths
+    so multi-chip stays bit-exact vs single-chip."""
+    if not planar:
+        return jnp.float32
+    import os
+
+    from smelter_tpu.config import xla_kernels_forced
+
+    if xla_kernels_forced():
+        return jnp.float32
+    mode = os.environ.get("SMELTER_CANVAS_DTYPE", "auto")
+    if mode in ("uint16", "u16"):
+        return jnp.uint16
+    if mode in ("float16", "f16"):
+        return jnp.float16
+    if mode in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if mode == "auto":
+        from smelter_tpu.ops.pallas.scene_assembly import _on_tpu
+
+        if _on_tpu():
+            return jnp.uint16
+    return jnp.float32
+
+
+def _canvas_encode(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """f32 premultiplied values -> canvas storage (see _canvas_dtype;
+    inverse of color_convert.canvas_decode). The u16 fixed-point format
+    keeps [-2, 6) headroom for Lanczos ringing."""
+    if dtype == jnp.uint16:
+        from smelter_tpu.ops.color_convert import (
+            CANVAS_FIXED_OFFSET,
+            CANVAS_FIXED_SCALE,
+        )
+
+        q = jnp.round(x * CANVAS_FIXED_SCALE + CANVAS_FIXED_OFFSET)
+        return jnp.clip(q, 0.0, 65535.0).astype(jnp.uint16)
+    return x.astype(dtype)
+
+
+def _try_scene_assembly(items, i: int, j: int, sources, h: int, w: int, clip,
+                        out_dtype=jnp.float32):
     """Route a canvas-opening run of region-local layouts (run index 0, no
     background) through the single-pass Pallas SDF assembly kernel
     (ops/pallas/scene_assembly.py): ALL the run's color/box-shadow members
@@ -743,7 +819,10 @@ def _try_scene_assembly(items, i: int, j: int, sources, h: int, w: int, clip):
     if len(specs) * (sa.PARAMS_BASE + sa.MASK_W * max_masks) * 4 > 16384:
         return None
     params = sa.pack_member_params(plist, max_masks)
-    return sa.assemble_scene_planar((w, h), specs, params), group_items
+    return (
+        sa.assemble_scene_planar((w, h), specs, params, out_dtype=out_dtype),
+        group_items,
+    )
 
 
 def _assemble_local_run(canvas, run_items, sources, h: int, w: int, clip):
@@ -778,8 +857,11 @@ def _assemble_local_run(canvas, run_items, sources, h: int, w: int, clip):
         cur = ([(st2, p2)], r2, r2[2] * r2[3], k)
     if cur is not None:
         groups.append((cur[0], cur[1], cur[3]))
+    sublane = (
+        16 if canvas.dtype in (jnp.uint16, jnp.bfloat16, jnp.float16) else 8
+    )
     groups = [
-        (members, _align_union(union, h, w), idx)
+        (members, _align_union(union, h, w, sublane), idx)
         for members, union, idx in groups
     ]
     return _assemble_groups(canvas, groups, sources, h, w)
@@ -840,11 +922,16 @@ def _compose_layouts_impl(
     (k+3)*|union| <= 3*sum(|r_i|), i.e. the union read+write plus the extra
     per-member shading area beats the per-layout region reads+writes."""
     w, h = resolution
-    canvas = (
-        jnp.moveaxis(background, -1, 0)
-        if background is not None
-        else jnp.zeros((4, h, w), jnp.float32)
-    )
+    dt = _canvas_dtype(planar)
+    if background is not None:
+        canvas = _canvas_encode(jnp.moveaxis(background, -1, 0), dt)
+    elif dt == jnp.uint16:
+        # transparent black encodes to the fixed-point zero level
+        from smelter_tpu.ops.color_convert import CANVAS_FIXED_OFFSET
+
+        canvas = jnp.full((4, h, w), jnp.uint16(CANVAS_FIXED_OFFSET))
+    else:
+        canvas = jnp.zeros((4, h, w), dt)
     px = py = None
     items = list(zip(statics, params))
 
@@ -905,7 +992,7 @@ def _compose_layouts_impl(
                 # assembly kernel — the canvas is created with one write per
                 # block — then blend the textures through the group path
                 assembled = _try_scene_assembly(
-                    items, i, run_end, sources, h, w, _clip
+                    items, i, run_end, sources, h, w, _clip, out_dtype=dt
                 )
                 if assembled is not None:
                     canvas, run_items = assembled
@@ -947,7 +1034,9 @@ def _compose_layouts_impl(
                 (s_.content, s_.has_border, s_.has_rotation) for s_, _ in run
             )
             rows = pack_layer_params_traced([p_ for _, p_ in run])
-            canvas = compose_sdf_layers_planar(canvas, rows, kinds)
+            # the sdf_layers kernel speaks f32; a 16-bit canvas decodes
+            # once here and stays f32 for the rest of the paint order
+            canvas = compose_sdf_layers_planar(canvas_decode(canvas), rows, kinds)
             i = j
             continue
         if px is None:
@@ -958,6 +1047,9 @@ def _compose_layouts_impl(
                 (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None], (h, w)
             )
         layer = render_single_layout(st, p, sources, px, py)
-        canvas = _over(layer, canvas)
+        # full-canvas sampled pass: decode once; the canvas stays f32 for
+        # the rest of the paint order (correct, just without the 16-bit
+        # traffic win — these layers are animating geometry anyway)
+        canvas = _over(layer, canvas_decode(canvas))
         i += 1
     return canvas if planar else jnp.moveaxis(canvas, 0, -1)

@@ -232,18 +232,35 @@ def _kernel_body(specs, params_ref, out_ref, acc_ref):
                 acc_ref[c] = acc[c]
 
     for c in range(4):
-        out_ref[c] = acc_ref[c]
+        # blends accumulate in the f32 scratch; only the single canvas
+        # store quantizes (16-bit canvases halve the write traffic).
+        # uint16 canvases are fixed-point with headroom for Lanczos
+        # ringing (color_convert.canvas_decode; two-step cast — Mosaic
+        # has no direct f32->u16 lowering)
+        if out_ref.dtype == jnp.uint16:
+            from smelter_tpu.ops.color_convert import (
+                CANVAS_FIXED_OFFSET,
+                CANVAS_FIXED_SCALE,
+            )
+
+            q = jnp.round(
+                acc_ref[c] * CANVAS_FIXED_SCALE + CANVAS_FIXED_OFFSET
+            )
+            q = jnp.clip(q, 0.0, 65535.0)
+            out_ref[c] = q.astype(jnp.int32).astype(jnp.uint16)
+        else:
+            out_ref[c] = acc_ref[c].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _assemble_call(h, w, spec_keys, interpret, params):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _assemble_call(h, w, spec_keys, interpret, out_dtype, params):
     specs = tuple(MemberSpec(*k) for k in spec_keys)
     grid = (pl.cdiv(h, _BH), pl.cdiv(w, _BW))
     kernel = functools.partial(_kernel_body, specs)
     n_params = params.shape[1]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.dtype(out_dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -265,14 +282,16 @@ def assemble_scene_planar(
     resolution: Tuple[int, int],  # (width, height)
     specs: Sequence[MemberSpec],
     params: jnp.ndarray,  # (L, PARAMS_BASE + 9*max_masks) f32, traced
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Create the (4, H, W) premultiplied f32 canvas for one run of static
-    SDF members in a single kernel pass. Interpret mode off-TPU (same
-    numerics); compose only routes here on TPU."""
+    """Create the (4, H, W) premultiplied canvas (f32 or bf16 storage;
+    blends always accumulate in f32) for one run of static SDF members in
+    a single kernel pass. Interpret mode off-TPU (same numerics); compose
+    only routes here on TPU."""
     w, h = resolution
     return _assemble_call(
         h, w, tuple(s.key() for s in specs), not _on_tpu(),
-        params.astype(jnp.float32)
+        jnp.dtype(out_dtype).name, params.astype(jnp.float32)
     )
 
 

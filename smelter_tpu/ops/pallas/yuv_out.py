@@ -81,9 +81,26 @@ def _pair_pool(full, bh, bw):
 
 def _kernel_body(full_range, in_ref, y_ref, u_ref, v_ref):
     # the input block is (3, bh, bw): alpha is never read (opaque video
-    # output), so the canvas's alpha plane never crosses HBM->VMEM
+    # output), so the canvas's alpha plane never crosses HBM->VMEM.
+    # 16-bit canvases decode in VMEM — the color matrix runs in f32
+    # either way; only the HBM->VMEM traffic shrinks. uint16 canvases
+    # are fixed-point with headroom (color_convert.canvas_decode; widen
+    # via i32 — Mosaic has no direct u16->f32 lowering).
     bh, bw = in_ref.shape[1], in_ref.shape[2]
-    r, g, b = in_ref[0], in_ref[1], in_ref[2]
+    if in_ref.dtype == jnp.uint16:
+        from smelter_tpu.ops.color_convert import (
+            CANVAS_FIXED_OFFSET,
+            CANVAS_FIXED_SCALE,
+        )
+
+        def _dec(plane):
+            v = plane.astype(jnp.int32).astype(jnp.float32)
+            return (v - CANVAS_FIXED_OFFSET) * (1.0 / CANVAS_FIXED_SCALE)
+        r, g, b = _dec(in_ref[0]), _dec(in_ref[1]), _dec(in_ref[2])
+    else:
+        r = in_ref[0].astype(jnp.float32)
+        g = in_ref[1].astype(jnp.float32)
+        b = in_ref[2].astype(jnp.float32)
     y = 0.2126 * r + 0.7152 * g + 0.0722 * b
     u = -0.1146 * r - 0.3854 * g + 0.5 * b + 0.5
     v = 0.5 * r - 0.4542 * g - 0.0458 * b + 0.5
@@ -139,8 +156,9 @@ def eligible(rgba_cm: jnp.ndarray) -> bool:
 def rgba_cm_to_yuv420_fused(
     rgba_cm: jnp.ndarray, full_range: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(4, H, W) f32 premultiplied channel-major canvas -> u8 (y, u, v)
-    planes, 4:2:0, in one fused pass."""
-    return _convert_call(
-        rgba_cm.astype(jnp.float32), bool(full_range), not _on_tpu()
-    )
+    """(4, H, W) f32/u16-fixed-point/bf16 premultiplied channel-major
+    canvas -> u8 (y, u, v) planes, 4:2:0, in one fused pass (16-bit
+    canvases stream at half the HBM read traffic and decode in VMEM)."""
+    if rgba_cm.dtype not in (jnp.uint16, jnp.bfloat16, jnp.float16):
+        rgba_cm = rgba_cm.astype(jnp.float32)
+    return _convert_call(rgba_cm, bool(full_range), not _on_tpu())

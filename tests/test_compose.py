@@ -222,7 +222,7 @@ def test_aligned_unions_bit_exact():
 
     aligned = render()
     orig = C._align_union
-    C._align_union = lambda reg, h, w: reg
+    C._align_union = lambda reg, h, w, sublane=8: reg
     try:
         unaligned = render()
     finally:
